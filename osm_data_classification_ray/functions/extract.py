@@ -1,0 +1,66 @@
+"""Frozen HTML→text extraction (FIXTURES.md §3; SURVEY.md M1).
+
+The north_rule requires extracted text byte-identical per url to the
+reference/golden (BASELINE.json input_hint). The reference checkout is empty
+(SURVEY.md §0), so this frozen spec IS the reference semantics; the golden
+parquet committed under tests/golden pins it against regression.
+
+Frozen spec, applied in exactly this order:
+1. drop <script>…</script> and <style>…</style> elements (case-insensitive,
+   including their content),
+2. drop HTML comments ``<!-- … -->``,
+3. replace every remaining tag ``<…>`` with a single newline,
+4. collapse runs of non-newline whitespace to one space,
+5. collapse newline runs (with adjacent spaces) to one newline,
+6. strip leading/trailing whitespace,
+7. decode exactly five entities: ``&amp; &lt; &gt; &quot; &#39;``
+   (``&amp;`` last so it cannot create new entities).
+
+Pure function of the html bytes; invalid UTF-8 decoded with 'replace'.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_SCRIPT = re.compile(r"(?is)<script\b[^>]*>.*?</script\s*>")
+_STYLE = re.compile(r"(?is)<style\b[^>]*>.*?</style\s*>")
+_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_TAG = re.compile(r"<[^>]*>")
+_WS = re.compile(r"[^\S\n]+")
+_NL = re.compile(r" ?\n[ \n]* ?")
+
+
+def extract_text(html: bytes | str) -> str:
+    """Frozen extraction of one document. Deterministic; see module docstring."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
+    s = _SCRIPT.sub("", s)
+    s = _STYLE.sub("", s)
+    s = _COMMENT.sub("", s)
+    s = _TAG.sub("\n", s)
+    s = _WS.sub(" ", s)
+    s = _NL.sub("\n", s)
+    s = s.strip()
+    s = s.replace("&lt;", "<").replace("&gt;", ">")
+    s = s.replace("&quot;", '"').replace("&#39;", "'")
+    s = s.replace("&amp;", "&")
+    return s
+
+
+def extract_batch(html_col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """Vector wrapper: html binary column → (extracted_text, sha256, n_chars).
+
+    String munging is inherently per-row Python here, but all regexes are
+    precompiled at module import (once per worker process) and the loop runs
+    over one Arrow batch at a time inside map_batches.
+    """
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    texts = [extract_text(h) for h in html_col.to_pylist()]
+    shas = [hashlib.sha256(t.encode("utf-8")).digest() for t in texts]
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    return pa.array(texts, type=pa.string()), pa.array(shas, type=pa.binary()), n_chars

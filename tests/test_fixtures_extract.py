@@ -1,0 +1,98 @@
+"""Fixture determinism + frozen extraction/geocode behavior (SURVEY.md §6.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm_data_classification_ray.fixtures import gen
+from osm_data_classification_ray.functions.extract import extract_text
+from osm_data_classification_ray.functions.geocode import geocode_one
+
+
+def test_documents_slice_reproducible():
+    """Row i is a pure function of (seed, i): any slice matches the full gen."""
+    full = gen.gen_documents(500)
+    part = gen.documents_batch(np.arange(100, 200), gen.n_hosts_for(500))
+    assert part.equals(full.slice(100, 100))
+
+
+def test_documents_dup_urls_later_wins_setup():
+    t = gen.gen_documents(200)
+    urls = t["url"].to_pylist()
+    ts = t["warc_ts"].to_pylist()
+    # row 37 duplicates row 36's url with a strictly later ts
+    assert urls[37] == urls[36]
+    assert ts[37] > ts[36]
+
+
+def test_lang_cycle():
+    t = gen.gen_documents(20)
+    langs = t["lang"].to_pylist()
+    assert langs[:10] == list(gen.LANG_CYCLE)
+
+
+def test_extract_frozen_semantics():
+    html = (
+        b"<html><head><title>A &amp; B</title>"
+        b"<script>var x = '<p>no</p>';</script><style>.a{}</style></head>"
+        b"<body><h1>A &amp; B</h1>  <p>one   two</p><!--gone--><p>x &lt;3 &quot;y&#39;</p></body></html>"
+    )
+    assert extract_text(html) == 'A & B\nA & B\none two\nx <3 "y\''
+
+
+def test_extract_deterministic_on_fixture():
+    t = gen.gen_documents(50)
+    a = [extract_text(h) for h in t["html"].to_pylist()]
+    b = [extract_text(h) for h in t["html"].to_pylist()]
+    assert a == b
+    assert all("\n" in x for x in a)  # title + h1 + paras
+
+
+def test_geocode_formats():
+    assert geocode_one(b'<meta name="geo.position" content="12.5;-33.25">') == (12.5, -33.25, "geo.position")
+    assert geocode_one(b"<meta name='ICBM' content='50.1, 8.6'>") == (50.1, 8.6, "icbm")
+    assert geocode_one(b"<html>no geo</html>") is None
+
+
+def test_geocode_fixture_coverage():
+    """~10% of fixture pages (i % 10 == 7) have no geo tag."""
+    t = gen.gen_documents(100)
+    hits = [geocode_one(h) for h in t["html"].to_pylist()]
+    missing = [i for i, h in enumerate(hits) if h is None]
+    assert missing == [i for i in range(100) if i % 10 == 7]
+
+
+def test_geocode_matches_embedded_coords():
+    t = gen.gen_documents(100)
+    i = np.arange(100, dtype=np.int64)
+    dup = (i % 37 == 0) & (i > 0)
+    url_i = np.where(dup, i - 1, i)
+    lat, lon = gen.page_coords(url_i.astype(np.uint64), (url_i % 50).astype(np.uint64), 50)
+    for r in range(100):
+        if r % 10 == 7:
+            continue
+        hit = geocode_one(t["html"][r].as_py())
+        assert hit is not None
+        assert hit[0] == float(f"{lat[r]:.6f}") and hit[1] == float(f"{lon[r]:.6f}")
+
+
+def test_admin_polygons_shape():
+    p = gen.gen_admin_polygons()
+    assert p.num_rows == 64
+    levels = p["level"].to_pylist()
+    assert levels.count(0) == 8 and levels.count(1) == 56
+    # admin 63 has a hole (2 rings)
+    rings = p["rings"].to_pylist()
+    assert len(rings[63]) == 2
+    assert all(len(r) == 1 for r in rings[:63])
+    # every bbox is sane and within the (antimeridian-free) construction domain
+    for b in p["bbox"].to_pylist():
+        assert b["minlat"] < b["maxlat"] and b["minlon"] < b["maxlon"]
+        assert -180 < b["minlon"] and b["maxlon"] < 180
+
+
+def test_knn_queries():
+    q = gen.gen_knn_queries()
+    assert q.num_rows == 100
+    k = q["k"].to_pylist()
+    assert min(k) >= 3 and max(k) <= 10
