@@ -1,0 +1,76 @@
+"""Stateless ingest transforms (SURVEY.md M1/M2/M5/M6/M7).
+
+One fused ``map_batches`` pass over zero-copy Arrow batches does
+extract + geocode + host/lang normalize + hex/S2 cell encode, so the wide
+``html`` binary column is read exactly once and dropped immediately after
+(SURVEY.md §8 memory note). Everything here is a pure function of the
+batch — stateless Ray tasks, no actor pool needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..cellmath import hexgrid, s2
+from ..functions.extract import extract_batch
+from ..functions.geocode import geocode_batch
+
+HEX_RESOLUTIONS = (5, 6, 7, 8, 9)
+S2_LEVELS = (8, 10, 12, 14, 16)
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
+
+
+def host_from_url(url_col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized host extraction (lower-cased) via pyarrow extract_regex."""
+    ex = pc.extract_regex(url_col, pattern=_HOST_RE)
+    host = pc.struct_field(ex, "host")
+    return pc.utf8_lower(pc.fill_null(host, ""))
+
+
+def extract_geocode_cells(batch: pa.Table) -> pa.Table:
+    """documents batch → enriched captures batch (html dropped).
+
+    Output: url, warc_ts, host, lang, extracted_text, text_sha256, n_chars,
+    n_tokens, lat, lon, geocode_src, has_geo, h3_r5..h3_r9, s2_cells.
+    Pages without coordinates keep has_geo=False and carry cell id 0.
+    """
+    html = batch["html"].combine_chunks() if isinstance(batch["html"], pa.ChunkedArray) else batch["html"]
+    texts, shas, n_chars = extract_batch(html)
+    lat, lon, src = geocode_batch(html.to_pylist())
+    has_geo = ~np.isnan(lat)
+
+    n_tokens = pc.count_substring_regex(texts, pattern=r"\S+").cast(pa.int64())
+    host = host_from_url(batch["url"])
+
+    # encode only geocoded rows; placeholder 0 elsewhere (filtered downstream)
+    cells = {r: np.zeros(len(lat), dtype=np.uint64) for r in HEX_RESOLUTIONS}
+    s2_list: list[list[int] | None] = [None] * len(lat)
+    if has_geo.any():
+        enc = hexgrid.encode_multi(lat[has_geo], lon[has_geo], HEX_RESOLUTIONS)
+        for r in HEX_RESOLUTIONS:
+            cells[r][has_geo] = enc[r]
+        cov = s2.point_covering(lat[has_geo], lon[has_geo], S2_LEVELS)
+        for row_i, covered in zip(np.nonzero(has_geo)[0], cov):
+            s2_list[row_i] = covered.tolist()
+
+    cols: dict[str, pa.Array] = {
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "host": host,
+        "lang": batch["lang"],
+        "extracted_text": texts,
+        "text_sha256": shas,
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+        "n_tokens": n_tokens,
+        "lat": pa.array(lat, type=pa.float64()),
+        "lon": pa.array(lon, type=pa.float64()),
+        "geocode_src": pa.array(src, type=pa.string()),
+        "has_geo": pa.array(has_geo),
+    }
+    for r in HEX_RESOLUTIONS:
+        cols[f"h3_r{r}"] = pa.array(cells[r], type=pa.uint64())
+    cols["s2_cells"] = pa.array(s2_list, type=pa.list_(pa.uint64()))
+    return pa.table(cols)

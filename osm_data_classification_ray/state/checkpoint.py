@@ -1,0 +1,124 @@
+"""Per-stage Parquet checkpoints with lineage + metrics (SURVEY.md §5.3).
+
+Luigi-target semantics (upstream: every task's output() is a CSV file
+target, [UPSTREAM-MEMORY] SURVEY.md §1.1 step 9), Parquet-native and
+partition-aware:
+
+- a stage writes ``<root>/<stage>/part-*.parquet`` via ``write_parquet``
+  into a temp dir, then atomically renames and drops ``manifest.json`` +
+  ``_SUCCESS``;
+- the manifest records the input fingerprint (config hash ⊕ upstream
+  manifest hashes), per-partition lineage (file → rows/bytes from the
+  Parquet footers), wall time, and the ``Dataset.stats()`` dump;
+- ``run_stage`` SKIPS the stage iff ``_SUCCESS`` exists and the
+  fingerprint matches — that is what "resumable from checkpoint" means
+  for a batch pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+from typing import Any
+
+
+def fingerprint(config: dict[str, Any], upstream_manifests: list[str] | None = None) -> str:
+    h = hashlib.sha256(json.dumps(config, sort_keys=True, default=str).encode())
+    for path in upstream_manifests or []:
+        try:
+            with open(path, "rb") as f:
+                h.update(hashlib.sha256(f.read()).digest())
+        except FileNotFoundError:
+            h.update(b"missing:" + path.encode())
+    return h.hexdigest()
+
+
+def manifest_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "manifest.json")
+
+
+def is_complete(root: str, stage: str, fp: str) -> bool:
+    d = os.path.join(root, stage)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        return False
+    try:
+        with open(manifest_path(root, stage)) as f:
+            return json.load(f).get("fingerprint") == fp
+    except (FileNotFoundError, json.JSONDecodeError):
+        return False
+
+
+def _partition_lineage(d: str) -> list[dict[str, Any]]:
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(d, name)
+        md = pq.read_metadata(p)
+        out.append(
+            {
+                "file": name,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(p),
+                "row_groups": md.num_row_groups,
+            }
+        )
+    return out
+
+
+def run_stage(
+    root: str,
+    stage: str,
+    fp: str,
+    build: Callable[[], "Any"],
+    *,
+    extra_meta: dict[str, Any] | None = None,
+) -> str:
+    """Execute (or skip) one checkpointed stage; returns its output dir.
+
+    ``build()`` returns a ray.data.Dataset; it is only called on a cache
+    miss, so skipped stages never re-execute their upstream reads.
+    """
+    final = os.path.join(root, stage)
+    if is_complete(root, stage, fp):
+        return final
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    t0 = time.monotonic()
+    ds = build()
+    ds.write_parquet(tmp)
+    wall = time.monotonic() - t0
+    stats = ""
+    try:
+        stats = ds.stats()
+    except Exception:
+        pass
+    lineage = _partition_lineage(tmp)
+    manifest = {
+        "stage": stage,
+        "fingerprint": fp,
+        "wall_s": round(wall, 3),
+        "rows": sum(p["rows"] for p in lineage),
+        "partitions": lineage,
+        "meta": extra_meta or {},
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    with open(os.path.join(tmp, "stats.txt"), "w") as f:
+        f.write(stats)
+    os.replace(tmp, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("")
+    return final
+
+
+def stage_files(root: str, stage: str) -> list[str]:
+    d = os.path.join(root, stage)
+    return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]

@@ -1,0 +1,127 @@
+"""Ray pipelines vs the single-process reference (SURVEY.md §6.3/§6.4):
+the distributed run must reproduce the local tables exactly after
+canonical sort, at any parallelism / partition count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from osm_data_classification_ray.fixtures import gen
+from osm_data_classification_ray.pipelines import spatial
+from osm_data_classification_ray.reference_local import local_run
+from osm_data_classification_ray.state import checkpoint as ckpt
+
+
+def canon(t: pa.Table, keys: list[str]) -> pa.Table:
+    cols = sorted(t.column_names)
+    t = t.select(cols)
+    return t.take(pc.sort_indices(t, sort_keys=[(k, "ascending") for k in keys]))
+
+
+@pytest.fixture(scope="module")
+def golden():
+    docs = gen.gen_documents(1000)
+    admin = gen.gen_admin_polygons()
+    return docs, admin, local_run(docs, admin)
+
+
+@pytest.fixture(scope="module")
+def ray_outputs(ray_session, golden, tmp_path_factory):
+    import ray.data as rd
+
+    docs, admin, _ = golden
+    d = tmp_path_factory.mktemp("engine_out")
+    src_dir = tmp_path_factory.mktemp("docs_in")
+    pq.write_table(docs, src_dir / "documents.parquet")
+    cfg = spatial.EngineConfig(out_root=str(d), num_partitions=4,
+                               pip_concurrency=(1, 2), hot_threshold=100, max_salt=4)
+    paths = spatial.run_all(
+        cfg,
+        lambda: rd.read_parquet(str(src_dir / "documents.parquet")).repartition(8),
+        admin,
+    )
+    return cfg, paths
+
+
+def _read(paths, name) -> pa.Table:
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(paths[name], "*.parquet")))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def test_pages_match(golden, ray_outputs):
+    _, paths = ray_outputs
+    want = canon(golden[2]["pages"].select(
+        ["url", "warc_ts", "host", "lang", "extracted_text", "text_sha256", "n_chars"]), ["url"])
+    got = _read(paths, "pages").select(
+        ["url", "warc_ts", "host", "lang", "extracted_text", "text_sha256", "n_chars"])
+    got = canon(got, ["url"])
+    assert got.equals(want)
+
+
+def test_cell_features_match(golden, ray_outputs):
+    _, paths = ray_outputs
+    want = canon(golden[2]["cell_features"], ["res", "cell"])
+    got = canon(_read(paths, "cell_features"), ["res", "cell"])
+    assert got.num_rows == want.num_rows
+    assert got.column_names == want.column_names
+    for name in got.column_names:
+        a = got[name].to_pylist()
+        b = want[name].to_pylist()
+        assert a == b, f"column {name} differs"
+
+
+def test_tiles_match(golden, ray_outputs):
+    _, paths = ray_outputs
+    want = canon(golden[2]["tiles"], ["res", "cell"])
+    got = canon(_read(paths, "tiles"), ["res", "cell"])
+    assert got.equals(want)
+
+
+def test_page_admin_match(golden, ray_outputs):
+    """Join output rows audited exactly (north_rule)."""
+    _, paths = ray_outputs
+    want = canon(golden[2]["page_admin"], ["url"])
+    got = canon(_read(paths, "page_admin"), ["url"])
+    assert got.equals(want)
+
+
+def test_cluster_assignments_match(golden, ray_outputs):
+    """Cluster labels audited exactly (north_rule)."""
+    _, paths = ray_outputs
+    want = canon(golden[2]["cluster_assignments"], ["entity"])
+    got = canon(_read(paths, "cluster_assignments"), ["entity"])
+    assert got.equals(want)
+
+
+def test_resume_skips_completed_stage(golden, ray_outputs):
+    """Luigi-target semantics: a rerun with the same fingerprint skips."""
+    import time
+
+    cfg, paths = ray_outputs
+    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}))
+    assert ckpt.is_complete(cfg.out_root, "captures", fp)
+    t0 = time.monotonic()
+    out = ckpt.run_stage(cfg.out_root, "captures", fp,
+                         lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")))
+    assert time.monotonic() - t0 < 0.5
+    assert out == paths["captures"]
+
+
+def test_manifest_lineage(ray_outputs):
+    import json
+    import os
+
+    cfg, paths = ray_outputs
+    with open(os.path.join(paths["captures"], "manifest.json")) as f:
+        m = json.load(f)
+    assert m["rows"] == 1000
+    assert len(m["partitions"]) >= 1
+    assert all(p["rows"] > 0 for p in m["partitions"])
+    assert os.path.exists(os.path.join(paths["captures"], "_SUCCESS"))
