@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship spatial pipeline (ingest → dedup/chains → cells →
+  salted PIP join → tiles → classify) over engine-shaped documents derived
+  deterministically from /root/testdata/sf0.001; returns the audited
+  ``page_admin`` join output.
+- ``queries()``: one entry per implemented operator family (SURVEY.md §3):
+  relational suite q01–q17 (each with a DuckDB oracle in ``oracle_sql``)
+  plus the spatial-engine pipelines q30+ (not SQL-expressible — the
+  driver's rows-only check applies; exact-match coverage for these lives
+  in tests/ against the single-process reference implementation).
 """
 
 from __future__ import annotations
@@ -20,25 +21,33 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from osm_data_classification_ray.pipelines import entry_support
+
+    return entry_support.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_data_classification_ray.pipelines import entry_support as es
+    from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()
+    }
+    out.update(
+        {
+            "q30_pages_extract": es.pages_query,
+            "q31_page_admin_join": es.page_admin_query,
+            "q32_tiles": es.tiles_query,
+            "q33_cell_features": es.cell_features_query,
+            "q34_cluster_assignments": es.clusters_query,
+            "q35_knn_geo": es.knn_query,
+            "q36_tiles_rollup": es.tiles_rollup_query,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items() if sql}

@@ -1,0 +1,177 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling protocol).
+
+Default: run the headline spatial pipeline (ingest → url-shuffle dedup/chains
+→ r5-shuffle multi-res features/tiles → salted PIP join → classify) over
+engine documents derived deterministically from $GRAFT_SF_DIR's documents
+table, amplified ×GRAFT_BENCH_AMP captures per source row (startup-amortized
+input, FIXTURES.md bench scale), plus a timed subset of the relational
+suite. Prints ONE JSON line.
+
+--scaling: run the headline twice in fresh processes at num_cpus=8 and 32
+(the sandbox stand-in for N vs 4N nodes — BASELINE.md), verify identical
+output checksums, and report throughput at both levels + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMP = int(os.environ.get("GRAFT_BENCH_AMP", "20"))
+
+
+def _amplified_docs_source(sf_dir: str, amp: int):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from osm_data_classification_ray.fixtures import gen
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        rep_ids = np.repeat(ids, amp) * amp + np.tile(np.arange(amp), len(ids))
+        rep_texts = [t for t in texts for _ in range(amp)]
+        return gen.docs_from_doc_ids(rep_ids, rep_texts)
+
+    def src():
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=512)
+
+    return src
+
+
+def run_headline(out_root: str) -> dict:
+    import pyarrow.compute as pc
+
+    from osm_data_classification_ray.fixtures import gen
+    from osm_data_classification_ray.pipelines import spatial
+    from osm_data_classification_ray.state import checkpoint as ckpt
+
+    cfg = spatial.EngineConfig(
+        out_root=out_root,
+        num_partitions=max(8, NUM_CPUS * 2),
+        pip_concurrency=(1, max(2, NUM_CPUS // 2)),
+        hot_threshold=100_000,
+    )
+    admin = gen.gen_admin_polygons()
+    src = _amplified_docs_source(SF_DIR, AMP)
+
+    stages = {}
+    t0 = time.monotonic()
+    t = time.monotonic(); spatial.run_captures(cfg, src); stages["captures"] = time.monotonic() - t
+    t = time.monotonic(); spatial.run_pages(cfg); stages["pages"] = time.monotonic() - t
+    t = time.monotonic(); spatial.run_cell_features(cfg); stages["cell_features"] = time.monotonic() - t
+    t = time.monotonic(); spatial.run_tiles(cfg); stages["tiles"] = time.monotonic() - t
+    t = time.monotonic(); spatial.run_page_admin(cfg, admin); stages["page_admin"] = time.monotonic() - t
+    t = time.monotonic(); spatial.run_classify(cfg); stages["classify"] = time.monotonic() - t
+    total = time.monotonic() - t0
+
+    with open(os.path.join(out_root, "captures", "manifest.json")) as f:
+        n_rows = json.load(f)["rows"]
+    with open(os.path.join(out_root, "page_admin", "manifest.json")) as f:
+        n_join = json.load(f)["rows"]
+
+    # deterministic output checksum: sorted (url, admin_id) of the join output
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = ckpt.stage_files(cfg.out_root, "page_admin")
+    t = pa.concat_tables(pq.read_table(f, columns=["url", "admin_id"]) for f in files)
+    t = t.take(pc.sort_indices(t, sort_keys=[("url", "ascending"), ("admin_id", "ascending")]))
+    h = hashlib.sha256()
+    h.update(",".join(t["url"].to_pylist()[:100000]).encode())
+    h.update(str(t["admin_id"].to_pylist()[:100000]).encode())
+    return {
+        "sec": total,
+        "stages": {k: round(v, 3) for k, v in stages.items()},
+        "rows": n_rows,
+        "join_rows": n_join,
+        "rows_per_s": round(n_rows / total, 1),
+        "checksum": h.hexdigest()[:16],
+    }
+
+
+def run_relational() -> dict[str, float]:
+    from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
+
+    out = {}
+    for name in ["q01_pricing_summary", "q03_top_revenue_orders", "q06_customer_order_counts",
+                 "q11_events_rollup", "q12_event_chains", "q13_dedup_docs"]:
+        fn, _ = RELATIONAL_QUERIES[name]
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out_root = f"/tmp/graft_bench/cpus{NUM_CPUS}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    head = run_headline(out_root)
+    queries = {"headline_spatial": round(head["sec"], 3)}
+    queries.update(run_relational())
+
+    print(json.dumps({
+        "metric": "spatial_join_tile_pipeline_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": head["rows"],
+        "join_rows": head["join_rows"],
+        "rows_per_s": head["rows_per_s"],
+        "stages": head["stages"],
+        "checksum": head["checksum"],
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "rows_per_s_8": lo["rows_per_s"],
+        "rows_per_s_32": hi["rows_per_s"],
+        "checksum_match": lo["checksum"] == hi["checksum"],
+        "rows": lo["rows"],
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,133 @@
+"""Support for the driver contract (__ray_entry__.py): spatial-engine
+queries over engine-shaped documents derived deterministically from the
+driver's relational ``documents`` table (fixtures.gen.docs_from_doc_ids —
+a pure function of doc_id, so every run over the same sf_dir reproduces
+identical inputs with zero external data).
+
+Stage checkpoints live under /tmp/graft_engine/<sf>/ so repeated query
+calls reuse completed stages (state.checkpoint fingerprints)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..fixtures import gen
+from ..stages import features, knn
+from ..state import checkpoint as ckpt
+from . import spatial
+from .relational import default_partitions
+
+
+def _derive_docs(batch: pa.Table) -> pa.Table:
+    return gen.docs_from_doc_ids(
+        np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64),
+        batch["text"].to_pylist(),
+    )
+
+
+def _cfg(sf_dir: str) -> spatial.EngineConfig:
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return spatial.EngineConfig(
+        out_root=os.path.join("/tmp/graft_engine", name),
+        num_partitions=default_partitions(),
+        pip_concurrency=(1, 4),
+        hot_threshold=200_000,
+    )
+
+
+def docs_source(sf_dir: str):
+    import ray.data as rd
+
+    def src():
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        return ds.map_batches(_derive_docs, batch_format="pyarrow", batch_size=2048)
+
+    return src
+
+
+def ensure_outputs(sf_dir: str) -> tuple[spatial.EngineConfig, dict[str, str]]:
+    cfg = _cfg(sf_dir)
+    admin = gen.gen_admin_polygons()
+    paths = spatial.run_all(cfg, docs_source(sf_dir), admin)
+    return cfg, paths
+
+
+def pages_query(sf_dir: str):
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "pages",
+                            ["url", "warc_ts", "host", "lang", "n_chars", "text_sha256"])
+    # hex the binary hash so every consumer (pandas/duckdb) hashes it stably
+    return ds.map_batches(
+        lambda t: t.drop_columns(["text_sha256"]).append_column(
+            "text_sha256_hex", _hex(t["text_sha256"])
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _hex(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array([v.hex() if v is not None else None for v in col.to_pylist()], type=pa.string())
+
+
+def page_admin_query(sf_dir: str):
+    cfg, _ = ensure_outputs(sf_dir)
+    return spatial.read_stage(cfg.out_root, "page_admin")
+
+
+def tiles_query(sf_dir: str):
+    cfg, _ = ensure_outputs(sf_dir)
+    return spatial.read_stage(cfg.out_root, "tiles")
+
+
+def cell_features_query(sf_dir: str):
+    cfg, _ = ensure_outputs(sf_dir)
+    return spatial.read_stage(cfg.out_root, "cell_features")
+
+
+def clusters_query(sf_dir: str):
+    cfg, _ = ensure_outputs(sf_dir)
+    return spatial.read_stage(cfg.out_root, "cluster_assignments")
+
+
+def tiles_rollup_query(sf_dir: str):
+    """A6 parent rollup: res-9 tiles → res-8 by pure cell arithmetic."""
+    from ..stages import rollup
+
+    cfg, _ = ensure_outputs(sf_dir)
+    tiles = spatial.read_stage(cfg.out_root, "tiles").map_batches(
+        lambda t: t.filter(pc.equal(t["res"], pa.scalar(9, pa.int8()))),
+        batch_format="pyarrow",
+    )
+    return rollup.rollup_parents(tiles, default_partitions())
+
+
+def knn_query(sf_dir: str):
+    cfg, _ = ensure_outputs(sf_dir)
+    pages = spatial.read_stage(cfg.out_root, "captures",
+                               ["url", "lat", "lon", "h3_r7", "has_geo", "is_latest"])
+    pages = pages.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(["has_geo", "is_latest"]),
+        batch_format="pyarrow",
+    )
+    # per-cell counts must reflect the searched page set (latest geocoded
+    # pages), so aggregate that set directly — a cheap count-only exchange
+    from ray.data.aggregate import Count
+
+    hist = pages.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n")
+    ).to_pandas()
+    counts = {int(c): int(n) for c, n in zip(hist["h3_r7"].astype(np.uint64), hist["n"])}
+    queries = gen.gen_knn_queries()
+    return knn.run_knn(pages, queries, counts)
+
+
+def flagship(sf_dir: str):
+    """entry(): the full pipeline; returns the audited join output table."""
+    cfg, paths = ensure_outputs(sf_dir)
+    return spatial.read_stage(cfg.out_root, "page_admin")

@@ -1,0 +1,690 @@
+"""Relational operator suite over the driver's TPC-H-ish tables, each with a
+DuckDB-oracle-equivalent SQL string (SURVEY.md §3: M9/M10 projections &
+predicates, J1/J2 joins, J5 semi/anti, A1/A3 aggregations, T2 top-k, D1
+dedup, M3 window chains, M4 datetime math).
+
+Float-determinism policy (risk R2): any aggregate over continuous doubles
+is computed in integer units (cents / micro-units) as int64 on BOTH the
+Ray side and in the SQL text, then divided once — partial-sum order can
+then never flip a bit, so the driver's value-hash compare is exact.
+
+Every Ray result names its computed columns exactly like the SQL (driver
+compares after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def default_partitions() -> int:
+    return max(4, min(16, int(os.environ.get("RAY_GRAFT_CPUS", "8")) // 2))
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(col) -> pc.Expression | pa.Array:
+    """round(x*100) as int64 — exact decimal(…,2) arithmetic on doubles."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def _micros(col) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(1_000_000.0))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (A1/A3 style wide aggregate; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
+        ext_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])  # discount in hundredths
+        disc_price_e4 = pc.multiply(ext_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "ext_c": ext_c,
+                "disc_price_e4": disc_price_e4,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=default_partitions())
+        .aggregate(
+            Sum("qty", alias_name="sum_qty_i"),
+            Sum("ext_c", alias_name="ext_c_sum"),
+            Sum("disc_price_e4", alias_name="disc_e4_sum"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.cast(t["sum_qty_i"], pa.float64()),
+                "sum_base_price": pc.divide(pc.cast(t["ext_c_sum"], pa.float64()), pa.scalar(100.0)),
+                "sum_disc_price": pc.divide(pc.cast(t["disc_e4_sum"], pa.float64()), pa.scalar(10_000.0)),
+                "avg_qty": pc.divide(pc.cast(t["sum_qty_i"], pa.float64()),
+                                     pc.cast(t["count_order"], pa.float64())),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — filter + projection + computed column (M9/M10)
+# ---------------------------------------------------------------------------
+
+def q02_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1995-03-15", "us"))),
+            pc.greater(t["l_quantity"], pa.scalar(45.0)),
+        )
+        t = t.filter(mask)
+        rev_e4 = pc.multiply(_cents(t["l_extendedprice"]),
+                             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "l_quantity": t["l_quantity"],
+                "revenue": pc.divide(pc.cast(rev_e4, pa.float64()), pa.scalar(10_000.0)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-03-15' AND l_quantity > 45
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — large⋈large hash join + aggregate + top-k (J1/T2)
+# ---------------------------------------------------------------------------
+
+def q03_top_revenue_orders(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev_e4 = pc.multiply(_cents(t["l_extendedprice"]),
+                             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = li.map_batches(prep, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=default_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate"], num_partitions=default_partitions()).aggregate(
+        Sum("rev_e4", alias_name="rev_e4_sum")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "revenue": pc.divide(pc.cast(t["rev_e4_sum"], pa.float64()), pa.scalar(10_000.0)),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — join + segment rollup (J1/A1)
+# ---------------------------------------------------------------------------
+
+def q04_segment_revenue(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"], "price_c": _cents(t["o_totalprice"])})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.map_batches(prep, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=default_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    agg = joined.groupby("c_mktsegment", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c_sum")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": t["n_orders"],
+                "total_revenue": pc.divide(pc.cast(t["price_c_sum"], pa.float64()), pa.scalar(100.0)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q04_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — broadcast dimension join chain (J2/S4: small side broadcast, no shuffle)
+# ---------------------------------------------------------------------------
+
+def q05_region_customers(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nat_to_region = {
+        nk: r_name[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    keys = np.array(sorted(nat_to_region), dtype=np.int64)
+    vals = np.array([nat_to_region[k] for k in keys], dtype=object)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        nk = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.searchsorted(keys, nk)
+        return pa.table({"r_name": pa.array(vals[pos], type=pa.string())})
+
+    return (
+        cust.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name", num_partitions=default_partitions())
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+Q05_SQL = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — left outer join with zero-preserving counts (J2)
+# ---------------------------------------------------------------------------
+
+def q06_customer_order_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    per_cust = orders.groupby("o_custkey", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_orders")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(
+        per_cust, join_type="left_outer", num_partitions=default_partitions(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pc.fill_null(t["n_orders"], 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+Q06_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07/q08 — semi / anti join via broadcast key set (J5)
+# ---------------------------------------------------------------------------
+
+def _custkeys_with_orders(sf_dir: str) -> np.ndarray:
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    keys = orders.unique("o_custkey")
+    return np.array(sorted(keys), dtype=np.int64)
+
+
+def q07_semi_join(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    keys = _custkeys_with_orders(sf_dir)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.searchsorted(keys, ck)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        mask = keys[pos] == ck
+        return t.filter(pa.array(mask))
+
+    return (
+        cust.map_batches(semi, batch_format="pyarrow")
+        .groupby("c_nationkey", num_partitions=default_partitions())
+        .aggregate(Count(alias_name="n_active_customers"))
+    )
+
+
+Q07_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_active_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
+def q08_anti_join(sf_dir: str):
+    """Customers with no high-value order (> 300k), per segment — the key
+    set threshold keeps the anti side non-empty at every test scale."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300_000.0))).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = np.array(sorted(big.unique("o_custkey")), dtype=np.int64)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        if len(keys) == 0:
+            return t
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        mask = keys[pos] != ck
+        return t.filter(pa.array(mask))
+
+    return (
+        cust.map_batches(anti, batch_format="pyarrow")
+        .groupby("c_mktsegment", num_partitions=default_partitions())
+        .aggregate(Count(alias_name="n_inactive_customers"))
+    )
+
+
+Q08_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_inactive_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — global sort + limit (T2)
+# ---------------------------------------------------------------------------
+
+def q09_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+Q09_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — distinct pairs (A7)
+# ---------------------------------------------------------------------------
+
+def q10_distinct_pairs(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return ds.groupby(["lang", "source"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+Q10_SQL = "SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source"
+
+
+# ---------------------------------------------------------------------------
+# q11 — per-entity rollup with datetime math (A1/M4 — changeset analog)
+# ---------------------------------------------------------------------------
+
+def q11_events_rollup(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "value_u": _micros(t["value"]),
+            }
+        )
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "user_id", num_partitions=default_partitions()
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Min("ts_us", alias_name="min_ts_us"),
+        Max("ts_us", alias_name="max_ts_us"),
+        Sum("value_u", alias_name="value_u_sum"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"],
+                "first_ts": t["min_ts_us"].cast(pa.timestamp("us")),
+                "last_ts": t["max_ts_us"].cast(pa.timestamp("us")),
+                "duration_us": pc.subtract(t["max_ts_us"], t["min_ts_us"]),
+                "sum_value": pc.divide(pc.cast(t["value_u_sum"], pa.float64()), pa.scalar(1_000_000.0)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q11_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       DATEDIFF('microsecond', MIN(ts), MAX(ts)) AS duration_us,
+       CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — ordered per-entity chains (M3 analog over events; window semantics)
+# ---------------------------------------------------------------------------
+
+def q12_event_chains(sf_dir: str):
+    from .spatial import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ds = ds.repartition(default_partitions(), keys=["user_id"], sort=True)
+
+    def chain(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+                 "seq": pa.array([], pa.int64()), "is_first": pa.array([], pa.bool_()),
+                 "is_last": pa.array([], pa.bool_())}
+            )
+        idx = pc.sort_indices(block, sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        block = block.take(idx)
+        uid = np.asarray(block["user_id"].to_numpy(zero_copy_only=False))
+        n = len(uid)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        last = np.empty(n, dtype=bool)
+        last[:-1] = new[1:]
+        last[-1] = True
+        grp = np.cumsum(new) - 1
+        pos = np.arange(n)
+        start = pos[new][grp]
+        seq = pos - start + 1
+        return pa.table(
+            {
+                "event_id": block["event_id"],
+                "user_id": block["user_id"],
+                "seq": pa.array(seq, type=pa.int64()),
+                "is_first": pa.array(new),
+                "is_last": pa.array(last),
+            }
+        )
+
+    return ds.map_batches(chain, batch_format="pyarrow", batch_size=None)
+
+
+Q12_SQL = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS seq,
+       (ROW_NUMBER() OVER w = 1) AS is_first,
+       (ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY user_id)) AS is_last
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — exact dedup, keep-min representative (D1 over driver documents)
+# ---------------------------------------------------------------------------
+
+def q13_dedup_docs(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = t["text"].to_pylist()
+        keys = [hashlib.sha256((x or "").encode()).hexdigest() for x in texts]
+        return pa.table({"k": pa.array(keys, type=pa.string()), "doc_id": t["doc_id"]})
+
+    agg = ds.map_batches(h, batch_format="pyarrow").groupby(
+        "k", num_partitions=default_partitions()
+    ).aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    return agg.map_batches(lambda t: t.select(["doc_id", "n_copies"]), batch_format="pyarrow")
+
+
+Q13_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY sha256(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14/q15 — text metrics (token counting / quality scoring, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q14_doc_tokens(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
+        spaces = pc.count_substring(t["text"], pattern=" ").cast(pa.int64())
+        n_tokens = pc.if_else(pc.equal(n_chars, 0), pa.scalar(0, pa.int64()),
+                              pc.add(spaces, pa.scalar(1, pa.int64())))
+        return pa.table({"doc_id": t["doc_id"], "n_chars": n_chars, "n_tokens": n_tokens})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q14_SQL = """
+SELECT doc_id, LENGTH(text) AS n_chars,
+       CASE WHEN LENGTH(text) = 0 THEN 0
+            ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS n_tokens
+FROM documents
+"""
+
+
+def q15_doc_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
+        spaces = pc.count_substring(t["text"], pattern=" ").cast(pa.int64())
+        n_tokens = pc.if_else(pc.equal(n_chars, 0), pa.scalar(0, pa.int64()),
+                              pc.add(spaces, pa.scalar(1, pa.int64())))
+        n_punct = pc.add(
+            pc.count_substring(t["text"], pattern=".").cast(pa.int64()),
+            pc.count_substring(t["text"], pattern=",").cast(pa.int64()),
+        )
+        nonspace = pc.subtract(n_chars, spaces)
+        mean_token_len = pc.if_else(
+            pc.equal(n_tokens, 0), pa.scalar(0.0),
+            pc.divide(pc.cast(nonspace, pa.float64()), pc.cast(n_tokens, pa.float64())),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "mean_token_len": mean_token_len,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q15_SQL = """
+SELECT doc_id, LENGTH(text) AS n_chars,
+       CASE WHEN LENGTH(text) = 0 THEN 0
+            ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS n_tokens,
+       (LENGTH(text) - LENGTH(REPLACE(text, '.', ''))) + (LENGTH(text) - LENGTH(REPLACE(text, ',', ''))) AS n_punct,
+       CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) END AS mean_token_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — grouped stats with exact distinct (A2-style two-level distinct)
+# ---------------------------------------------------------------------------
+
+def q16_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    # level 1: exact distinct via (lang, source) groupby, carrying partial sums
+    lvl1 = ds.groupby(["lang", "source"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_docs_part"), Sum("n_chars", alias_name="chars_part")
+    )
+    lvl2 = lvl1.groupby("lang", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_sources"),
+        Sum("n_docs_part", alias_name="n_docs"),
+        Sum("chars_part", alias_name="chars_sum"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "n_sources": t["n_sources"],
+                "avg_chars": pc.divide(pc.cast(t["chars_sum"], pa.float64()),
+                                       pc.cast(t["n_docs"], pa.float64())),
+            }
+        )
+
+    return lvl2.map_batches(finish, batch_format="pyarrow")
+
+
+Q16_SQL = """
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — document fingerprinting (sha256, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q17_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [hashlib.sha256((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q17_SQL = "SELECT doc_id, sha256(text) AS fp FROM documents"
+
+
+#: name → (ray_callable, oracle_sql | None)
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_filter_project": (q02_filter_project, Q02_SQL),
+    "q03_top_revenue_orders": (q03_top_revenue_orders, Q03_SQL),
+    "q04_segment_revenue": (q04_segment_revenue, Q04_SQL),
+    "q05_region_customers": (q05_region_customers, Q05_SQL),
+    "q06_customer_order_counts": (q06_customer_order_counts, Q06_SQL),
+    "q07_semi_join": (q07_semi_join, Q07_SQL),
+    "q08_anti_join": (q08_anti_join, Q08_SQL),
+    "q09_top_orders": (q09_top_orders, Q09_SQL),
+    "q10_distinct_pairs": (q10_distinct_pairs, Q10_SQL),
+    "q11_events_rollup": (q11_events_rollup, Q11_SQL),
+    "q12_event_chains": (q12_event_chains, Q12_SQL),
+    "q13_dedup_docs": (q13_dedup_docs, Q13_SQL),
+    "q14_doc_tokens": (q14_doc_tokens, Q14_SQL),
+    "q15_doc_quality": (q15_doc_quality, Q15_SQL),
+    "q16_lang_stats": (q16_lang_stats, Q16_SQL),
+    "q17_fingerprint": (q17_fingerprint, Q17_SQL),
+}

@@ -32,30 +32,61 @@ from ..fixtures.gen import hash_u64
 PIP_RES = 5  # cover/shuffle resolution (SURVEY.md §5.3)
 
 
-class PolygonIndex:
-    """cell(res-5) → candidate polygon list, plus per-polygon edge arrays."""
+#: max cover cells per polygon; large polygons get coarser cover resolutions
+COVER_CAP = 256
 
-    def __init__(self, admin_table: pa.Table):
+
+class PolygonIndex:
+    """Adaptive multi-res cover index: each polygon is covered at the
+    FINEST res (≤ PIP_RES) whose bbox cover stays under COVER_CAP cells, so
+    a continent-sized polygon costs ~256 coarse cells instead of ~10⁶ fine
+    ones (bounded index size = bounded broadcast + O(1) lookups at any
+    polygon scale). Lookup walks the point cell's parent chain (pure
+    arithmetic) through the populated resolutions."""
+
+    def __init__(self, admin_table: pa.Table, cover_cap: int = COVER_CAP):
         self.admin_ids = np.asarray(admin_table["admin_id"].to_pylist(), dtype=np.int64)
         self.levels = np.asarray(admin_table["level"].to_pylist(), dtype=np.int64)
         self.edges: list[PolygonEdges] = []
-        cell_to_polys: dict[int, list[int]] = {}
+        by_res: dict[int, dict[int, list[int]]] = {}
         rings_col = admin_table["rings"].to_pylist()
         bbox_col = admin_table["bbox"].to_pylist()
         for i, (rings, bbox) in enumerate(zip(rings_col, bbox_col)):
             arrs = [np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64) for ring in rings]
             self.edges.append(PolygonEdges(arrs))
-            cover = hexgrid.cells_in_bbox(
-                bbox["minlat"], bbox["minlon"], bbox["maxlat"], bbox["maxlon"], PIP_RES
-            )
-            for c in cover:
-                cell_to_polys.setdefault(int(c), []).append(i)
-        # frozen candidate order: level desc, admin_id asc
-        self.cell_to_polys: dict[int, np.ndarray] = {}
-        for c, idxs in cell_to_polys.items():
-            arr = np.array(idxs, dtype=np.int64)
-            order = np.lexsort((self.admin_ids[arr], -self.levels[arr]))
-            self.cell_to_polys[c] = arr[order]
+            for res in range(PIP_RES, -1, -1):
+                cover = hexgrid.cells_in_bbox(
+                    bbox["minlat"], bbox["minlon"], bbox["maxlat"], bbox["maxlon"], res
+                )
+                if len(cover) <= cover_cap or res == 0:
+                    d = by_res.setdefault(res, {})
+                    for c in cover:
+                        d.setdefault(int(c), []).append(i)
+                    break
+        # frozen candidate order: level desc, admin_id asc (applied after merge)
+        self.by_res: dict[int, dict[int, np.ndarray]] = {
+            res: {c: np.array(v, dtype=np.int64) for c, v in d.items()} for res, d in by_res.items()
+        }
+        self.resolutions = sorted(self.by_res, reverse=True)
+
+    def candidates(self, cell_r5: int) -> np.ndarray | None:
+        """Merged candidate polygon indices for one res-5 point cell, in the
+        frozen (level desc, admin_id asc) order; None if no polygon near."""
+        found: list[np.ndarray] = []
+        cell = np.array([cell_r5], dtype=np.uint64)
+        cur = PIP_RES
+        for res in self.resolutions:
+            if res < cur:
+                cell = hexgrid.cell_to_parent(cell, res)
+                cur = res
+            hit = self.by_res[res].get(int(cell[0]))
+            if hit is not None:
+                found.append(hit)
+        if not found:
+            return None
+        arr = np.unique(np.concatenate(found))
+        order = np.lexsort((self.admin_ids[arr], -self.levels[arr]))
+        return arr[order]
 
 
 def compute_salt_map(cell_counts: dict[int, int], hot_threshold: int, max_salt: int = 16) -> dict[int, int]:
@@ -108,7 +139,7 @@ class PIPBlock:
         lon = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
         admin_out = np.full(len(cells), -1, dtype=np.int64)
         for cell in np.unique(cells):
-            cand = idx.cell_to_polys.get(int(cell))
+            cand = idx.candidates(int(cell))
             if cand is None:
                 continue
             rows = np.nonzero(cells == cell)[0]

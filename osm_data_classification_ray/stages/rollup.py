@@ -29,13 +29,17 @@ def combine_parent_partials(batch: pa.Table) -> pa.Table:
     """Per-batch combiner BEFORE the groupby shuffle: weighted partial sums
     (pre-aggregation shrinks the exchange — SURVEY.md §5 guidance)."""
     df = batch.to_pandas()
+    # bit-cast the uint64 key to int64 for the exchange: Ray's hash
+    # aggregate falls back to pickled python objects for uint64 keys with
+    # the high bit set (res-9 ids); the int64 view is a stable bijection.
+    df["parent_cell"] = df["parent_cell"].to_numpy(dtype=np.uint64).view(np.int64)
     df["value_sum"] = df["value"] * df["n_pages"]
     g = df.groupby("parent_cell", sort=True).agg(
         n_pages=("n_pages", "sum"), value_sum=("value_sum", "sum")
     )
     return pa.table(
         {
-            "parent_cell": pa.array(g.index.to_numpy(dtype=np.uint64), type=pa.uint64()),
+            "parent_cell": pa.array(g.index.to_numpy(dtype=np.int64), type=pa.int64()),
             "n_pages": pa.array(g["n_pages"].to_numpy(dtype=np.int64), type=pa.int64()),
             "value_sum": pa.array(g["value_sum"].to_numpy(dtype=np.float64), type=pa.float64()),
         }
@@ -46,7 +50,7 @@ def finalize_parent_rollup(batch: pa.Table) -> pa.Table:
     """After groupby(parent_cell).sum: weighted mean + schema cleanup."""
     n = np.asarray(batch["sum_n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
     vs = np.asarray(batch["sum_value_sum"].to_numpy(zero_copy_only=False), dtype=np.float64)
-    cells = np.asarray(batch["parent_cell"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    cells = np.asarray(batch["parent_cell"].to_numpy(zero_copy_only=False), dtype=np.int64).view(np.uint64)
     res = hexgrid.cell_res(cells) if len(cells) else np.array([], dtype=np.int64)
     return pa.table(
         {

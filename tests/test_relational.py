@@ -1,0 +1,70 @@
+"""Ray relational suite vs DuckDB oracle (SURVEY.md §6.2) — mimics the
+driver's compare: sort columns by name, sort rows, exact value equality
+(float aggregates are engineered integer-exact, so no tolerance)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _normalize(t: pa.Table) -> pa.Table:
+    cols = {}
+    for name in sorted(t.column_names):
+        c = t[name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if pa.types.is_large_string(c.type):
+            c = c.cast(pa.string())
+        if pa.types.is_decimal(c.type):
+            c = c.cast(pa.float64())
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.timestamp("us"))
+        cols[name] = c
+    out = pa.table(cols)
+    keys = [(n, "ascending") for n in out.column_names]
+    return out.take(pc.sort_indices(out, sort_keys=keys))
+
+
+def _ray_table(res) -> pa.Table:
+    import pandas as pd
+
+    if isinstance(res, pa.Table):
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+
+
+@pytest.mark.parametrize("name", sorted(RELATIONAL_QUERIES))
+def test_query_matches_oracle(ray_session, duck, name):
+    fn, sql = RELATIONAL_QUERIES[name]
+    got = _normalize(_ray_table(fn(SF_DIR)))
+    want = _normalize(duck.execute(sql).arrow())
+    assert got.num_rows == want.num_rows, f"{name}: rows {got.num_rows} != {want.num_rows}"
+    assert got.column_names == want.column_names, (
+        f"{name}: columns {got.column_names} != {want.column_names}"
+    )
+    for col in got.column_names:
+        a, b = got[col].to_pylist(), want[col].to_pylist()
+        assert a == b, f"{name}: column {col} differs (first 3: {a[:3]} vs {b[:3]})"
