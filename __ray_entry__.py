@@ -29,10 +29,12 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm_data_classification_ray.pipelines import entry_support as es
     from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
+    from osm_data_classification_ray.pipelines.textqueries import TEXT_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {
         name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()
     }
+    out.update({name: fn for name, (fn, _sql) in TEXT_QUERIES.items()})
     out.update(
         {
             "q30_pages_extract": es.pages_query,
@@ -49,5 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
+    from osm_data_classification_ray.pipelines.textqueries import TEXT_QUERIES
 
-    return {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items() if sql}
+    out = {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items() if sql}
+    out.update({name: sql for name, (_fn, sql) in TEXT_QUERIES.items() if sql})
+    return out

@@ -43,7 +43,10 @@ def _amplified_docs_source(sf_dir: str, amp: int):
 
     def src():
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=512)
+        # the source file is one tiny block — split it so amplify+extract
+        # parallelize across the whole CPU budget
+        ds = ds.repartition(NUM_CPUS * 2)
+        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=256)
 
     return src
 
@@ -57,7 +60,7 @@ def run_headline(out_root: str) -> dict:
 
     cfg = spatial.EngineConfig(
         out_root=out_root,
-        num_partitions=max(8, NUM_CPUS * 2),
+        num_partitions=max(8, NUM_CPUS),
         pip_concurrency=(1, max(2, NUM_CPUS // 2)),
         hot_threshold=100_000,
     )

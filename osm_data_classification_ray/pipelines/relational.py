@@ -28,7 +28,16 @@ def default_partitions() -> int:
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()  # before dataset creation: strategy is captured then
+    # single-file inputs arrive as one block; ask the reader to split so
+    # downstream map_batches parallelize (no-op for already-small tables)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns,
+        override_num_blocks=default_partitions(),
+    )
 
 
 def _cents(col) -> pc.Expression | pa.Array:

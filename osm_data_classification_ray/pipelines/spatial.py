@@ -49,13 +49,7 @@ class EngineConfig:
         return d
 
 
-def use_hash_shuffle() -> None:
-    """Pipelines own the shuffle strategy: key-based repartition needs it."""
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
-
-    ctx = DataContext.get_current()
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+from ..runtime import use_hash_shuffle  # noqa: E402  (re-export for stages/tests)
 
 
 def read_stage(root: str, stage: str, columns: list[str] | None = None):

@@ -1,0 +1,152 @@
+"""Training-data operator queries over the driver tables (documents /
+embeddings): dedup family, similarity search, text analysis, multimodal.
+
+Oracle policy: q19 (BPE-ish token count) and q23 (embedding top-k ranks)
+are SQL-expressible and carry DuckDB oracles; similarity VALUES are
+excluded from oracle'd outputs (float32 list kernels differ across
+engines at ulp level — ranks are stable, raw sims are not). The rest are
+rows-only for the driver and exactly verified in tests/ against
+brute-force oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import textstats
+from ..stages import ann, multimodal, textdedup
+from .relational import _read, default_partitions
+
+_BPE_SQL_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def q19_bpe_tokens(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        counts = [textstats.bpe_token_count(x or "") for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q19_SQL = rf"""
+SELECT doc_id, LENGTH(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q20_minhash_near_dup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textdedup.minhash_near_dup_pairs(ds, default_partitions(), threshold=0.6, shingle="word")
+
+
+def q21_simhash_near_dup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textdedup.simhash_near_dup_pairs(ds, default_partitions(), max_hamming=3)
+
+
+def q22_chargram_near_dup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textdedup.minhash_near_dup_pairs(ds, default_partitions(), threshold=0.5, shingle="char")
+
+
+_QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+
+def q23_embedding_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, _QUERY_VEC_IDS, k=5)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+Q23_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM s WHERE rank <= 5
+"""
+
+
+def q24_embedding_near_dup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.cosine_near_dup_pairs(ds, default_partitions(), threshold=0.9)
+
+
+def q25_ann_ivf(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.ivf_topk(ds, _QUERY_VEC_IDS, k=5, nlist=16, nprobe=4)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+def q26_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        preds = [textstats.langid_one(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array([p[0] for p in preds], pa.string()),
+                "confidence": pa.array([round(p[1], 4) for p in preds], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q27_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = [textstats.quality_one(x or "") for x in t["text"].to_pylist()]
+        cols: dict[str, pa.Array] = {"doc_id": t["doc_id"]}
+        for key in ("n_tokens", "mean_token_len", "upper_ratio", "digit_ratio",
+                    "punct_ratio", "stopword_ratio", "quality_score"):
+            cols[key] = pa.array([round(r[key], 6) for r in rows], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q28_rolling_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [textstats.doc_fingerprint(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "min_rolling_fp": pa.array([f"{x:016x}" for x in fps], pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q29_media_features(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return multimodal.media_features(ds, concurrency=(1, 4), batch_size=64)
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "q19_bpe_tokens": (q19_bpe_tokens, Q19_SQL),
+    "q20_minhash_near_dup": (q20_minhash_near_dup, None),
+    "q21_simhash_near_dup": (q21_simhash_near_dup, None),
+    "q22_chargram_near_dup": (q22_chargram_near_dup, None),
+    "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
+    "q24_embedding_near_dup": (q24_embedding_near_dup, None),
+    "q25_ann_ivf": (q25_ann_ivf, None),
+    "q26_langid": (q26_langid, None),
+    "q27_quality": (q27_quality, None),
+    "q28_rolling_fingerprint": (q28_rolling_fingerprint, None),
+    "q29_media_features": (q29_media_features, None),
+}

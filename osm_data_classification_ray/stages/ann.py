@@ -1,0 +1,224 @@
+"""Similarity search over an embedding column (list<float>):
+
+- ``brute_force_topk``: exact cosine top-k — the baseline. Query matrix is
+  broadcast once (ray.put); every batch does one numpy matmul and emits its
+  per-batch top-k partials; the driver merges (queries × k × blocks rows —
+  tiny). No shuffle of the embedding table.
+- ``ivf_topk``: the scale path — a deterministic KMeans (our own
+  stages.kmeans) over a sample builds ``nlist`` centroids; every vector is
+  assigned to its nearest centroid (one map_batches); queries probe the
+  ``nprobe`` nearest centroids and only matching partitions are scanned.
+- ``cosine_near_dup_pairs``: embedding near-dup via random-hyperplane LSH
+  buckets → exact cosine verify within buckets (same band/bucket shape as
+  MinHash-LSH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..fixtures.gen import hash_u64
+from . import kmeans as km
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(n > 0, n, 1.0)
+
+
+class TopKEmitter:
+    """map_batches callable: per-batch exact top-k vs broadcast queries."""
+
+    def __init__(self, q_ref, k: int):
+        import ray
+
+        self.qids, self.Q = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize_rows(_emb_matrix(batch))
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sims = X @ self.Q.T  # (n, q)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(self.Q.shape[0]):
+            s = sims[:, qi]
+            kk = min(self.k, len(ids))
+            top = np.argpartition(-s, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            out_q.extend([int(self.qids[qi])] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(cands, k: int, exclude_self: bool = True) -> pa.Table:
+    df = cands.to_pandas() if not isinstance(cands, pa.Table) else cands.to_pandas()
+    rows = []
+    for qid, g in df.groupby("query_id", sort=True):
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["cosine_sim", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, r in enumerate(g.itertuples(), 1):
+            rows.append((int(qid), int(r.neighbor_id), rank, round(float(r.cosine_sim), 6)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int32()),
+            "cosine_sim": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5) -> pa.Table:
+    """Exact cosine top-k (excluding self) for the given query vec_ids."""
+    import ray
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.filter(pa.array(np.isin(ids, np.array(query_ids, dtype=np.int64))))
+
+    qt = emb_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    order = np.argsort(qt["vec_id"].to_numpy())
+    Q = _normalize_rows(np.stack(qt["embedding"].to_numpy()[order]).astype(np.float64))
+    qids = qt["vec_id"].to_numpy()[order]
+    q_ref = ray.put((qids, Q))
+    cands = emb_ds.map_batches(TopKEmitter, fn_constructor_args=(q_ref, k),
+                               batch_format="pyarrow", concurrency=(1, 4))
+    return _final_topk(cands, k)
+
+
+def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, nlist: int = 16,
+             nprobe: int = 4, sample: int = 4096) -> pa.Table:
+    """IVF approximate top-k: deterministic centroids over a sorted sample,
+    scan only the nprobe nearest inverted lists per query."""
+    import ray
+
+    smp = emb_ds.sort("vec_id").limit(sample).to_pandas()
+    X = _normalize_rows(np.stack(smp["embedding"].to_numpy()).astype(np.float64))
+    model, _ = km.fit_local(X, nlist)
+    centroids = _normalize_rows(model.centroids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.filter(pa.array(np.isin(ids, np.array(query_ids, dtype=np.int64))))
+
+    qt = emb_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    order = np.argsort(qt["vec_id"].to_numpy())
+    Q = _normalize_rows(np.stack(qt["embedding"].to_numpy()[order]).astype(np.float64))
+    qids = qt["vec_id"].to_numpy()[order]
+    probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    q_ref = ray.put((qids, Q))
+    c_ref = ray.put((centroids, probe))
+
+    class IVFEmitter(TopKEmitter):
+        def __init__(self, q_ref, k, c_ref):
+            super().__init__(q_ref, k)
+            import ray as _r
+
+            self.centroids, self.probe = _r.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize_rows(_emb_matrix(batch))
+            ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            lists = np.argmax(X @ self.centroids.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(self.Q.shape[0]):
+                mask = np.isin(lists, self.probe[qi])
+                if not mask.any():
+                    continue
+                s = X[mask] @ self.Q[qi]
+                sub_ids = ids[mask]
+                kk = min(self.k, len(sub_ids))
+                top = np.argpartition(-s, kk - 1)[:kk] if len(sub_ids) > kk else np.arange(len(sub_ids))
+                out_q.extend([int(self.qids[qi])] * len(top))
+                out_n.extend(sub_ids[top].tolist())
+                out_s.extend(s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "cosine_sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cands = emb_ds.map_batches(IVFEmitter, fn_constructor_args=(q_ref, k, c_ref),
+                               batch_format="pyarrow", concurrency=(1, 4))
+    return _final_topk(cands, k)
+
+
+def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
+                          n_tables: int = 4, n_bits: int = 16) -> pa.Table:
+    """Random-hyperplane LSH → bucket groupby → exact cosine verify."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    # deterministic hyperplanes from the counter-based hash
+    dim_probe = emb_ds.limit(1).to_pandas()
+    dim = len(dim_probe["embedding"][0])
+    u = hash_u64(np.arange(n_tables * n_bits * dim), 911).astype(np.float64)
+    planes = ((u / 2**64) * 2 - 1).reshape(n_tables, n_bits, dim)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        X = _normalize_rows(_emb_matrix(t))
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        out_tab, out_bucket, out_doc, out_vec = [], [], [], []
+        for ti in range(n_tables):
+            bits = (X @ planes[ti].T) > 0  # (n, n_bits)
+            bucket = (bits.astype(np.int64) << np.arange(n_bits)).sum(axis=1)
+            out_tab.extend([ti] * len(ids))
+            out_bucket.extend(bucket.tolist())
+            out_doc.extend(ids.tolist())
+            out_vec.extend([row.tolist() for row in X])
+        return pa.table(
+            {
+                "band": pa.array(out_tab, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "vec_id": pa.array(out_doc, pa.int64()),
+                "vec": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    b = emb_ds.map_batches(bucketize, batch_format="pyarrow")
+    b = b.repartition(num_partitions, keys=["band", "bucket"], sort=True)
+
+    def verify(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        rows = []
+        for _, g in df.groupby(["band", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            V = np.stack(g["vec"].to_numpy())
+            sims = V @ V.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            for a, bb, s in zip(ids[iu[hit]], ids[ju[hit]], sims[iu, ju][hit]):
+                rows.append((int(a), int(bb), round(float(s), 6)))
+        rows = sorted(set(rows))
+        return pa.table(
+            {
+                "vec_a": pa.array([r[0] for r in rows], pa.int64()),
+                "vec_b": pa.array([r[1] for r in rows], pa.int64()),
+                "cosine_sim": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    out = b.map_batches(verify, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = out.drop_duplicates(subset=["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -19,8 +19,11 @@ def ray_session():
         )
     from ray.data import DataContext
 
+    from osm_data_classification_ray.runtime import use_hash_shuffle
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    use_hash_shuffle()
     yield
     ray.shutdown()
 

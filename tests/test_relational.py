@@ -11,6 +11,12 @@ import pyarrow.compute as pc
 import pytest
 
 from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
+from osm_data_classification_ray.pipelines.textqueries import TEXT_QUERIES
+
+ALL_ORACLE_QUERIES = {
+    **RELATIONAL_QUERIES,
+    **{k: v for k, v in TEXT_QUERIES.items() if v[1] is not None},
+}
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -56,9 +62,9 @@ def _ray_table(res) -> pa.Table:
     return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
 
 
-@pytest.mark.parametrize("name", sorted(RELATIONAL_QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLE_QUERIES))
 def test_query_matches_oracle(ray_session, duck, name):
-    fn, sql = RELATIONAL_QUERIES[name]
+    fn, sql = ALL_ORACLE_QUERIES[name]
     got = _normalize(_ray_table(fn(SF_DIR)))
     want = _normalize(duck.execute(sql).arrow())
     assert got.num_rows == want.num_rows, f"{name}: rows {got.num_rows} != {want.num_rows}"
