@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q34_cluster_assignments": es.clusters_query,
             "q35_knn_geo": es.knn_query,
             "q36_tiles_rollup": es.tiles_rollup_query,
+            "q37_dedup_urls": es.dedup_urls_query,
         }
     )
     return out

@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMP = int(os.environ.get("GRAFT_BENCH_AMP", "20"))
+AMP = int(os.environ.get("GRAFT_BENCH_AMP", "100"))
 
 
 def _amplified_docs_source(sf_dir: str, amp: int):
@@ -42,11 +42,14 @@ def _amplified_docs_source(sf_dir: str, amp: int):
         return gen.docs_from_doc_ids(rep_ids, rep_texts)
 
     def src():
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-        # the source file is one tiny block — split it so amplify+extract
-        # parallelize across the whole CPU budget
-        ds = ds.repartition(NUM_CPUS * 2)
-        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=256)
+        # the source file is one tiny block — split at the READ so
+        # amplify+extract parallelize without an extra all-to-all op.
+        # batch_size here counts PRE-amplification rows (fused operators
+        # bundle by input rows): 64 docs/task → 64×amp extracted pages/task.
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"],
+                             override_num_blocks=NUM_CPUS * 2)
+        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=64)
 
     return src
 
@@ -63,6 +66,7 @@ def run_headline(out_root: str) -> dict:
         num_partitions=max(8, NUM_CPUS),
         pip_concurrency=(1, max(2, NUM_CPUS // 2)),
         hot_threshold=100_000,
+        batch_size=64,  # pre-amplification rows per task (see _amplified_docs_source)
     )
     admin = gen.gen_admin_polygons()
     src = _amplified_docs_source(SF_DIR, AMP)

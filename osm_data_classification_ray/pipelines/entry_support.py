@@ -127,6 +127,41 @@ def knn_query(sf_dir: str):
     return knn.run_knn(pages, queries, counts)
 
 
+def dedup_urls_query(sf_dir: str):
+    """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
+    hash shuffle → keep-latest per url; returns per-host kept-page counts."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+    from ..stages import dedup as ddp
+    from ..stages.ingest import host_from_url
+
+    use_hash_shuffle()
+    ds = docs_source(sf_dir)()
+
+    def prep(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        shas = [hashlib.sha256(h).digest() for h in t["html"].to_pylist()]
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "text_sha256": pa.array(shas, type=pa.binary()),
+                "host": host_from_url(t["url"]),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(ddp.local_dedup, batch_format="pyarrow")  # combiner
+    ds = ds.repartition(default_partitions(), keys=["url"], sort=True)
+    ds = ds.map_batches(ddp.dedup_latest, batch_format="pyarrow", batch_size=None)
+    return ds.groupby("host", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    )
+
+
 def flagship(sf_dir: str):
     """entry(): the full pipeline; returns the audited join output table."""
     cfg, paths = ensure_outputs(sf_dir)

@@ -677,6 +677,35 @@ def q17_fingerprint(sf_dir: str):
 Q17_SQL = "SELECT doc_id, sha256(text) AS fp FROM documents"
 
 
+# ---------------------------------------------------------------------------
+# q18 — union of extracts (D2: upstream concatenates region CSVs)
+# ---------------------------------------------------------------------------
+
+def q18_union_all(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    hi = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(200_000.0))).select(["o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    lo = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.less_equal(t["o_totalprice"], pa.scalar(50_000.0))).select(["o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    return hi.union(lo).groupby("o_orderpriority", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_extreme_orders")
+    )
+
+
+Q18_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_extreme_orders FROM (
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+  UNION ALL
+  SELECT o_orderpriority FROM orders WHERE o_totalprice <= 50000
+) GROUP BY o_orderpriority
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -696,4 +725,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q15_doc_quality": (q15_doc_quality, Q15_SQL),
     "q16_lang_stats": (q16_lang_stats, Q16_SQL),
     "q17_fingerprint": (q17_fingerprint, Q17_SQL),
+    "q18_union_all": (q18_union_all, Q18_SQL),
 }

@@ -148,13 +148,30 @@ def run_page_admin(cfg: EngineConfig, admin_table: pa.Table) -> str:
             lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(["has_geo", "is_latest"]),
             batch_format="pyarrow",
         )
-        # skew pre-pass: r5 histogram → salt map (small driver dict)
-        from ray.data.aggregate import Count
+        # skew pre-pass: r5 histogram → salt map (small driver dict). If the
+        # cell_features checkpoint already exists, its res-5 rows ARE the
+        # histogram (n_pages per r5 cell — counts all captures vs the latest
+        # page set joined here, an over-estimate, which only makes salting
+        # more conservative); otherwise run a count-only aggregate.
+        counts: dict[int, int] = {}
+        try:
+            import pyarrow.parquet as pq
 
-        hist = pts.groupby("h3_r5", num_partitions=cfg.num_partitions).aggregate(
-            Count(alias_name="n")
-        ).to_pandas()
-        counts = dict(zip(hist["h3_r5"].astype(np.uint64), hist["n"]))
+            if os.path.exists(os.path.join(cfg.out_root, "cell_features", "_SUCCESS")):
+                for f in ckpt.stage_files(cfg.out_root, "cell_features"):
+                    t = pq.read_table(f, columns=["cell", "res", "n_pages"])
+                    t = t.filter(pc.equal(t["res"], pa.scalar(5, pa.int8())))
+                    for c, n in zip(t["cell"].to_pylist(), t["n_pages"].to_pylist()):
+                        counts[int(c)] = counts.get(int(c), 0) + int(n)
+        except (OSError, pa.ArrowInvalid):
+            counts = {}
+        if not counts:
+            from ray.data.aggregate import Count
+
+            hist = pts.groupby("h3_r5", num_partitions=cfg.num_partitions).aggregate(
+                Count(alias_name="n")
+            ).to_pandas()
+            counts = dict(zip(hist["h3_r5"].astype(np.uint64), hist["n"]))
         salt_map = pip.compute_salt_map(counts, cfg.hot_threshold, cfg.max_salt)
 
         pts = pts.map_batches(lambda t: pip.add_salt(t, salt_map), batch_format="pyarrow")

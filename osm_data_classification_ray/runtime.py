@@ -15,3 +15,10 @@ def use_hash_shuffle() -> None:
 
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # By default each shuffle/aggregate partition's actor reserves
+    # min(1, CPU/2/partitions) CPUs — at partitions ≈ CPUs that parks half
+    # the node in mostly-idle aggregators and starves the map stages
+    # (measured this session). Aggregators are network/IO-bound; a light
+    # reservation keeps the executor honest without starving compute.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
