@@ -64,7 +64,8 @@ def run_headline(out_root: str) -> dict:
     cfg = spatial.EngineConfig(
         out_root=out_root,
         num_partitions=max(8, NUM_CPUS),
-        pip_concurrency=(1, max(2, NUM_CPUS // 2)),
+        pip_concurrency=max(2, NUM_CPUS // 2),  # fixed pool: no autoscale ramp
+
         hot_threshold=100_000,
         batch_size=64,  # pre-amplification rows per task (see _amplified_docs_source)
     )
@@ -156,7 +157,10 @@ def main() -> None:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling legs use a larger amplification (default 400 → 2M rows)
+        # so compute dominates the fixed per-stage latencies
+        amp = os.environ.get("GRAFT_SCALING_AMP", "400")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_AMP=amp)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -31,7 +31,7 @@ from ..state import checkpoint as ckpt
 class EngineConfig:
     out_root: str
     num_partitions: int = 32
-    pip_concurrency: tuple[int, int] = (1, 8)
+    pip_concurrency: int | tuple[int, int] = (1, 8)  # int = fixed pool (no ramp-up)
     hot_threshold: int = 200_000       # rows per r5 cell before salting kicks in
     max_salt: int = 16
     fit_collect_limit: int = 2_000_000  # entities; above this use distributed fit
@@ -269,7 +269,7 @@ def _fit_kmeans_distributed(norm_ds, pca_model) -> "kmeans.KMeansModel":
     import ray
 
     pcs_ds = norm_ds.map_batches(pca.PCATransformer, fn_constructor_args=(pca_model,),
-                                 batch_format="pyarrow").materialize()
+                                 batch_format="pyarrow", concurrency=(1, 4)).materialize()
 
     def collect_sample() -> np.ndarray:
         t = pcs_ds.sort("cell").limit(kmeans.INIT_SAMPLE).to_pandas()
