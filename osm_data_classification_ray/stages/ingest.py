@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..cellmath import hexgrid, s2
-from ..functions.extract import extract_batch
+from ..functions.extract import extract_text
 from ..functions.geocode import geocode_batch
 
 HEX_RESOLUTIONS = (5, 6, 7, 8, 9)
@@ -37,9 +37,16 @@ def extract_geocode_cells(batch: pa.Table) -> pa.Table:
     n_tokens, lat, lon, geocode_src, has_geo, h3_r5..h3_r9, s2_cells.
     Pages without coordinates keep has_geo=False and carry cell id 0.
     """
+    import hashlib
+
     html = batch["html"].combine_chunks() if isinstance(batch["html"], pa.ChunkedArray) else batch["html"]
-    texts, shas, n_chars = extract_batch(html)
-    lat, lon, src = geocode_batch(html.to_pylist())
+    # decode the (wide) binary column exactly once; extract + geocode share it
+    html_strs = [h.decode("utf-8", errors="replace") for h in html.to_pylist()]
+    text_list = [extract_text(s) for s in html_strs]
+    texts = pa.array(text_list, type=pa.string())
+    shas = pa.array([hashlib.sha256(t.encode("utf-8")).digest() for t in text_list], type=pa.binary())
+    n_chars = np.fromiter((len(t) for t in text_list), dtype=np.int64, count=len(text_list))
+    lat, lon, src = geocode_batch(html_strs)
     has_geo = ~np.isnan(lat)
 
     n_tokens = pc.count_substring_regex(texts, pattern=r"\S+").cast(pa.int64())
