@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q35_knn_geo": es.knn_query,
             "q36_tiles_rollup": es.tiles_rollup_query,
             "q37_dedup_urls": es.dedup_urls_query,
+            "q38_page_cells": es.page_cells_query,
         }
     )
     return out

@@ -127,6 +127,27 @@ def knn_query(sf_dir: str):
     return knn.run_knn(pages, queries, counts)
 
 
+def page_cells_query(sf_dir: str):
+    """PAGE_CELLS table: hex cells res 5-9 + S2 multi-level point covering,
+    derived stateless from the captures checkpoint (s2 covering computed
+    here, not shuffled — SURVEY.md M7)."""
+    from ..cellmath import s2
+
+    cfg, _ = ensure_outputs(sf_dir)
+    cols = ["url", "host", "lang", "warc_ts", "lat", "lon",
+            "h3_r5", "h3_r6", "h3_r7", "h3_r8", "h3_r9", "has_geo", "is_latest"]
+    ds = spatial.read_stage(cfg.out_root, "captures", cols)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(["has_geo", "is_latest"])
+        lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False))
+        lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False))
+        cov = s2.point_covering(lat, lon) if len(lat) else np.zeros((0, 5), dtype=np.uint64)
+        return t.append_column("s2_cells", pa.array([row.tolist() for row in cov], pa.list_(pa.uint64())))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""

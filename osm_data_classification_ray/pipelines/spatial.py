@@ -73,8 +73,10 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
         ds = docs_source()
         ds = ds.map_batches(ingest.extract_geocode_cells, batch_format="pyarrow",
                             batch_size=cfg.batch_size)
-        # s2_cells is a per-page covering detail, not needed by any shuffle
-        # consumer; keep it out of the url exchange and re-derivable.
+        # s2_cells is a per-page covering detail no shuffle consumer needs —
+        # drop it before the url exchange (re-derivable from lat/lon via
+        # cellmath.s2.point_covering; served by the page_cells query).
+        ds = ds.map_batches(lambda t: t.drop_columns(["s2_cells"]), batch_format="pyarrow")
         ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=True)
         return ds.map_batches(dedup.enrich_chains, batch_format="pyarrow", batch_size=None)
 
