@@ -48,7 +48,7 @@ def _amplified_docs_source(sf_dir: str, amp: int):
         # bundle by input rows): 64 docs/task → 64×amp extracted pages/task.
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"],
-                             override_num_blocks=NUM_CPUS * 2)
+                             override_num_blocks=NUM_CPUS * 6)
         return ds.map_batches(amplify, batch_format="pyarrow", batch_size=64)
 
     return src

@@ -22,7 +22,6 @@ def use_hash_shuffle() -> None:
     # reservation keeps the executor honest without starving compute.
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
-    # fewer, fatter aggregators: actor creation is a fixed per-shuffle cost
-    # (each op spawns its own pool); 16 actors × N partitions each beats
-    # 64 × 1 on a single node and still spreads across a real cluster
-    ctx.max_hash_shuffle_aggregators = 16
+    # aggregator pool size follows num_partitions (we always pass it
+    # explicitly, sized to the CPU budget) so shuffle throughput scales
+    # with the cluster instead of being capped at a fixed actor count

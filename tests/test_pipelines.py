@@ -114,6 +114,24 @@ def test_resume_skips_completed_stage(golden, ray_outputs):
     assert out == paths["captures"]
 
 
+def test_partition_count_invariance(golden, ray_outputs, tmp_path_factory):
+    """SURVEY §6.4(c): a different num_partitions produces identical tables."""
+    import ray.data as rd
+
+    docs, admin, ref = golden
+    d = tmp_path_factory.mktemp("engine_out_p3")
+    src_dir = tmp_path_factory.mktemp("docs_in_p3")
+    pq.write_table(docs, src_dir / "documents.parquet")
+    cfg = spatial.EngineConfig(out_root=str(d), num_partitions=3,
+                               pip_concurrency=2, hot_threshold=100, max_salt=4)
+    spatial.run_captures(cfg, lambda: rd.read_parquet(str(src_dir / "documents.parquet")).repartition(5))
+    spatial.run_cell_features(cfg)
+    got = canon(_read({"cell_features": str(d / "cell_features")}, "cell_features"), ["res", "cell"])
+    want = canon(ref["cell_features"], ["res", "cell"])
+    for name in got.column_names:
+        assert got[name].to_pylist() == want[name].to_pylist(), name
+
+
 def test_manifest_lineage(ray_outputs):
     import json
     import os
