@@ -137,6 +137,19 @@ def q29_media_features(sf_dir: str):
     return multimodal.media_features(ds, concurrency=(1, 4), batch_size=64)
 
 
+def q39_hll_distinct(sf_dir: str):
+    """Approx COUNT(DISTINCT text) per lang via mergeable HLL sketches
+    (registers shuffled, not rows). Approximate by design → rows-only for
+    the driver; accuracy (<2% at these cardinalities) asserted in tests."""
+    from ..stages import sketch_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = sketch_agg.approx_distinct_per_key(ds, "lang", "text", default_partitions())
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "approx_distinct_texts"]), batch_format="pyarrow"
+    )
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "q19_bpe_tokens": (q19_bpe_tokens, Q19_SQL),
     "q20_minhash_near_dup": (q20_minhash_near_dup, None),
@@ -149,4 +162,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q27_quality": (q27_quality, None),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, None),
     "q29_media_features": (q29_media_features, None),
+    "q39_hll_distinct": (q39_hll_distinct, None),
 }

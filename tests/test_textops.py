@@ -205,3 +205,44 @@ class TestMultimodal:
         ex = MediaFeatureExtractor(strict=True)
         with pytest.raises(NotImplementedError):
             ex._decode_real(b"xx", "image")
+
+
+class TestHLL:
+    def test_accuracy_and_merge(self):
+        import numpy as np
+
+        from osm_data_classification_ray.functions import sketches as sk
+
+        vals = [f"item-{i}" for i in range(20000)]
+        regs = sk.hll_create([])
+        for c in np.array_split(np.array(vals, dtype=object), 7):
+            regs = sk.hll_merge(regs, sk.hll_create(list(c)))
+        est = sk.hll_estimate(regs)
+        assert abs(est - 20000) / 20000 < 0.05
+        # merge is symmetric and idempotent → parallelism-invariant
+        a = sk.hll_create(vals[:500])
+        b = sk.hll_create(vals[500:900])
+        assert np.array_equal(sk.hll_merge(a, b), sk.hll_merge(b, a))
+        assert np.array_equal(sk.hll_merge(a, a), a)
+
+    def test_distributed_vs_exact(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+        from osm_data_classification_ray.stages import sketch_agg
+
+        n = 5000
+        t = pa.table(
+            {
+                "k": pa.array([f"g{i % 3}" for i in range(n)], pa.string()),
+                "v": pa.array([f"val-{i % 1700}" for i in range(n)], pa.string()),
+            }
+        )
+        out = sketch_agg.approx_distinct_per_key(
+            rd.from_arrow(t).repartition(6), "k", "v", 3
+        ).to_pandas().set_index("key")["approx_distinct"]
+        import pandas as pd
+
+        exact = t.to_pandas().groupby("k")["v"].nunique()
+        for k in exact.index:
+            assert abs(out[k] - exact[k]) / exact[k] < 0.05, (k, out[k], exact[k])
