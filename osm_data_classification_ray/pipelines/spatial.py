@@ -52,10 +52,16 @@ class EngineConfig:
 from ..runtime import use_hash_shuffle  # noqa: E402  (re-export for stages/tests)
 
 
-def read_stage(root: str, stage: str, columns: list[str] | None = None):
+def read_stage(root: str, stage: str, columns: list[str] | None = None,
+               num_blocks: int | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(ckpt.stage_files(root, stage), columns=columns)
+    # num_blocks matters when the read feeds a hash shuffle: the exchange
+    # creates input_blocks × num_partitions objects, so reading ~1 block per
+    # partition keeps the object count quadratic-free (measured: the default
+    # ~200-block split made the r5 shuffle slower at MORE CPUs)
+    return rd.read_parquet(ckpt.stage_files(root, stage), columns=columns,
+                           override_num_blocks=num_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -108,9 +114,10 @@ def run_cell_features(cfg: EngineConfig) -> str:
                           [ckpt.manifest_path(cfg.out_root, "captures")])
 
     def build():
-        ds = read_stage(cfg.out_root, "captures", features.FEATURE_INPUT_COLUMNS + ["has_geo"])
+        ds = read_stage(cfg.out_root, "captures", features.FEATURE_INPUT_COLUMNS + ["has_geo"],
+                        num_blocks=cfg.num_partitions)
         ds = ds.map_batches(lambda t: t.filter(t["has_geo"]).drop_columns(["has_geo"]),
-                            batch_format="pyarrow")
+                            batch_format="pyarrow", batch_size=None)
         ds = ds.repartition(cfg.num_partitions, keys=["h3_r5"], sort=True)
         return ds.map_batches(features.cell_features_block, batch_format="pyarrow", batch_size=None)
 
@@ -145,10 +152,10 @@ def run_page_admin(cfg: EngineConfig, admin_table: pa.Table) -> str:
         index = pip.PolygonIndex(admin_table)
         index_ref = ray.put(index)
 
-        pts = read_stage(cfg.out_root, "captures", _PIP_COLUMNS)
+        pts = read_stage(cfg.out_root, "captures", _PIP_COLUMNS, num_blocks=cfg.num_partitions)
         pts = pts.map_batches(
             lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(["has_geo", "is_latest"]),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
         # skew pre-pass: r5 histogram → salt map (small driver dict). If the
         # cell_features checkpoint already exists, its res-5 rows ARE the
