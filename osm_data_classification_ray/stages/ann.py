@@ -220,5 +220,9 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
         )
 
     out = b.map_batches(verify, batch_format="pyarrow", batch_size=None).to_pandas()
+    empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                      "cosine_sim": pa.array([], pa.float64())})
+    if out.empty:  # an empty Dataset's to_pandas loses the schema
+        return empty
     out = out.drop_duplicates(subset=["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -251,5 +251,8 @@ def simhash_near_dup_pairs(docs_ds, num_partitions: int, max_hamming: int = 3) -
                          "hamming": pa.array([r[2] for r in arr], pa.int64())})
 
     out = b.map_batches(pairs_block, batch_format="pyarrow", batch_size=None).to_pandas()
+    if out.empty:  # an empty Dataset's to_pandas loses the schema
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
     out = out.drop_duplicates().sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
