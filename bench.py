@@ -165,16 +165,19 @@ def scaling() -> None:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # N and 4N logical CPUs (BASELINE.md protocol); overridable via
+    # GRAFT_SCALING_CPUS="lo,hi"
+    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    lo, hi = run(lo_n), run(hi_n)
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "rows_per_s_8": lo["rows_per_s"],
-        "rows_per_s_32": hi["rows_per_s"],
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"rows_per_s_{lo_n}": lo["rows_per_s"],
+        f"rows_per_s_{hi_n}": hi["rows_per_s"],
         "checksum_match": lo["checksum"] == hi["checksum"],
         "rows": lo["rows"],
         "sf": SF_DIR,

@@ -42,6 +42,29 @@ def q20_minhash_near_dup(sf_dir: str):
     return textdedup.minhash_near_dup_pairs(ds, default_partitions(), threshold=0.6, shingle="word")
 
 
+# Exact word-3-shingle Jaccard in SQL. Valid as an oracle for the LSH
+# pipeline because every qualifying pair in this corpus sits at j >= 0.9,
+# where 16x8-band detection probability is ~1 (verified empirically:
+# brute-force == LSH output at sf0.01/sf0.001); at lower similarities the
+# LSH is intentionally probabilistic and the check would be rows-only.
+Q20_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM tok
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.6
+"""
+
+
 def q21_simhash_near_dup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return textdedup.simhash_near_dup_pairs(ds, default_partitions(), max_hamming=3)
@@ -152,7 +175,7 @@ def q39_hll_distinct(sf_dir: str):
 
 TEXT_QUERIES: dict[str, tuple] = {
     "q19_bpe_tokens": (q19_bpe_tokens, Q19_SQL),
-    "q20_minhash_near_dup": (q20_minhash_near_dup, None),
+    "q20_minhash_near_dup": (q20_minhash_near_dup, Q20_SQL),
     "q21_simhash_near_dup": (q21_simhash_near_dup, None),
     "q22_chargram_near_dup": (q22_chargram_near_dup, None),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
