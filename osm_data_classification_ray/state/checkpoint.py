@@ -26,8 +26,30 @@ from collections.abc import Callable
 from typing import Any
 
 
+_CODE_FP: str | None = None
+
+
+def code_fingerprint() -> str:
+    """Hash of the package's source files — mixed into every stage
+    fingerprint so checkpoints produced by older code never satisfy a
+    newer engine (stale-/tmp poisoning guard)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if name.endswith(".py"):
+                    with open(os.path.join(dirpath, name), "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()
+    return _CODE_FP
+
+
 def fingerprint(config: dict[str, Any], upstream_manifests: list[str] | None = None) -> str:
     h = hashlib.sha256(json.dumps(config, sort_keys=True, default=str).encode())
+    h.update(code_fingerprint().encode())
     for path in upstream_manifests or []:
         try:
             with open(path, "rb") as f:
