@@ -36,6 +36,10 @@ class EngineConfig:
     max_salt: int = 16
     fit_collect_limit: int = 2_000_000  # entities; above this use distributed fit
     batch_size: int = 4096              # rows per batch for the heavy extract stage
+    #: "colocated" = one r5 shuffle, exact distincts per block (fast; bounded
+    #: by rows-per-hot-cell fitting a block); "twolevel" = skew-proof
+    #: combining aggregates (stages.features_twolevel), identical output
+    features_mode: str = "colocated"
     config_version: int = 1
 
     def fp(self, extra: dict | None = None) -> dict:
@@ -43,6 +47,7 @@ class EngineConfig:
             "num_partitions": self.num_partitions,
             "hot_threshold": self.hot_threshold,
             "max_salt": self.max_salt,
+            "features_mode": self.features_mode,
             "config_version": self.config_version,
         }
         d.update(extra or {})
@@ -118,6 +123,10 @@ def run_cell_features(cfg: EngineConfig) -> str:
                         num_blocks=cfg.num_partitions)
         ds = ds.map_batches(lambda t: t.filter(t["has_geo"]).drop_columns(["has_geo"]),
                             batch_format="pyarrow", batch_size=None)
+        if cfg.features_mode == "twolevel":
+            from ..stages.features_twolevel import cell_features_twolevel
+
+            return cell_features_twolevel(ds, cfg.num_partitions)
         ds = ds.repartition(cfg.num_partitions, keys=["h3_r5"], sort=True)
         return ds.map_batches(features.cell_features_block, batch_format="pyarrow", batch_size=None)
 

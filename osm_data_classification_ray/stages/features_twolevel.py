@@ -1,0 +1,188 @@
+"""Skew-proof cell-feature aggregation (scale path for stages.features).
+
+The default ``cell_features_block`` pass colocates every r5 cell's rows in
+one block — exact and fast, but bounded by rows-per-hot-cell fitting a
+block (a city cell at 10^12-doc scale breaks that). This variant removes
+every colocation assumption and produces the IDENTICAL table
+(tests/test_features_twolevel.py asserts bit-equality):
+
+- summable features: per-batch partial sums per (res, cell) →
+  ``groupby(res, cell)`` Sum/Min/Max — partial+final combine, skew-free;
+- distinct features (n_urls, n_hosts, n_langs, n_activity_days): per-batch
+  deduped (res, cell, kind, token) tuples → level-1 groupby over the
+  4-part key (global dedup, the exchange carries only distinct tuples) →
+  level-2 count per (res, cell, kind) — every step a combining hash
+  aggregate, no group ever materializes in one block;
+- assembly: the tiny per-cell rows (≤ 4 distinct-rows + 1 sum-row per
+  cell) are colocated by (res, cell) and pivoted into the frozen
+  16-feature schema.
+
+Select with ``EngineConfig.features_mode = "twolevel"``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schemas import FEATURE_NAMES
+from .features import RESOLUTIONS
+
+_US_PER_DAY = 86_400_000_000.0
+_KINDS = ("url", "host", "lang", "day")
+
+
+def _cells_i64(block: pa.Table, res: int) -> np.ndarray:
+    return np.asarray(block[f"h3_r{res}"].to_numpy(zero_copy_only=False), dtype=np.uint64).view(np.int64)
+
+
+def partial_sums(block: pa.Table) -> pa.Table:
+    """Per-batch summable partials per (res, cell)."""
+    df = pd.DataFrame(
+        {
+            "is_created": block["is_created"].to_pandas().astype(np.int64),
+            "is_updated": (block["version"].to_pandas() > 1).astype(np.int64),
+            "willbe_changed": block["willbe_changed"].to_pandas().astype(np.int64),
+            "willbe_dup": block["willbe_dup"].to_pandas().astype(np.int64),
+            "is_en": (block["lang"].to_pandas() == "en").astype(np.int64),
+            "n_chars": block["n_chars"].to_pandas().astype(np.int64),
+            "n_tokens": block["n_tokens"].to_pandas().astype(np.int64),
+            "ts_us": block["warc_ts"].cast(pa.int64()).to_pandas(),
+        }
+    )
+    outs = []
+    for r in RESOLUTIONS:
+        df["cell"] = _cells_i64(block, r)
+        g = df.groupby("cell", sort=True).agg(
+            n_pages=("ts_us", "size"),
+            n_created=("is_created", "sum"),
+            n_updated=("is_updated", "sum"),
+            n_changed=("willbe_changed", "sum"),
+            n_dupes=("willbe_dup", "sum"),
+            en_sum=("is_en", "sum"),
+            chars_sum=("n_chars", "sum"),
+            tokens_sum=("n_tokens", "sum"),
+            ts_min=("ts_us", "min"),
+            ts_max=("ts_us", "max"),
+        )
+        t = pa.table(
+            {"res": pa.array(np.full(len(g), r, dtype=np.int8), pa.int8()),
+             "cell": pa.array(g.index.to_numpy(dtype=np.int64), pa.int64())}
+            | {c: pa.array(g[c].to_numpy(dtype=np.int64), pa.int64()) for c in g.columns}
+        )
+        outs.append(t)
+    return pa.concat_tables(outs)
+
+
+def emit_distinct_tokens(block: pa.Table) -> pa.Table:
+    """Per-batch deduped (res, cell, kind, token) tuples (token = raw value
+    string — no hashing, so distinct counts are exact by construction)."""
+    url = block["url"].to_pandas()
+    host = block["host"].to_pandas()
+    lang = block["lang"].to_pandas()
+    day = (block["warc_ts"].cast(pa.int64()).to_pandas() // 86_400_000_000).astype(str)
+    outs_res, outs_cell, outs_kind, outs_tok = [], [], [], []
+    for r in RESOLUTIONS:
+        cells = _cells_i64(block, r)
+        for kind_i, series in enumerate((url, host, lang, day)):
+            df = pd.DataFrame({"cell": cells, "tok": series}).drop_duplicates()
+            outs_res.append(np.full(len(df), r, dtype=np.int8))
+            outs_cell.append(df["cell"].to_numpy(dtype=np.int64))
+            outs_kind.append(np.full(len(df), kind_i, dtype=np.int8))
+            outs_tok.append(df["tok"].to_numpy(dtype=object))
+    return pa.table(
+        {
+            "res": pa.array(np.concatenate(outs_res), pa.int8()),
+            "cell": pa.array(np.concatenate(outs_cell), pa.int64()),
+            "kind": pa.array(np.concatenate(outs_kind), pa.int8()),
+            "token": pa.array(np.concatenate(outs_tok).tolist(), pa.string()),
+        }
+    )
+
+
+def _pivot_assemble(block: pa.Table) -> pa.Table:
+    """(res, cell)-colocated block of sum-rows + distinct-count rows →
+    frozen CELL_FEATURES rows."""
+    df = block.to_pandas()
+    sums = df[df["kind"] == -1]
+    dist = df[df["kind"] >= 0]
+    piv = dist.pivot_table(index=["res", "cell"], columns="kind",
+                           values="n_distinct", aggfunc="sum", fill_value=0)
+    piv = piv.rename(columns={0: "n_urls", 1: "n_hosts", 2: "n_langs", 3: "n_activity_days"})
+    m = sums.set_index(["res", "cell"]).join(piv, how="left").reset_index()
+    n = m["n_pages"].to_numpy(dtype=np.float64)
+    lifespan = (m["ts_max"] - m["ts_min"]).to_numpy(dtype=np.float64) / _US_PER_DAY
+    feat = {
+        "n_pages": n,
+        "n_urls": m["n_urls"].to_numpy(dtype=np.float64),
+        "n_hosts": m["n_hosts"].to_numpy(dtype=np.float64),
+        "n_langs": m["n_langs"].to_numpy(dtype=np.float64),
+        "n_created": m["n_created"].to_numpy(dtype=np.float64),
+        "n_updated": m["n_updated"].to_numpy(dtype=np.float64),
+        "n_changed": m["n_changed"].to_numpy(dtype=np.float64),
+        "n_dupes": m["n_dupes"].to_numpy(dtype=np.float64),
+        "lifespan_days": lifespan,
+        "n_activity_days": m["n_activity_days"].to_numpy(dtype=np.float64),
+        "frac_en": m["en_sum"].to_numpy(dtype=np.float64) / n,
+        "frac_created": m["n_created"].to_numpy(dtype=np.float64) / n,
+        "frac_changed": m["n_changed"].to_numpy(dtype=np.float64) / n,
+        "mean_text_len": m["chars_sum"].to_numpy(dtype=np.float64) / n,
+        "mean_tokens": m["tokens_sum"].to_numpy(dtype=np.float64) / n,
+        "pages_per_day": n / np.maximum(lifespan, 1.0),
+    }
+    cols = {
+        "cell": pa.array(m["cell"].to_numpy(dtype=np.int64).view(np.uint64), pa.uint64()),
+        "res": pa.array(m["res"].to_numpy(dtype=np.int8), pa.int8()),
+    }
+    for name in FEATURE_NAMES:
+        cols[name] = pa.array(feat[name], pa.float64())
+    return pa.table(cols)
+
+
+def cell_features_twolevel(geo_ds, num_partitions: int):
+    """Full skew-proof pipeline; returns a Dataset with the CELL_FEATURES
+    schema, value-identical to the colocated pass."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+
+    sums = geo_ds.map_batches(partial_sums, batch_format="pyarrow")
+    sum_aggs = [Sum(c, alias_name=c) for c in
+                ("n_pages", "n_created", "n_updated", "n_changed", "n_dupes",
+                 "en_sum", "chars_sum", "tokens_sum")]
+    sums = sums.groupby(["res", "cell"], num_partitions=num_partitions).aggregate(
+        *sum_aggs, Min("ts_min", alias_name="ts_min"), Max("ts_max", alias_name="ts_max")
+    )
+    sums = sums.map_batches(
+        lambda t: t.append_column("kind", pa.array(np.full(t.num_rows, -1, dtype=np.int8), pa.int8()))
+        .append_column("n_distinct", pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    toks = geo_ds.map_batches(emit_distinct_tokens, batch_format="pyarrow")
+    lvl1 = toks.groupby(["res", "cell", "kind", "token"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="nn")
+    )
+    lvl2 = lvl1.groupby(["res", "cell", "kind"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_distinct")
+    )
+    # align schemas for the union → one (res, cell)-keyed assembly pass
+    zero_cols = ("n_pages", "n_created", "n_updated", "n_changed", "n_dupes",
+                 "en_sum", "chars_sum", "tokens_sum", "ts_min", "ts_max")
+
+    def pad(t: pa.Table) -> pa.Table:
+        for c in zero_cols:
+            t = t.append_column(c, pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()))
+        return t.select(["res", "cell"] + list(zero_cols) + ["kind", "n_distinct"])
+
+    lvl2 = lvl2.map_batches(pad, batch_format="pyarrow")
+    sums = sums.map_batches(
+        lambda t: t.select(["res", "cell"] + list(zero_cols) + ["kind", "n_distinct"]),
+        batch_format="pyarrow",
+    )
+    merged = sums.union(lvl2)
+    merged = merged.repartition(num_partitions, keys=["res", "cell"], sort=True)
+    return merged.map_batches(_pivot_assemble, batch_format="pyarrow", batch_size=None)
