@@ -167,7 +167,7 @@ def scaling() -> None:
 
     # N and 4N logical CPUs (BASELINE.md protocol); overridable via
     # GRAFT_SCALING_CPUS="lo,hi"
-    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     lo, hi = run(lo_n), run(hi_n)
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     print(json.dumps({
