@@ -7,9 +7,10 @@ table, amplified ×GRAFT_BENCH_AMP captures per source row (startup-amortized
 input, FIXTURES.md bench scale), plus a timed subset of the relational
 suite. Prints ONE JSON line.
 
---scaling: run the headline twice in fresh processes at num_cpus=8 and 32
-(the sandbox stand-in for N vs 4N nodes — BASELINE.md), verify identical
-output checksums, and report throughput at both levels + scaling efficiency.
+--scaling: run the headline twice in fresh processes at N and 4N logical
+CPUs (default 4,16 via GRAFT_SCALING_CPUS — the sandbox stand-in for N vs
+4N nodes, BASELINE.md), verify identical output checksums, and report
+throughput at both levels + scaling efficiency.
 """
 
 from __future__ import annotations
