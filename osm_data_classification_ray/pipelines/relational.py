@@ -706,6 +706,116 @@ SELECT o_orderpriority, COUNT(*) AS n_extreme_orders FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q40 — discrete quantiles (T-digest-free: exact on integral quantities)
+# ---------------------------------------------------------------------------
+
+def q40_quantiles(sf_dir: str):
+    """Exact discrete quantiles of l_quantity per returnflag: two-level —
+    per-batch value-count partials, tiny final merge (l_quantity has ≤ 50
+    distinct integral values, so the exchange is value-count rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "q": pc.cast(t["l_quantity"], pa.int64()).to_pandas()})
+        g = df.groupby(["l_returnflag", "q"], sort=True).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        ["l_returnflag", "q"], num_partitions=default_partitions()
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["l_returnflag", "q"])
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            vals = np.repeat(g["q"].to_numpy(), g["n"].to_numpy())
+            n = len(vals)
+            # lower-nearest discrete quantile: index ceil(p*n) - 1 (p in (0,1])
+            def dq(p: float) -> int:
+                return int(vals[max(0, int(np.ceil(p * n)) - 1)])
+            rows.append((flag, dq(0.25), dq(0.5), dq(0.75)))
+        return pa.table(
+            {
+                "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+                "q25": pa.array([r[1] for r in rows], pa.int64()),
+                "q50": pa.array([r[2] for r in rows], pa.int64()),
+                "q75": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    # the value-count table is tiny (flags × ≤50 values) — single final block
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+Q40_SQL = """
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.50) AS BIGINT) AS q50,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS q75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q41 — stddev from exact integer moments (explicit formula on both sides)
+# ---------------------------------------------------------------------------
+
+def q41_price_std(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"])
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "c": c,
+                "c2": pc.multiply(c, c),
+            }
+        )
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "o_orderpriority", num_partitions=default_partitions()
+    ).aggregate(Count(alias_name="n"), Sum("c", alias_name="sc"), Sum("c2", alias_name="sc2"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        sc = np.asarray(t["sc"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        sc2 = np.asarray(t["sc2"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        var = (sc2 - sc * sc / n) / n
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n": t["n"],
+                "std_price": pa.array(np.sqrt(np.maximum(var, 0.0)) / 100.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q41_SQL = """
+WITH m AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sc,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT) * CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sc2
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       sqrt(greatest((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) / 100.0 AS std_price
+FROM m
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -726,4 +836,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q16_lang_stats": (q16_lang_stats, Q16_SQL),
     "q17_fingerprint": (q17_fingerprint, Q17_SQL),
     "q18_union_all": (q18_union_all, Q18_SQL),
+    "q40_quantiles": (q40_quantiles, Q40_SQL),
+    "q41_price_std": (q41_price_std, Q41_SQL),
 }
