@@ -40,6 +40,14 @@ class EngineConfig:
     #: by rows-per-hot-cell fitting a block); "twolevel" = skew-proof
     #: combining aggregates (stages.features_twolevel), identical output
     features_mode: str = "colocated"
+    #: "shuffle" = url-keyed hash exchange of full capture rows (default —
+    #: measured 3x faster single-node); "bucketed" = write extraction output
+    #: hash-partitioned by url bucket (hive parquet, no object-store
+    #: exchange), enrich each bucket locally — identical output, per-BUCKET
+    #: resume granularity; the trade for clusters where object-store memory
+    #: is the constraint and shared storage is fast. Assumption: one bucket
+    #: (≈ corpus / num_partitions) fits a worker heap.
+    dedup_mode: str = "shuffle"
     config_version: int = 1
 
     def fp(self, extra: dict | None = None) -> dict:
@@ -48,6 +56,7 @@ class EngineConfig:
             "hot_threshold": self.hot_threshold,
             "max_salt": self.max_salt,
             "features_mode": self.features_mode,
+            "dedup_mode": self.dedup_mode,
             "config_version": self.config_version,
         }
         d.update(extra or {})
@@ -77,6 +86,8 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
     """documents → enriched captures checkpoint. ``docs_source`` is a
     zero-arg callable returning the input Dataset (lazy so a skipped stage
     never touches the input)."""
+    if cfg.dedup_mode == "bucketed":
+        return _run_captures_bucketed(cfg, docs_source)
     use_hash_shuffle()
     fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}))
 
@@ -92,6 +103,82 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
         return ds.map_batches(dedup.enrich_chains, batch_format="pyarrow", batch_size=None)
 
     return ckpt.run_stage(cfg.out_root, "captures", fp, build)
+
+
+def _run_captures_bucketed(cfg: EngineConfig, docs_source) -> str:
+    """Shuffle-free captures: extraction output lands hash-partitioned by
+    url bucket (hive-partitioned compressed parquet — colocation by layout,
+    not by exchange), then each bucket is enriched locally in one task.
+    Output is identical to the shuffle path; resume is per bucket."""
+    import zlib
+
+    import ray.data as rd
+
+    B = cfg.num_partitions
+    fp_raw = ckpt.fingerprint(cfg.fp({"stage": "captures_raw"}))
+
+    def build_raw():
+        ds = docs_source()
+        ds = ds.map_batches(ingest.extract_geocode_cells, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["s2_cells"])
+            buckets = np.array(
+                [zlib.crc32(u.encode()) % B for u in t["url"].to_pylist()], dtype=np.int32
+            )
+            return t.append_column("bucket", pa.array(buckets, pa.int32()))
+
+        return ds.map_batches(bucketize, batch_format="pyarrow")
+
+    raw_dir = ckpt.run_stage(cfg.out_root, "captures_raw", fp_raw, build_raw,
+                             partition_cols=["bucket"])
+
+    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}),
+                          [ckpt.manifest_path(cfg.out_root, "captures_raw")])
+
+    def build():
+        import glob
+
+        import pyarrow.parquet as pq
+
+        def enrich_bucket(batch: pa.Table) -> pa.Table:
+            outs = []
+            for b in batch["bucket"].to_pylist():
+                files = sorted(glob.glob(os.path.join(raw_dir, f"bucket={b}", "*.parquet")))
+                if not files:
+                    continue
+                t = pa.concat_tables(pq.read_table(f) for f in files)
+                outs.append(dedup.enrich_chains(t))
+            if not outs:
+                return _empty_enriched_schema(raw_dir)
+            return pa.concat_tables(outs)
+
+        items = rd.from_items([{"bucket": b} for b in range(B)]).repartition(B)
+        return items.map_batches(enrich_bucket, batch_format="pyarrow", batch_size=1)
+
+    return ckpt.run_stage(cfg.out_root, "captures", fp, build,
+                          extra_meta={"dedup_mode": "bucketed", "buckets": B})
+
+
+def _empty_enriched_schema(raw_dir: str) -> pa.Table:
+    """Zero-row table matching enrich_chains output (for empty buckets)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    any_file = sorted(glob.glob(os.path.join(raw_dir, "bucket=*", "*.parquet")))[0]
+    base = pq.read_table(any_file).slice(0, 0)
+    return dedup.enrich_chains(base.slice(0, 0)) if base.num_rows else _pad_flags(base)
+
+
+def _pad_flags(t: pa.Table) -> pa.Table:
+    for name, typ in (
+        ("version", pa.int64()), ("n_captures", pa.int64()), ("is_created", pa.bool_()),
+        ("is_latest", pa.bool_()), ("willbe_changed", pa.bool_()), ("willbe_dup", pa.bool_()),
+    ):
+        t = t.append_column(name, pa.array([], typ))
+    return t
 
 
 def run_pages(cfg: EngineConfig) -> str:

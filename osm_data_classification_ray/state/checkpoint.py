@@ -78,19 +78,21 @@ def _partition_lineage(d: str) -> list[dict[str, Any]]:
     import pyarrow.parquet as pq
 
     out = []
-    for name in sorted(os.listdir(d)):
-        if not name.endswith(".parquet"):
-            continue
-        p = os.path.join(d, name)
-        md = pq.read_metadata(p)
-        out.append(
-            {
-                "file": name,
-                "rows": md.num_rows,
-                "bytes": os.path.getsize(p),
-                "row_groups": md.num_row_groups,
-            }
-        )
+    for dirpath, dirnames, filenames in sorted(os.walk(d)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, name)
+            md = pq.read_metadata(p)
+            out.append(
+                {
+                    "file": os.path.relpath(p, d),
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(p),
+                    "row_groups": md.num_row_groups,
+                }
+            )
     return out
 
 
@@ -101,6 +103,7 @@ def run_stage(
     build: Callable[[], "Any"],
     *,
     extra_meta: dict[str, Any] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> str:
     """Execute (or skip) one checkpointed stage; returns its output dir.
 
@@ -115,7 +118,10 @@ def run_stage(
     shutil.rmtree(final, ignore_errors=True)
     t0 = time.monotonic()
     ds = build()
-    ds.write_parquet(tmp)
+    if partition_cols:
+        ds.write_parquet(tmp, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(tmp)
     wall = time.monotonic() - t0
     stats = ""
     try:

@@ -143,3 +143,28 @@ def test_manifest_lineage(ray_outputs):
     assert len(m["partitions"]) >= 1
     assert all(p["rows"] > 0 for p in m["partitions"])
     assert os.path.exists(os.path.join(paths["captures"], "_SUCCESS"))
+
+
+def test_bucketed_dedup_mode_identical(golden, tmp_path_factory, ray_session):
+    """dedup_mode="bucketed" (layout colocation, no shuffle) must produce
+    the same captures table as the shuffle path."""
+    import glob
+
+    import ray.data as rd
+
+    docs, _, ref = golden
+    d = tmp_path_factory.mktemp("bucketed_out")
+    src_dir = tmp_path_factory.mktemp("docs_in_bkt")
+    pq.write_table(docs, src_dir / "documents.parquet")
+    cfg = spatial.EngineConfig(out_root=str(d), num_partitions=3, dedup_mode="bucketed")
+    spatial.run_captures(cfg, lambda: rd.read_parquet(str(src_dir / "documents.parquet")).repartition(5))
+    files = sorted(glob.glob(str(d / "captures" / "*.parquet")))
+    got = pa.concat_tables(pq.read_table(f) for f in files)
+    want = ref["captures"].drop_columns(["s2_cells"])
+    got = canon(got.select(sorted(got.column_names)), ["url", "warc_ts"])
+    want = canon(want.select(sorted(want.column_names)), ["url", "warc_ts"])
+    assert got.num_rows == want.num_rows
+    assert got.column_names == want.column_names
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got.to_pandas(), want.to_pandas())  # NaN-aware
