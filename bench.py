@@ -50,7 +50,11 @@ def _amplified_docs_source(sf_dir: str, amp: int):
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"],
                              override_num_blocks=NUM_CPUS * 6)
-        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=64)
+        # num_cpus=0.9 prevents operator fusion with the downstream extract
+        # stage: fused, the chain runs amplify+extract serially inside each
+        # task (measured 2x slower than the pipelined unfused form)
+        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=64,
+                              num_cpus=0.9)
 
     return src
 
@@ -68,7 +72,6 @@ def run_headline(out_root: str) -> dict:
         pip_concurrency=max(2, NUM_CPUS // 2),  # fixed pool: no autoscale ramp
 
         hot_threshold=100_000,
-        batch_size=64,  # pre-amplification rows per task (see _amplified_docs_source)
     )
     admin = gen.gen_admin_polygons()
     src = _amplified_docs_source(SF_DIR, AMP)

@@ -27,13 +27,15 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     try:
         return _run(args)
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a session someone else owns
+            ray.shutdown()
 
 
 def _run(args) -> int:
