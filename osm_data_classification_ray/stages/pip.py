@@ -33,7 +33,7 @@ PIP_RES = 5  # cover/shuffle resolution (SURVEY.md §5.3)
 
 
 #: max cover cells per polygon; large polygons get coarser cover resolutions
-COVER_CAP = 256
+COVER_CAP = 1024
 
 
 class PolygonIndex:
