@@ -816,6 +816,143 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# q42 — as-of join (SURVEY.md guide pattern: colocate by key, merge_asof
+# within the group). events ⋈ latest order at-or-before the event time.
+# ---------------------------------------------------------------------------
+
+def q42_asof_join(sf_dir: str):
+    import pandas as pd
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["user_id"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "o_orderkey": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["o_custkey"].cast(pa.int64()),
+                "event_id": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "ts": pa.nulls(t.num_rows, pa.timestamp("us")),
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = ev.union(orders).repartition(default_partitions(), keys=["key"], sort=True)
+
+    def asof_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if df.empty:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64())})
+        left = df[df["side"] == 0][["key", "event_id", "ts"]]
+        right = df[df["side"] == 1][["key", "o_orderkey", "o_orderdate"]]
+        # frozen tie-break: latest order at-or-before ts; equal dates → max orderkey
+        right = right.sort_values(["key", "o_orderdate", "o_orderkey"])
+        left = left.sort_values(["ts", "key"])
+        right = right.sort_values(["o_orderdate", "key", "o_orderkey"])
+        m = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+                          by="key", direction="backward")
+        m["o_orderkey"] = m["o_orderkey"].fillna(-1).astype(np.int64)
+        out = m.rename(columns={"key": "user_id"})[["event_id", "user_id", "o_orderkey"]]
+        return pa.Table.from_pandas(out.sort_values("event_id"), preserve_index=False)
+
+    return both.map_batches(asof_block, batch_format="pyarrow", batch_size=None)
+
+
+# NOTE: merge_asof picks ONE row per left row; with duplicate o_orderdate per
+# user it takes the LAST in sort order → sorted by (o_orderdate, key,
+# o_orderkey) that is the max orderkey — mirrored in the SQL tie-break.
+Q42_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE((
+         SELECT o.o_orderkey FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+       ), -1) AS o_orderkey
+FROM events e
+"""
+
+
+# ---------------------------------------------------------------------------
+# q43 — sessionization (streaming-shaped: 30-min-gap sessions per user)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q43_sessionize(sf_dir: str):
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ds = ds.repartition(default_partitions(), keys=["user_id"], sort=True)
+
+    def sess(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "max_session_len": pa.array([], pa.int64())})
+        idx = pc.sort_indices(block, sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        block = block.take(idx)
+        uid = np.asarray(block["user_id"].to_numpy(zero_copy_only=False))
+        ts = np.asarray(block["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        new_session = new_user | gap
+        sess_id = np.cumsum(new_session) - 1
+        import pandas as pd
+
+        df = pd.DataFrame({"user_id": uid, "sess": sess_id})
+        per_sess = df.groupby(["user_id", "sess"], sort=True).size().reset_index(name="len")
+        agg = per_sess.groupby("user_id", sort=True).agg(
+            n_sessions=("sess", "size"), max_session_len=("len", "max")
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return ds.map_batches(sess, batch_format="pyarrow", batch_size=None)
+
+
+Q43_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sess, COUNT(*) AS len FROM sessions GROUP BY user_id, sess
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(len) AS max_session_len
+FROM per_sess GROUP BY user_id
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -838,4 +975,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q18_union_all": (q18_union_all, Q18_SQL),
     "q40_quantiles": (q40_quantiles, Q40_SQL),
     "q41_price_std": (q41_price_std, Q41_SQL),
+    "q42_asof_join": (q42_asof_join, Q42_SQL),
+    "q43_sessionize": (q43_sessionize, Q43_SQL),
 }
