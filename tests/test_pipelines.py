@@ -168,3 +168,28 @@ def test_bucketed_dedup_mode_identical(golden, tmp_path_factory, ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got.to_pandas(), want.to_pandas())  # NaN-aware
+
+
+def test_bounded_memory_small_blocks(golden, tmp_path_factory, ray_session):
+    """SURVEY §6.5: tiny target_max_block_size forces many small blocks
+    through the streaming executor; results stay identical."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    docs, _, ref = golden
+    ctx = DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 256 * 1024  # 256 KiB
+    try:
+        d = tmp_path_factory.mktemp("small_blocks")
+        src_dir = tmp_path_factory.mktemp("docs_small_blocks")
+        pq.write_table(docs, src_dir / "documents.parquet")
+        cfg = spatial.EngineConfig(out_root=str(d), num_partitions=3)
+        spatial.run_captures(cfg, lambda: rd.read_parquet(str(src_dir / "documents.parquet")).repartition(8))
+        spatial.run_pages(cfg)
+        got = canon(_read({"pages": str(d / "pages")}, "pages").select(
+            ["url", "text_sha256"]), ["url"])
+        want = canon(ref["pages"].select(["url", "text_sha256"]), ["url"])
+        assert got.equals(want)
+    finally:
+        ctx.target_max_block_size = prev
