@@ -160,6 +160,46 @@ def q29_media_features(sf_dir: str):
     return multimodal.media_features(ds, concurrency=(1, 4), batch_size=64)
 
 
+def q44_near_dup_groups(sf_dir: str):
+    """Near-dup GROUPS: MinHash-LSH pairs → connected components →
+    (doc_id, group_rep). The keep-one-per-group dedup decision is then
+    ``WHERE doc_id = group_rep``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = textdedup.minhash_near_dup_pairs(ds, default_partitions(), threshold=0.6, shingle="word")
+    return textdedup.connected_groups(pairs)
+
+
+# transitive closure by recursive CTE over the exact shingle-Jaccard pair
+# graph (valid at this corpus's similarity profile — see Q20 note)
+Q44_SQL = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM tok
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+  UNION ALL SELECT doc_a, doc_a FROM p
+  UNION ALL SELECT doc_b, doc_b FROM p
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS group_rep FROM reach GROUP BY u
+"""
+
+
 def q39_hll_distinct(sf_dir: str):
     """Approx COUNT(DISTINCT text) per lang via mergeable HLL sketches
     (registers shuffled, not rows). Approximate by design → rows-only for
@@ -186,4 +226,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, None),
     "q29_media_features": (q29_media_features, None),
     "q39_hll_distinct": (q39_hll_distinct, None),
+    "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),
 }

@@ -190,6 +190,37 @@ def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
+def connected_groups(pairs: pa.Table, col_a: str = "doc_a", col_b: str = "doc_b") -> pa.Table:
+    """Near-dup pair graph → (doc_id, group_rep) via union-find.
+
+    Runs on the driver — valid because the pair set is the LSH-verified
+    candidate output (≪ corpus; the guide's "union-find on the driver only
+    if the candidate set is provably small" case). rep = min doc_id of the
+    connected component; only docs that appear in a pair are emitted."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs[col_a].to_pylist(), pairs[col_b].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(int(a), int(b))
+    docs = sorted(parent)
+    reps = [find(d) for d in docs]
+    return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                     "group_rep": pa.array(reps, pa.int64())})
+
+
 def simhash_table(docs_ds) -> "object":
     """documents → (doc_id, simhash) dataset (word unigram shingles)."""
 

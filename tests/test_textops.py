@@ -246,3 +246,16 @@ class TestHLL:
         exact = t.to_pandas().groupby("k")["v"].nunique()
         for k in exact.index:
             assert abs(out[k] - exact[k]) / exact[k] < 0.05, (k, out[k], exact[k])
+
+
+class TestConnectedGroups:
+    def test_union_find_components(self):
+        import pyarrow as pa
+
+        from osm_data_classification_ray.stages.textdedup import connected_groups
+
+        pairs = pa.table({"doc_a": pa.array([1, 2, 10, 11], pa.int64()),
+                          "doc_b": pa.array([2, 3, 11, 12], pa.int64())})
+        out = connected_groups(pairs)
+        m = dict(zip(out["doc_id"].to_pylist(), out["group_rep"].to_pylist()))
+        assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
