@@ -14,8 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..cellmath import hexgrid, s2
-from ..functions.extract import extract_text
-from ..functions.geocode import geocode_batch
+from ..functions.extract import extract_text, extract_text_vectorized
+from ..functions.geocode import geocode_batch, geocode_batch_vectorized
 
 HEX_RESOLUTIONS = (5, 6, 7, 8, 9)
 S2_LEVELS = (8, 10, 12, 14, 16)
@@ -40,13 +40,21 @@ def extract_geocode_cells(batch: pa.Table) -> pa.Table:
     import hashlib
 
     html = batch["html"].combine_chunks() if isinstance(batch["html"], pa.ChunkedArray) else batch["html"]
-    # decode the (wide) binary column exactly once; extract + geocode share it
-    html_strs = [h.decode("utf-8", errors="replace") for h in html.to_pylist()]
-    text_list = [extract_text(s) for s in html_strs]
-    texts = pa.array(text_list, type=pa.string())
+    # fast path: whole-column utf8 cast + vectorized RE2 kernels for both
+    # extraction and geocoding; any invalid UTF-8 in the batch falls back to
+    # the per-row Python path (identical frozen semantics, errors='replace')
+    try:
+        html_strs_arr = html.cast(pa.string())
+        texts = extract_text_vectorized(html_strs_arr)
+        text_list = texts.to_pylist()
+        lat, lon, src = geocode_batch_vectorized(html_strs_arr)
+    except pa.ArrowInvalid:
+        decoded = [h.decode("utf-8", errors="replace") for h in html.to_pylist()]
+        text_list = [extract_text(s) for s in decoded]
+        texts = pa.array(text_list, type=pa.string())
+        lat, lon, src = geocode_batch(decoded)
     shas = pa.array([hashlib.sha256(t.encode("utf-8")).digest() for t in text_list], type=pa.binary())
     n_chars = np.fromiter((len(t) for t in text_list), dtype=np.int64, count=len(text_list))
-    lat, lon, src = geocode_batch(html_strs)
     has_geo = ~np.isnan(lat)
 
     n_tokens = pc.count_substring_regex(texts, pattern=r"\S+").cast(pa.int64())

@@ -96,3 +96,37 @@ def test_knn_queries():
     assert q.num_rows == 100
     k = q["k"].to_pylist()
     assert min(k) >= 3 and max(k) <= 10
+
+
+def test_vectorized_extract_byte_identical():
+    """The RE2 fast path must match the frozen Python path byte-for-byte."""
+    import pyarrow as pa
+
+    from osm_data_classification_ray.functions.extract import extract_text_vectorized
+
+    t = gen.gen_documents(500)
+    strs = t["html"].combine_chunks().cast(pa.string())
+    vec = extract_text_vectorized(strs).to_pylist()
+    ref = [extract_text(h) for h in t["html"].to_pylist()]
+    assert vec == ref
+    edge = pa.array(["", "a &amp;&amp; b", "<p>x</p>\r\n<p>y</p>", "no tags",
+                     "<script>s</script>tail", "<b>A</b><!--x--><i>B</i>"], pa.string())
+    assert extract_text_vectorized(edge).to_pylist() == [extract_text(x.as_py()) for x in edge]
+
+
+def test_vectorized_geocode_identical():
+    import pyarrow as pa
+
+    from osm_data_classification_ray.functions.geocode import (
+        geocode_batch,
+        geocode_batch_vectorized,
+    )
+
+    t = gen.gen_documents(300)
+    strs = t["html"].combine_chunks().cast(pa.string())
+    la1, lo1, s1 = geocode_batch(strs.to_pylist())
+    la2, lo2, s2 = geocode_batch_vectorized(strs)
+    assert np.array_equal(np.isnan(la1), np.isnan(la2))
+    assert np.array_equal(la1[~np.isnan(la1)], la2[~np.isnan(la2)])
+    assert np.array_equal(lo1[~np.isnan(lo1)], lo2[~np.isnan(lo2)])
+    assert s1 == s2
