@@ -953,6 +953,49 @@ FROM per_sess GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q45 — predicate pushdown at the read (M9/M10: row groups skipped by the
+# parquet reader itself, not filtered post-hoc)
+# ---------------------------------------------------------------------------
+
+def q45_pushdown_filter(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= np.datetime64("1997-01-01", "us"))
+        & (pc.field("l_quantity") < 10.0),
+        override_num_blocks=default_partitions(),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "qty": pc.cast(t["l_quantity"], pa.int64())})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "l_returnflag", num_partitions=default_partitions()
+    ).aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="qty_i"))
+    return agg.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"], "n_items": t["n_items"],
+                            "sum_qty": pc.cast(t["qty_i"], pa.float64())}),
+        batch_format="pyarrow",
+    )
+
+
+Q45_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 10
+GROUP BY l_returnflag
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -977,4 +1020,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q41_price_std": (q41_price_std, Q41_SQL),
     "q42_asof_join": (q42_asof_join, Q42_SQL),
     "q43_sessionize": (q43_sessionize, Q43_SQL),
+    "q45_pushdown_filter": (q45_pushdown_filter, Q45_SQL),
 }

@@ -1,0 +1,68 @@
+"""Property-based invariants (hypothesis) for the cell-math kernels —
+stronger than fixed seeds for the encode/parent/ring laws (SURVEY.md §6.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_data_classification_ray.cellmath import hexgrid as hg
+from osm_data_classification_ray.cellmath import s2
+from osm_data_classification_ray.cellmath.pip import PolygonEdges, points_in_polygon
+
+lat_s = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False, allow_infinity=False)
+lon_s = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_s, lon=lon_s, res=st.integers(min_value=1, max_value=9))
+def test_hex_parent_chain_law(lat, lon, res):
+    a = np.array([lat])
+    o = np.array([lon])
+    child = hg.encode(a, o, res)
+    parent = hg.cell_to_parent(child)
+    assert parent[0] == hg.encode(a, o, res - 1)[0]
+    assert hg.cell_res(parent)[0] == res - 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat=lat_s, lon=lon_s, k=st.integers(min_value=0, max_value=4))
+def test_hex_disk_size_and_membership(lat, lon, k):
+    c = hg.encode(np.array([lat]), np.array([lon]), 7)
+    disk = hg.grid_disk(c, k)[0]
+    assert len(disk) == 1 + 3 * k * (k + 1)
+    assert c[0] in disk
+    d = hg.hex_distance(np.repeat(c, len(disk)), disk)
+    assert d.max() <= k
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat=lat_s, lon=lon_s, level=st.integers(min_value=1, max_value=20))
+def test_s2_ancestor_range_law(lat, lon, level):
+    leaf = s2.leaf_from_latlon(np.array([lat]), np.array([lon]))
+    cell = s2.cell_at_level(leaf, level)
+    assert int(s2.level_of(cell)[0]) == level
+    lsb = np.uint64(1) << np.uint64(2 * (30 - level))
+    assert leaf[0] >= cell[0] - lsb + np.uint64(1)
+    assert leaf[0] <= cell[0] + lsb - np.uint64(1)
+    # ancestors nest: parent at level-1 contains the level cell
+    if level > 1:
+        up = s2.cell_at_level(leaf, level - 1)
+        assert s2.parent(cell, level - 1)[0] == up[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    cy=st.floats(min_value=-60, max_value=60, allow_nan=False),
+    cx=st.floats(min_value=-100, max_value=100, allow_nan=False),
+    r=st.floats(min_value=0.5, max_value=10.0, allow_nan=False),
+    nv=st.integers(min_value=3, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_pip_center_inside_far_outside(cy, cx, r, nv, seed):
+    ang = 2 * np.pi * np.arange(nv) / nv
+    ring = np.stack([cy + r * np.sin(ang), cx + r * np.cos(ang)], axis=1)
+    poly = PolygonEdges([ring])
+    inside = points_in_polygon(np.array([cy, cy + 3 * r]), np.array([cx, cx + 3 * r]), poly)
+    assert inside.tolist() == [True, False]
