@@ -163,7 +163,7 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         # scaling legs use a larger amplification (default 400 → 2M rows)
         # so compute dominates the fixed per-stage latencies
-        amp = os.environ.get("GRAFT_SCALING_AMP", "400")
+        amp = os.environ.get("GRAFT_SCALING_AMP", "800")
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_AMP=amp)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout

@@ -38,11 +38,11 @@ COVER_CAP = 1024
 
 class PolygonIndex:
     """Adaptive multi-res cover index: each polygon is covered at the
-    FINEST res (≤ PIP_RES) whose bbox cover stays under COVER_CAP cells, so
-    a continent-sized polygon costs ~256 coarse cells instead of ~10⁶ fine
-    ones (bounded index size = bounded broadcast + O(1) lookups at any
-    polygon scale). Lookup walks the point cell's parent chain (pure
-    arithmetic) through the populated resolutions."""
+    FINEST res (≤ PIP_RES) whose bbox cover stays under ``cover_cap``
+    cells, so a continent-sized polygon costs ~cover_cap coarse cells
+    instead of ~10⁶ fine ones (bounded index size = bounded broadcast +
+    O(1) lookups at any polygon scale). Lookup walks the point cell's
+    parent chain (pure arithmetic) through the populated resolutions."""
 
     def __init__(self, admin_table: pa.Table, cover_cap: int = COVER_CAP):
         self.admin_ids = np.asarray(admin_table["admin_id"].to_pylist(), dtype=np.int64)
