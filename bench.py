@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMP = int(os.environ.get("GRAFT_BENCH_AMP", "100"))
+AMP = int(os.environ.get("GRAFT_BENCH_AMP", "400"))
 
 
 def _amplified_docs_source(sf_dir: str, amp: int):
