@@ -108,3 +108,63 @@ def media_features(docs_ds, concurrency=(1, 4), batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """Actor-pool resize stage (image payloads). The real pixel resample is
+    stubbed like the decoder (no imaging libs offline); the REAL parts are
+    the plumbing a production stage needs: per-actor setup, small batches
+    for wide binary rows, metadata recomputation, payload size budget."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, strict: bool = False):
+        self.tw, self.th, self.strict = target_w, target_h, strict
+
+    def _resize_real(self, payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError("pixel resample needs an imaging library")
+
+    def _resize_fake(self, payload: bytes, w: int, h: int) -> bytes:
+        # deterministic byte-domain stand-in: sample the payload down/up to
+        # the byte budget implied by the target size (1 byte per pixel)
+        budget = self.tw * self.th // 64  # keep fixtures small
+        b = np.frombuffer(payload, dtype=np.uint8)
+        idx = (np.arange(budget, dtype=np.int64) * max(len(b), 1)) // max(budget, 1)
+        return b[np.clip(idx, 0, len(b) - 1)].tobytes() if len(b) else b""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = self._resize_real if self.strict else self._resize_fake
+        out_payload = []
+        for p, mt, w, h in zip(batch["payload"].to_pylist(), batch["media_type"].to_pylist(),
+                               batch["width"].to_pylist(), batch["height"].to_pylist()):
+            out_payload.append(fn(p, w, h) if mt == "image" else p)
+        t = batch.drop_columns(["payload", "width", "height"])
+        return (
+            t.append_column("payload", pa.array(out_payload, pa.binary()))
+            .append_column("width", pa.array(np.full(batch.num_rows, self.tw, np.int32), pa.int32()))
+            .append_column("height", pa.array(np.full(batch.num_rows, self.th, np.int32), pa.int32()))
+        )
+
+
+def sample_frames(batch: pa.Table, n_frames: int = 4, frame_bytes: int = 256) -> pa.Table:
+    """Deterministic frame sampling for video payloads: each video row emits
+    ``n_frames`` rows with evenly-spaced byte windows as the frame payloads
+    (a real deployment decodes at evenly-spaced timestamps; the fan-out
+    shape, schema, and determinism are what the pipeline relies on)."""
+    out_doc, out_frame, out_off, out_payload = [], [], [], []
+    for doc, mt, p, dur in zip(batch["doc_id"].to_pylist(), batch["media_type"].to_pylist(),
+                               batch["payload"].to_pylist(), batch["duration_ms"].to_pylist()):
+        if mt != "video" or not p:
+            continue
+        for f in range(n_frames):
+            off = (f * max(len(p) - frame_bytes, 0)) // max(n_frames - 1, 1)
+            out_doc.append(doc)
+            out_frame.append(f)
+            out_off.append(int((f * dur) // max(n_frames - 1, 1)))
+            out_payload.append(p[off : off + frame_bytes])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "frame": pa.array(out_frame, pa.int32()),
+            "ts_ms": pa.array(out_off, pa.int32()),
+            "frame_payload": pa.array(out_payload, pa.binary()),
+        }
+    )

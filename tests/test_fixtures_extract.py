@@ -130,3 +130,31 @@ def test_vectorized_geocode_identical():
     assert np.array_equal(la1[~np.isnan(la1)], la2[~np.isnan(la2)])
     assert np.array_equal(lo1[~np.isnan(lo1)], lo2[~np.isnan(lo2)])
     assert s1 == s2
+
+
+def test_source_readers(ray_session, tmp_path):
+    import json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from osm_data_classification_ray.sources import readers
+
+    t = gen.gen_documents(200)
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ds = readers.read_documents(str(tmp_path / "documents.parquet"),
+                                columns=["url", "lang"], num_blocks=4,
+                                predicate=(pc.field("lang") == "en"))
+    df = ds.to_pandas()
+    assert set(df.columns) == {"url", "lang"}
+    assert (df["lang"] == "en").all() and len(df) > 0
+
+    (tmp_path / "stage").mkdir()
+    with open(tmp_path / "stage" / "manifest.json", "w") as f:
+        json.dump({"rows": 5}, f)
+    assert readers.read_manifest(str(tmp_path / "stage"))["rows"] == 5
+
+    (tmp_path / "blobs").mkdir()
+    (tmp_path / "blobs" / "a.bin").write_bytes(b"\x01\x02\x03")
+    b = readers.read_binary_payloads(str(tmp_path / "blobs")).to_pandas()
+    assert len(b) == 1 and bytes(b["bytes"][0]) == b"\x01\x02\x03"

@@ -259,3 +259,46 @@ class TestConnectedGroups:
         out = connected_groups(pairs)
         m = dict(zip(out["doc_id"].to_pylist(), out["group_rep"].to_pylist()))
         assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+class TestMultimodalStages:
+    def test_resize_and_frame_sample(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+        from osm_data_classification_ray.stages import multimodal
+
+        docs = pa.table({"doc_id": pa.array(np.arange(60), pa.int64())})
+        media = rd.from_arrow(docs).repartition(3).map_batches(
+            multimodal.synth_media_batch, batch_format="pyarrow"
+        )
+        resized = media.map_batches(multimodal.ImageResizer, batch_format="pyarrow",
+                                    batch_size=16, concurrency=2,
+                                    fn_constructor_kwargs={"target_w": 128, "target_h": 128}).to_pandas()
+        assert (resized["width"] == 128).all() and (resized["height"] == 128).all()
+        img = resized[resized["media_type"] == "image"]
+        assert (img["payload"].map(len) == 128 * 128 // 64).all()  # resized budget
+        other = resized[resized["media_type"] != "image"]
+        assert (other["payload"].map(len) == 4096).all()  # untouched
+
+        frames = media.map_batches(multimodal.sample_frames, batch_format="pyarrow").to_pandas()
+        n_videos = (resized["media_type"] == "video").sum()
+        assert len(frames) == n_videos * 4
+        assert set(frames["frame"]) == {0, 1, 2, 3}
+        assert (frames["frame_payload"].map(len) == 256).all()
+        # deterministic across runs/partitionings
+        frames2 = rd.from_arrow(docs).repartition(5).map_batches(
+            multimodal.synth_media_batch, batch_format="pyarrow"
+        ).map_batches(multimodal.sample_frames, batch_format="pyarrow").to_pandas()
+        a = frames.sort_values(["doc_id", "frame"]).reset_index(drop=True)
+        b = frames2.sort_values(["doc_id", "frame"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_resize_strict_raises(self):
+        from osm_data_classification_ray.stages.multimodal import ImageResizer
+
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            ImageResizer(strict=True)._resize_real(b"x", 1, 1)
