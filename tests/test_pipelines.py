@@ -193,3 +193,33 @@ def test_bounded_memory_small_blocks(golden, tmp_path_factory, ray_session):
         assert got.equals(want)
     finally:
         ctx.target_max_block_size = prev
+
+
+def test_salted_pip_join_identical(golden, tmp_path_factory, ray_session):
+    """Force the skew-salting path (tiny hot threshold → real salt fan-out)
+    and assert the join output is still exactly the reference's."""
+    import ray.data as rd
+
+    docs, admin, ref = golden
+    d = tmp_path_factory.mktemp("salted_out")
+    src_dir = tmp_path_factory.mktemp("docs_salted")
+    pq.write_table(docs, src_dir / "documents.parquet")
+    cfg = spatial.EngineConfig(out_root=str(d), num_partitions=4,
+                               pip_concurrency=2, hot_threshold=5, max_salt=8)
+    spatial.run_captures(cfg, lambda: rd.read_parquet(str(src_dir / "documents.parquet")).repartition(8))
+    spatial.run_page_admin(cfg, admin)
+    # confirm salting actually engaged: the salt histogram must fan out
+    from osm_data_classification_ray.stages import pip as pip_mod
+
+    caps = _read({"captures": str(d / "captures")}, "captures")
+    geo = caps.filter(pc.and_(caps["has_geo"], caps["is_latest"]))
+    cells = np.asarray(geo["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    vals, cnts = np.unique(cells, return_counts=True)
+    counts = {int(c): int(n) for c, n in zip(vals, cnts)}
+    salt_map = pip_mod.compute_salt_map(counts, 5, 8)
+    assert salt_map, "fixture must contain hot cells at this threshold"
+    assert max(salt_map.values()) > 1
+
+    got = canon(_read({"page_admin": str(d / "page_admin")}, "page_admin"), ["url"])
+    want = canon(ref["page_admin"], ["url"])
+    assert got.equals(want)
