@@ -996,6 +996,67 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q46 — chained multi-way join (lineitem⋈orders⋈customer hash joins +
+# broadcast nation dimension): revenue per nation (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+def q46_nation_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev_e4 = pc.multiply(_cents(t["l_extendedprice"]),
+                             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = li.map_batches(prep, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=default_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = j1.join(cust, join_type="inner", num_partitions=default_partitions(),
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmap_keys = np.asarray(nation["n_nationkey"].to_pylist(), dtype=np.int64)
+    order = np.argsort(nmap_keys)
+    nmap_keys = nmap_keys[order]
+    nmap_names = np.asarray(nation["n_name"].to_pylist(), dtype=object)[order]
+
+    def tag(t: pa.Table) -> pa.Table:
+        nk = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.searchsorted(nmap_keys, nk)
+        return pa.table({"n_name": pa.array(nmap_names[pos], pa.string()), "rev_e4": t["rev_e4"]})
+
+    agg = j2.map_batches(tag, batch_format="pyarrow").groupby(
+        "n_name", num_partitions=default_partitions()
+    ).aggregate(Sum("rev_e4", alias_name="rev_e4_sum"), Count(alias_name="n_items"))
+
+    return agg.map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"],
+            "n_items": t["n_items"],
+            "revenue": pc.divide(pc.cast(t["rev_e4_sum"], pa.float64()), pa.scalar(10_000.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+Q46_SQL = """
+SELECT n_name, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1021,4 +1082,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q42_asof_join": (q42_asof_join, Q42_SQL),
     "q43_sessionize": (q43_sessionize, Q43_SQL),
     "q45_pushdown_filter": (q45_pushdown_filter, Q45_SQL),
+    "q46_nation_revenue": (q46_nation_revenue, Q46_SQL),
 }
