@@ -70,6 +70,8 @@ def read_stage(root: str, stage: str, columns: list[str] | None = None,
                num_blocks: int | None = None):
     import ray.data as rd
 
+    use_hash_shuffle()  # strategy is captured at dataset creation
+
     # num_blocks matters when the read feeds a hash shuffle: the exchange
     # creates input_blocks × num_partitions objects, so reading ~1 block per
     # partition keeps the object count quadratic-free (measured: the default

@@ -75,28 +75,55 @@ def partial_sums(block: pa.Table) -> pa.Table:
     return pa.concat_tables(outs)
 
 
+def _token_hash_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit token hashes (one 128-bit identity — a
+    distinct-count error needs BOTH to collide, ~2^-128: negligible even at
+    10^12-scale cardinalities; the colocated default pass stays literally
+    exact for conformance runs)."""
+    from ..fixtures.gen import hash_u64
+
+    base = np.empty(len(values), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(values):
+            acc = np.uint64(1469598103934665603)
+            for byt in str(s).encode("utf-8"):
+                acc = (acc ^ np.uint64(byt)) * np.uint64(1099511628211)
+            base[i] = acc
+    return hash_u64(base, 941).view(np.int64), hash_u64(base, 942).view(np.int64)
+
+
 def emit_distinct_tokens(block: pa.Table) -> pa.Table:
-    """Per-batch deduped (res, cell, kind, token) tuples (token = raw value
-    string — no hashing, so distinct counts are exact by construction)."""
+    """Per-batch deduped (res, cell, kind, tok_h1, tok_h2) tuples — fixed
+    16-byte token identities keep the dedup exchange narrow."""
     url = block["url"].to_pandas()
     host = block["host"].to_pandas()
     lang = block["lang"].to_pandas()
-    day = (block["warc_ts"].cast(pa.int64()).to_pandas() // 86_400_000_000).astype(str)
-    outs_res, outs_cell, outs_kind, outs_tok = [], [], [], []
+    day = (block["warc_ts"].cast(pa.int64()).to_pandas() // 86_400_000_000)
+    # hash each distinct raw value once per batch, then map per row
+    outs_res, outs_cell, outs_kind, outs_h1, outs_h2 = [], [], [], [], []
+    series_by_kind = (url, host, lang, day.astype(str))
+    codes_by_kind = []
+    for kind_i, series in enumerate(series_by_kind):
+        cat = pd.Categorical(series)
+        h1u, h2u = _token_hash_pair(pd.Series(cat.categories))
+        codes_by_kind.append((cat.codes, h1u, h2u))
     for r in RESOLUTIONS:
         cells = _cells_i64(block, r)
-        for kind_i, series in enumerate((url, host, lang, day)):
-            df = pd.DataFrame({"cell": cells, "tok": series}).drop_duplicates()
+        for kind_i, (codes, h1u, h2u) in enumerate(codes_by_kind):
+            df = pd.DataFrame({"cell": cells, "code": codes}).drop_duplicates()
+            c = df["code"].to_numpy()
             outs_res.append(np.full(len(df), r, dtype=np.int8))
             outs_cell.append(df["cell"].to_numpy(dtype=np.int64))
             outs_kind.append(np.full(len(df), kind_i, dtype=np.int8))
-            outs_tok.append(df["tok"].to_numpy(dtype=object))
+            outs_h1.append(h1u[c])
+            outs_h2.append(h2u[c])
     return pa.table(
         {
             "res": pa.array(np.concatenate(outs_res), pa.int8()),
             "cell": pa.array(np.concatenate(outs_cell), pa.int64()),
             "kind": pa.array(np.concatenate(outs_kind), pa.int8()),
-            "token": pa.array(np.concatenate(outs_tok).tolist(), pa.string()),
+            "tok_h1": pa.array(np.concatenate(outs_h1), pa.int64()),
+            "tok_h2": pa.array(np.concatenate(outs_h2), pa.int64()),
         }
     )
 
@@ -149,6 +176,11 @@ def cell_features_twolevel(geo_ds, num_partitions: int):
 
     use_hash_shuffle()
 
+    # Phase barriers (materialize the SMALL pre-aggregated intermediates):
+    # running the whole DAG at once stacks 4 concurrent hash exchanges'
+    # aggregator pools on the node (measured: worker storm + thrashing at
+    # 2M rows); phased execution keeps at most 2 exchanges live, and every
+    # materialized table is per-cell-sized, not per-row-sized.
     sums = geo_ds.map_batches(partial_sums, batch_format="pyarrow")
     sum_aggs = [Sum(c, alias_name=c) for c in
                 ("n_pages", "n_created", "n_updated", "n_changed", "n_dupes",
@@ -160,15 +192,29 @@ def cell_features_twolevel(geo_ds, num_partitions: int):
         lambda t: t.append_column("kind", pa.array(np.full(t.num_rows, -1, dtype=np.int8), pa.int8()))
         .append_column("n_distinct", pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())),
         batch_format="pyarrow",
-    )
+    ).materialize()  # per-(res,cell) rows only
 
+    # level 1: global dedup of the token tuples. A groupby over the full
+    # 5-part key makes every row its own group (measured pathological in the
+    # hash-aggregate: ~90x slower); instead repartition on tok_h1 ALONE —
+    # all rows of a token land in one block — and drop_duplicates + count
+    # per block, vectorized. The level-2 exchange then carries only
+    # per-block partial counts (≤ #(res,cell,kind) rows per block).
     toks = geo_ds.map_batches(emit_distinct_tokens, batch_format="pyarrow")
-    lvl1 = toks.groupby(["res", "cell", "kind", "token"], num_partitions=num_partitions).aggregate(
-        Count(alias_name="nn")
-    )
-    lvl2 = lvl1.groupby(["res", "cell", "kind"], num_partitions=num_partitions).aggregate(
-        Count(alias_name="n_distinct")
-    )
+    toks = toks.repartition(num_partitions, keys=["tok_h1"], sort=False)
+
+    def dedup_count_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"res": pa.array([], pa.int8()), "cell": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()), "nn": pa.array([], pa.int64())})
+        df = block.to_pandas().drop_duplicates()
+        g = df.groupby(["res", "cell", "kind"], sort=True).size().reset_index(name="nn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = toks.map_batches(dedup_count_block, batch_format="pyarrow", batch_size=None)
+    lvl2 = partial.groupby(["res", "cell", "kind"], num_partitions=num_partitions).aggregate(
+        Sum("nn", alias_name="n_distinct")
+    ).materialize()  # ≤ 4 rows per (res,cell)
     # align schemas for the union → one (res, cell)-keyed assembly pass
     zero_cols = ("n_pages", "n_created", "n_updated", "n_changed", "n_dupes",
                  "en_sum", "chars_sum", "tokens_sum", "ts_min", "ts_max")
