@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import textstats
 from ..stages import ann, multimodal, textdedup
@@ -213,6 +214,58 @@ def q39_hll_distinct(sf_dir: str):
     )
 
 
+def q47_clean_corpus(sf_dir: str):
+    """End-to-end training-data cleaning composite: quality-score filter →
+    exact dedup (sha) → near-dup removal (MinHash groups, keep group rep)
+    → per-language clean-corpus stats. One streaming pass for scoring, the
+    dedup building blocks reused as-is; demonstrates the full
+    data-curation composition over the documents table."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = [textstats.quality_one(x or "") for x in t["text"].to_pylist()]
+        shas = [hashlib.sha256((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "sha": pa.array(shas, pa.string()),
+                "quality": pa.array([r["quality_score"] for r in rows], pa.float64()),
+                "n_tokens": pa.array([int(r["n_tokens"]) for r in rows], pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    good = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], pa.scalar(0.3))), batch_format="pyarrow"
+    )
+    # exact dedup: keep min doc_id per sha
+    from ray.data.aggregate import Min
+
+    kept = good.groupby("sha", num_partitions=default_partitions()).aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="copies"),
+        Min("n_tokens", alias_name="n_tokens"),
+    )
+    kept_pdf = kept.to_pandas()
+    # near-dup removal among the exact-kept docs (reuse the LSH group op)
+    pairs = textdedup.minhash_near_dup_pairs(ds, default_partitions(), threshold=0.6, shingle="word")
+    groups = textdedup.connected_groups(pairs).to_pandas()
+    drop = set(groups.loc[groups["doc_id"] != groups["group_rep"], "doc_id"])
+    kept_pdf = kept_pdf[~kept_pdf["doc_id"].isin(drop)]
+    # final per-language stats (langs looked up from the scored table)
+    lang_map = scored.map_batches(lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow").to_pandas()
+    m = kept_pdf.merge(lang_map, on="doc_id", how="left")
+    out = m.groupby("lang", sort=True).agg(
+        n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+    ).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "q19_bpe_tokens": (q19_bpe_tokens, Q19_SQL),
     "q20_minhash_near_dup": (q20_minhash_near_dup, Q20_SQL),
@@ -227,4 +280,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q29_media_features": (q29_media_features, None),
     "q39_hll_distinct": (q39_hll_distinct, None),
     "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),
+    "q47_clean_corpus": (q47_clean_corpus, None),
 }
