@@ -302,3 +302,17 @@ class TestMultimodalStages:
 
         with _pytest.raises(NotImplementedError):
             ImageResizer(strict=True)._resize_real(b"x", 1, 1)
+
+
+def test_clean_corpus_composite(ray_session):
+    """q47: quality filter → exact dedup → near-dup removal → stats; must be
+    deterministic and internally consistent."""
+    from osm_data_classification_ray.pipelines.textqueries import q47_clean_corpus
+
+    a = q47_clean_corpus("/root/testdata/sf0.001").to_pandas()
+    b = q47_clean_corpus("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)
+    assert set(a.columns) == {"lang", "n_docs", "total_tokens"}
+    assert (a["n_docs"] > 0).all() and (a["total_tokens"] > 0).all()
+    # kept docs cannot exceed the corpus
+    assert a["n_docs"].sum() <= 500
