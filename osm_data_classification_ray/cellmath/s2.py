@@ -74,7 +74,7 @@ def _face_uv(x, y, z):
     ).astype(np.int64)
     # per-face (u, v) from xyz — standard S2 table. np.select evaluates every
     # branch, so mask div-by-zero noise from the non-selected denominators.
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         return _face_uv_inner(face, x, y, z)
 
 

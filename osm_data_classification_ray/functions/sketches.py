@@ -20,15 +20,11 @@ _ALPHA = 0.7213 / (1.0 + 1.079 / M)
 
 
 def _hash_strings(values: list[str]) -> np.ndarray:
-    """FNV-1a 64-bit per string then splitmix finalize (process-stable)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, s in enumerate(values):
-            acc = np.uint64(1469598103934665603)
-            for b in (s or "").encode("utf-8"):
-                acc = (acc ^ np.uint64(b)) * np.uint64(1099511628211)
-            out[i] = acc
-    return hash_u64(out, 931)
+    """FNV-1a 64-bit per string then splitmix finalize (process-stable;
+    vectorized via the shared strhash kernel — None hashes like "")."""
+    from .strhash import fnv1a_list
+
+    return hash_u64(fnv1a_list(values), 931)
 
 
 def hll_create(values: list[str] | np.ndarray) -> np.ndarray:

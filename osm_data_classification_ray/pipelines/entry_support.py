@@ -29,13 +29,30 @@ def _derive_docs(batch: pa.Table) -> pa.Table:
     )
 
 
+def _input_id(sf_dir: str) -> str:
+    """Identity of the input data: resolved path + documents.parquet
+    size/mtime. Mixed into the checkpoint root AND every stage fingerprint
+    so a regenerated or same-named input never reuses stale checkpoints."""
+    import hashlib
+
+    p = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        st = os.stat(p)
+        ident = f"{p}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = f"{p}|missing"
+    return hashlib.sha256(ident.encode()).hexdigest()[:16]
+
+
 def _cfg(sf_dir: str) -> spatial.EngineConfig:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    iid = _input_id(sf_dir)
     return spatial.EngineConfig(
-        out_root=os.path.join("/tmp/graft_engine", name),
+        out_root=os.path.join("/tmp/graft_engine", f"{name}-{iid}"),
         num_partitions=default_partitions(),
         pip_concurrency=(1, 4),
         hot_threshold=200_000,
+        input_id=iid,
     )
 
 

@@ -539,7 +539,10 @@ def q13_dedup_docs(sf_dir: str):
         import hashlib
 
         texts = t["text"].to_pylist()
-        keys = [hashlib.sha256((x or "").encode()).hexdigest() for x in texts]
+        # null text → sentinel key (sha256(NULL) is NULL in SQL, and SQL
+        # GROUP BY puts all NULL keys in ONE group distinct from sha256(''))
+        keys = ["\x00null" if x is None else hashlib.sha256(x.encode()).hexdigest()
+                for x in texts]
         return pa.table({"k": pa.array(keys, type=pa.string()), "doc_id": t["doc_id"]})
 
     agg = ds.map_batches(h, batch_format="pyarrow").groupby(
@@ -668,7 +671,9 @@ def q17_fingerprint(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         import hashlib
 
-        fps = [hashlib.sha256((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        # sha256(NULL) is NULL in the SQL oracle — mirror it exactly
+        fps = [None if x is None else hashlib.sha256(x.encode()).hexdigest()
+               for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, type=pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")

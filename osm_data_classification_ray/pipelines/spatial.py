@@ -48,6 +48,9 @@ class EngineConfig:
     #: is the constraint and shared storage is fast. Assumption: one bucket
     #: (≈ corpus / num_partitions) fits a worker heap.
     dedup_mode: str = "shuffle"
+    #: identity of the input data (path + size/mtime hash); root stages mix
+    #: it into their fingerprint so regenerated inputs invalidate checkpoints
+    input_id: str = ""
     config_version: int = 1
 
     def fp(self, extra: dict | None = None) -> dict:
@@ -57,6 +60,7 @@ class EngineConfig:
             "max_salt": self.max_salt,
             "features_mode": self.features_mode,
             "dedup_mode": self.dedup_mode,
+            "input_id": self.input_id,
             "config_version": self.config_version,
         }
         d.update(extra or {})

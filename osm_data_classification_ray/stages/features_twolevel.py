@@ -81,14 +81,9 @@ def _token_hash_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     10^12-scale cardinalities; the colocated default pass stays literally
     exact for conformance runs)."""
     from ..fixtures.gen import hash_u64
+    from ..functions.strhash import fnv1a_list
 
-    base = np.empty(len(values), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, s in enumerate(values):
-            acc = np.uint64(1469598103934665603)
-            for byt in str(s).encode("utf-8"):
-                acc = (acc ^ np.uint64(byt)) * np.uint64(1099511628211)
-            base[i] = acc
+    base = fnv1a_list([str(s) for s in values])
     return hash_u64(base, 941).view(np.int64), hash_u64(base, 942).view(np.int64)
 
 

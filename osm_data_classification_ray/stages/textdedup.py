@@ -26,22 +26,12 @@ SIM_BANDS = 4         # 4 × 16-bit bands → candidates for hamming ≤ 3
 
 
 def _word_shingles(text: str, k: int = 3) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not joined:
-        return np.zeros(0, dtype=np.uint64)
-    # process-stable FNV-1a (builtin hash() is randomized per process)
-    out = np.empty(len(joined), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, s in enumerate(joined):
-            acc = np.uint64(1469598103934665603)
-            for byt in s.encode("utf-8"):
-                acc = (acc ^ np.uint64(byt)) * np.uint64(1099511628211)
-            out[i] = acc
-    return np.unique(out)
+    """Sorted-unique FNV-1a hashes of the word k-gram shingles (single-doc
+    wrapper over the shared vectorized kernel; process-stable — builtin
+    hash() is randomized per process)."""
+    from ..functions.strhash import word_shingle_hashes
+
+    return word_shingle_hashes([text], k)[0]
 
 
 def _char_shingles(text: str, k: int = 5) -> np.ndarray:
@@ -100,16 +90,21 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_band_rows(batch: pa.Table, shingle: str = "word") -> pa.Table:
     """documents batch → (band, bucket, doc_id) rows (N_BANDS per doc)."""
+    from ..functions.strhash import word_shingle_hashes
+
     ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     texts = batch["text"].to_pylist()
     n = len(ids)
     out_band = np.empty(n * N_BANDS, dtype=np.int32)
     out_bucket = np.empty(n * N_BANDS, dtype=np.uint64)
     out_doc = np.repeat(ids, N_BANDS)
-    sh_fn = _word_shingles if shingle == "word" else _char_shingles
+    if shingle == "word":
+        sh_list = word_shingle_hashes(texts, 3)
+    else:
+        sh_list = [_char_shingles(t or "") for t in texts]
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
-            sig = minhash_signature(sh_fn(t or ""))
+            sig = minhash_signature(sh_list[i])
             bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
             bucket = bands[:, 0].copy()
             for r in range(1, ROWS_PER_BAND):
@@ -225,11 +220,14 @@ def simhash_table(docs_ds) -> "object":
     """documents → (doc_id, simhash) dataset (word unigram shingles)."""
 
     def f(batch: pa.Table) -> pa.Table:
+        from ..functions.strhash import word_shingle_hashes
+
         ids = batch["doc_id"]
         texts = batch["text"].to_pylist()
+        sh_list = word_shingle_hashes(texts, 1)
         out = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            out[i] = simhash(_word_shingles(t or "", k=1))
+        for i in range(len(texts)):
+            out[i] = simhash(sh_list[i])
         return pa.table({"doc_id": ids, "simhash": pa.array(out.view(np.int64), type=pa.int64())})
 
     return docs_ds.map_batches(f, batch_format="pyarrow")
