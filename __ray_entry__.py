@@ -52,9 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from osm_data_classification_ray.pipelines.entry_support import SPATIAL_SQL
     from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
     from osm_data_classification_ray.pipelines.textqueries import TEXT_QUERIES
 
     out = {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items() if sql}
     out.update({name: sql for name, (_fn, sql) in TEXT_QUERIES.items() if sql})
+    out.update(SPATIAL_SQL)
     return out

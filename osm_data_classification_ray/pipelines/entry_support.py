@@ -204,3 +204,57 @@ def flagship(sf_dir: str):
     """entry(): the full pipeline; returns the audited join output table."""
     cfg, paths = ensure_outputs(sf_dir)
     return spatial.read_stage(cfg.out_root, "page_admin")
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles for the engine-document queries that are SQL-expressible.
+# Engine documents derive deterministically from the driver's documents
+# table (docs_from_doc_ids: a pure function of doc_id — fixtures/gen.py),
+# so the derivation itself is mirrored in SQL: url_i = doc_id-1 when
+# doc_id%37==0 (the planted duplicate-capture rule), host = url_i % 97,
+# warc_ts = 2024-01-01 + doc_id*977s, extracted_text =
+# 'doc {id}\ndoc {id}\n{text}' (title + h1 + body after the frozen
+# extraction spec; verified byte-identical in tests/goldens).
+# ---------------------------------------------------------------------------
+
+Q37_SQL = """
+WITH u AS (
+  SELECT CASE WHEN doc_id % 37 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS url_i
+  FROM documents
+)
+SELECT 'host' || CAST(url_i % 97 AS VARCHAR) || '.example' AS host,
+       COUNT(DISTINCT url_i) AS n_pages
+FROM u GROUP BY 1
+"""
+
+Q30_SQL = """
+WITH k AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 37 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS url_i
+  FROM documents
+),
+kept AS (
+  SELECT * FROM (
+    SELECT k.*, ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY doc_id DESC) AS rn FROM k
+  ) WHERE rn = 1
+),
+e AS (
+  SELECT *, 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+            'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS ext
+  FROM kept
+)
+SELECT 'https://host' || CAST(url_i % 97 AS VARCHAR) || '.example/p' || CAST(url_i AS VARCHAR) AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 977 * 1000000) AS warc_ts,
+       'host' || CAST(url_i % 97 AS VARCHAR) || '.example' AS host,
+       CASE WHEN doc_id % 10 <= 4 THEN 'en' WHEN doc_id % 10 <= 6 THEN 'de'
+            WHEN doc_id % 10 = 7 THEN 'fr' WHEN doc_id % 10 = 8 THEN 'es'
+            ELSE 'zh' END AS lang,
+       LENGTH(ext) AS n_chars,
+       sha256(ext) AS text_sha256_hex
+FROM e
+"""
+
+SPATIAL_SQL: dict[str, str] = {
+    "q30_pages_extract": Q30_SQL,
+    "q37_dedup_urls": Q37_SQL,
+}

@@ -120,11 +120,43 @@ def q26_langid(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "lang_pred": pa.array([p[0] for p in preds], pa.string()),
-                "confidence": pa.array([round(p[1], 4) for p in preds], pa.float64()),
+                # raw double (one division) — bit-identical to the SQL oracle;
+                # rounding would reopen banker's-vs-half-up tie divergence
+                "confidence": pa.array([p[1] for p in preds], pa.float64()),
             }
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# Mirrors textstats.langid_one exactly for this corpus (ASCII, single-space
+# text, so \S+ tokenization == string_split and the CJK branch is vacuous):
+# first-lang-wins ties in frozen order en,de,fr,es; confidence = max hits/nt.
+Q26_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), x -> lower(x)) AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, len(toks) AS nt,
+    len(list_filter(toks, x -> list_contains({_sql_list(sorted(textstats.STOPWORDS['en']) )}, x))) AS he,
+    len(list_filter(toks, x -> list_contains({_sql_list(sorted(textstats.STOPWORDS['de']))}, x))) AS hd,
+    len(list_filter(toks, x -> list_contains({_sql_list(sorted(textstats.STOPWORDS['fr']))}, x))) AS hf,
+    len(list_filter(toks, x -> list_contains({_sql_list(sorted(textstats.STOPWORDS['es']))}, x))) AS hs
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+       WHEN he >= hd AND he >= hf AND he >= hs THEN 'en'
+       WHEN hd >= hf AND hd >= hs THEN 'de'
+       WHEN hf >= hs THEN 'fr' ELSE 'es' END AS lang_pred,
+  CAST(greatest(he, hd, hf, hs) AS DOUBLE) / nt AS confidence
+FROM h
+"""
 
 
 def q27_quality(sf_dir: str):
@@ -133,12 +165,50 @@ def q27_quality(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         rows = [textstats.quality_one(x or "") for x in t["text"].to_pylist()]
         cols: dict[str, pa.Array] = {"doc_id": t["doc_id"]}
+        # raw doubles (each a single int/int division or frozen-order
+        # product) — bit-identical to the SQL oracle, no rounding
         for key in ("n_tokens", "mean_token_len", "upper_ratio", "digit_ratio",
                     "punct_ratio", "stopword_ratio", "quality_score"):
-            cols[key] = pa.array([round(r[key], 6) for r in rows], pa.float64())
+            cols[key] = pa.array([r[key] for r in rows], pa.float64())
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Mirrors textstats.quality_one for ASCII single-space text: every ratio is
+# one int/int double division; quality_score multiplies in the same frozen
+# order (a*b*c*d, left-assoc) so the doubles match bitwise.
+Q27_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         LENGTH(text) AS n,
+         len(string_split(text, ' ')) AS nt,
+         LENGTH(REPLACE(text, ' ', '')) AS sumlen,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS upc,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS dgc,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS pcc,
+         len(list_filter(list_transform(string_split(text, ' '), x -> lower(x)),
+             x -> list_contains({_sql_list(sorted(textstats.STOPWORDS['en']))}, x))) AS stc
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(nt AS DOUBLE) AS n_tokens,
+         CAST(sumlen AS DOUBLE) / nt AS mean_token_len,
+         CAST(upc AS DOUBLE) / n AS upper_ratio,
+         CAST(dgc AS DOUBLE) / n AS digit_ratio,
+         CAST(pcc AS DOUBLE) / n AS punct_ratio,
+         CAST(stc AS DOUBLE) / nt AS stopword_ratio
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_token_len, upper_ratio, digit_ratio, punct_ratio,
+       stopword_ratio,
+       LEAST(n_tokens / 20.0, 1.0)
+       * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.5 END)
+       * (1.0 - LEAST(upper_ratio * 2.0, 0.5))
+       * (1.0 - LEAST(digit_ratio * 2.0, 0.5)) AS quality_score
+FROM r
+"""
 
 
 def q28_rolling_fingerprint(sf_dir: str):
@@ -154,6 +224,103 @@ def q28_rolling_fingerprint(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Rabin-Karp rolling fingerprint in SQL: H(i) = Σ_t byte[i+t]·BASE^(w-1-t)
+# mod 2^64 (the closed form of textstats.rolling_fingerprints' cumulative
+# formulation), BASE powers built by a recursive CTE in HUGEINT so the
+# uint64 wraparound is exact; valid because this corpus is pure ASCII
+# (byte == char, so ascii(substr(...)) is the UTF-8 byte).
+Q28_SQL = """
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (p * 1099511628211) % 18446744073709551616 FROM pw WHERE k < 63
+),
+d AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         LEAST(64, GREATEST(LENGTH(text), 1)) AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, text, w, UNNEST(range(1, n - w + 2)) AS i FROM d
+),
+win AS (
+  SELECT p.doc_id, p.i,
+         SUM(CAST(ascii(substr(p.text, p.i + t.t, 1)) AS HUGEINT) * pw.p)
+           % 18446744073709551616 AS h
+  FROM pos p
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS t) t
+  JOIN pw ON pw.k = p.w - 1 - t.t
+  WHERE t.t < p.w
+  GROUP BY p.doc_id, p.i
+)
+SELECT doc_id, lower(lpad(hex(CAST(MIN(h) AS UBIGINT)), 16, '0')) AS min_rolling_fp
+FROM win GROUP BY doc_id
+"""
+
+
+# SimHash in SQL: FNV-1a per distinct token by recursive CTE (HUGEINT
+# mod-2^64), bit votes over each doc's UNIQUE token-hash set, then ALL pairs
+# at hamming <= 3. Equivalence to the Ray banded pipeline is exact by
+# pigeonhole: <= 3 differing bits across 4 16-bit bands always leave one
+# band identical, so band candidates ⊇ {hamming<=3} and the verify filter
+# makes the outputs equal sets.
+Q21_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+fnv(tok, j, acc) AS (
+  SELECT tok, 0, CAST(1469598103934665603 AS UBIGINT) FROM toks
+  UNION ALL
+  SELECT tok, j + 1,
+         CAST((CAST(xor(acc, CAST(ascii(substr(tok, j + 1, 1)) AS UBIGINT)) AS HUGEINT)
+               * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM fnv WHERE j < LENGTH(tok)
+),
+tokh AS (SELECT tok, acc AS h FROM fnv WHERE j = LENGTH(tok)),
+doctok AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dochash AS (SELECT DISTINCT d.doc_id, th.h FROM doctok d JOIN tokh th USING (tok)),
+bits AS (
+  SELECT dh.doc_id, b.bit,
+         SUM(CASE WHEN (dh.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM dochash dh CROSS JOIN (SELECT UNNEST(range(0, 64)) AS bit) b
+  GROUP BY dh.doc_id, b.bit
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS HUGEINT) << bit) ELSE 0 END)
+              AS UBIGINT) AS sh
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+# Exact char-5-gram Jaccard (byte == char on this ASCII corpus). Valid as
+# the LSH oracle for the same reason as Q20: every qualifying pair in this
+# corpus sits at j >= 0.9 (measured via this SQL), where 16x8-band MinHash
+# detection probability is ~1.
+Q22_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LENGTH(text) - 3),
+                                      i -> substr(text, i, 5))) AS s
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
+"""
 
 
 def q29_media_features(sf_dir: str):
@@ -216,14 +383,21 @@ def q39_hll_distinct(sf_dir: str):
 
 def q47_clean_corpus(sf_dir: str):
     """End-to-end training-data cleaning composite: quality-score filter →
-    exact dedup (sha) → near-dup removal (MinHash groups, keep group rep)
-    → per-language clean-corpus stats. One streaming pass for scoring, the
-    dedup building blocks reused as-is; demonstrates the full
-    data-curation composition over the documents table."""
+    exact dedup (keep min doc_id per sha) → near-dup removal (MinHash
+    groups, keep one SURVIVING representative per group — reps are
+    re-anchored to the kept set, so a group whose original rep was removed
+    by the quality filter or exact dedup still retains exactly one member)
+    → per-language clean-corpus stats.
+
+    Dataset-native: the corpus stays a Dataset end-to-end (groupby dedup,
+    hash join for lang, broadcast drop-set filter, groupby stats). The only
+    driver-materialized objects are the near-dup GROUP table and its
+    intersection with the kept set — both bounded by the verified pair
+    set, not the corpus."""
     import hashlib
 
-    import pandas as pd
-    from ray.data.aggregate import Count, Sum
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -244,41 +418,126 @@ def q47_clean_corpus(sf_dir: str):
     good = scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["quality"], pa.scalar(0.3))), batch_format="pyarrow"
     )
-    # exact dedup: keep min doc_id per sha
-    from ray.data.aggregate import Min
-
+    # exact dedup: keep min doc_id per sha (distributed combining aggregate)
     kept = good.groupby("sha", num_partitions=default_partitions()).aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="copies"),
         Min("n_tokens", alias_name="n_tokens"),
     )
-    kept_pdf = kept.to_pandas()
-    # near-dup removal among the exact-kept docs (reuse the LSH group op)
+    # lang of the kept representative via hash join (stays distributed)
+    lang_tbl = scored.map_batches(lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow")
+    kept = kept.join(lang_tbl, join_type="inner", num_partitions=default_partitions(),
+                     on=("doc_id",))
+    # near-dup groups over the full corpus (bounded driver table: docs that
+    # appear in a verified LSH pair)
     pairs = textdedup.minhash_near_dup_pairs(ds, default_partitions(), threshold=0.6, shingle="word")
-    groups = textdedup.connected_groups(pairs).to_pandas()
-    drop = set(groups.loc[groups["doc_id"] != groups["group_rep"], "doc_id"])
-    kept_pdf = kept_pdf[~kept_pdf["doc_id"].isin(drop)]
-    # final per-language stats (langs looked up from the scored table)
-    lang_map = scored.map_batches(lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow").to_pandas()
-    m = kept_pdf.merge(lang_map, on="doc_id", how="left")
-    out = m.groupby("lang", sort=True).agg(
-        n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
-    ).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    groups = textdedup.connected_groups(pairs)
+    member_rep = dict(zip(groups["doc_id"].to_pylist(), groups["group_rep"].to_pylist()))
+    member_ref = ray.put(frozenset(member_rep))
+
+    def pick_members(t: pa.Table) -> pa.Table:
+        members = ray.get(member_ref)
+        mask = np.array([int(d) in members for d in t["doc_id"].to_pylist()], dtype=bool)
+        return t.filter(pa.array(mask)).select(["doc_id"])
+
+    # kept ∩ group-members (small: ≤ |groups|) → re-anchor reps within kept
+    kept_members = sorted(
+        int(d) for d in kept.map_batches(pick_members, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+    )
+    rep_in_kept: dict[int, int] = {}
+    for d in kept_members:  # ascending → first seen per group is its min
+        rep_in_kept.setdefault(member_rep[d], d)
+    drop = frozenset(d for d in kept_members if rep_in_kept[member_rep[d]] != d)
+    drop_ref = ray.put(drop)
+
+    def drop_dups(t: pa.Table) -> pa.Table:
+        dd = ray.get(drop_ref)
+        mask = np.array([int(d) not in dd for d in t["doc_id"].to_pylist()], dtype=bool)
+        return t.filter(pa.array(mask))
+
+    final = kept.map_batches(drop_dups, batch_format="pyarrow")
+    return final.groupby("lang", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )
+
+
+# Composite oracle: Q44's pair graph + Q27's quality formula + sha dedup,
+# with reps re-anchored to the kept set exactly like the Ray pipeline.
+Q47_SQL = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shg AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM tok
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+  UNION ALL SELECT doc_a, doc_a FROM p
+  UNION ALL SELECT doc_b, doc_b FROM p
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+grp AS (SELECT u AS doc_id, MIN(v) AS group_rep FROM reach GROUP BY u),
+m AS (
+  SELECT doc_id, lang, sha256(text) AS sha,
+         LENGTH(text) AS n,
+         len(string_split(text, ' ')) AS nt,
+         LENGTH(REPLACE(text, ' ', '')) AS sumlen,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS upc,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS dgc
+  FROM documents
+),
+good AS (
+  SELECT * FROM m
+  WHERE LEAST(CAST(nt AS DOUBLE) / 20.0, 1.0)
+        * (CASE WHEN CAST(sumlen AS DOUBLE) / nt >= 3.0
+                 AND CAST(sumlen AS DOUBLE) / nt <= 12.0 THEN 1.0 ELSE 0.5 END)
+        * (1.0 - LEAST(CAST(upc AS DOUBLE) / n * 2.0, 0.5))
+        * (1.0 - LEAST(CAST(dgc AS DOUBLE) / n * 2.0, 0.5)) >= 0.3
+),
+kept AS (
+  SELECT sha, MIN(doc_id) AS doc_id, COUNT(*) AS copies, MIN(nt) AS n_tokens
+  FROM good GROUP BY sha
+),
+kept_l AS (SELECT k.*, d.lang FROM kept k JOIN documents d USING (doc_id)),
+keptgrp AS (
+  SELECT kl.doc_id, g.group_rep FROM kept_l kl JOIN grp g USING (doc_id)
+),
+drops AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY group_rep) AS rep2 FROM keptgrp
+  ) WHERE doc_id <> rep2
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept_l WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+GROUP BY lang
+"""
 
 
 TEXT_QUERIES: dict[str, tuple] = {
     "q19_bpe_tokens": (q19_bpe_tokens, Q19_SQL),
     "q20_minhash_near_dup": (q20_minhash_near_dup, Q20_SQL),
-    "q21_simhash_near_dup": (q21_simhash_near_dup, None),
-    "q22_chargram_near_dup": (q22_chargram_near_dup, None),
+    "q21_simhash_near_dup": (q21_simhash_near_dup, Q21_SQL),
+    "q22_chargram_near_dup": (q22_chargram_near_dup, Q22_SQL),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_embedding_near_dup": (q24_embedding_near_dup, None),
     "q25_ann_ivf": (q25_ann_ivf, None),
-    "q26_langid": (q26_langid, None),
-    "q27_quality": (q27_quality, None),
-    "q28_rolling_fingerprint": (q28_rolling_fingerprint, None),
+    "q26_langid": (q26_langid, Q26_SQL),
+    "q27_quality": (q27_quality, Q27_SQL),
+    "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
     "q29_media_features": (q29_media_features, None),
     "q39_hll_distinct": (q39_hll_distinct, None),
     "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),
-    "q47_clean_corpus": (q47_clean_corpus, None),
+    "q47_clean_corpus": (q47_clean_corpus, Q47_SQL),
 }

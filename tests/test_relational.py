@@ -18,6 +18,18 @@ ALL_ORACLE_QUERIES = {
     **{k: v for k, v in TEXT_QUERIES.items() if v[1] is not None},
 }
 
+
+def _spatial_oracles():
+    from osm_data_classification_ray.pipelines import entry_support as es
+
+    return {
+        "q30_pages_extract": (es.pages_query, es.Q30_SQL),
+        "q37_dedup_urls": (es.dedup_urls_query, es.Q37_SQL),
+    }
+
+
+ALL_ORACLE_QUERIES.update(_spatial_oracles())
+
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
