@@ -383,8 +383,29 @@ def _fit_kmeans_distributed(norm_ds, pca_model) -> "kmeans.KMeansModel":
                                  batch_format="pyarrow", concurrency=(1, 4)).materialize()
 
     def collect_sample() -> np.ndarray:
-        t = pcs_ds.sort("cell").limit(kmeans.INIT_SAMPLE).to_pandas()
-        return np.array([list(r) for r in t["pc"]], dtype=np.float64)
+        # deterministic sample WITHOUT a global sort: hash-filter on the
+        # entity key (a full shuffle just to read N rows was round-1
+        # finding #2), then sort the tiny collected sample locally — the
+        # result is a pure function of the data, not of block order.
+        from ..fixtures.gen import hash_u64
+        from ..functions.arrays import list_matrix
+
+        n = pcs_ds.count()
+        rate = min(1.0, (kmeans.INIT_SAMPLE * 2.0) / max(n, 1))
+        bound = np.uint64(int(rate * 2**64)) if rate < 1.0 else np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def pick(t: pa.Table) -> pa.Table:
+            cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            mask = hash_u64(cells, 957) <= bound
+            return t.filter(pa.array(mask))
+
+        import ray
+
+        refs = pcs_ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        smp = pa.concat_tables(t for t in ray.get(refs) if t.num_rows)
+        order = pc.sort_indices(smp, sort_keys=[("cell", "ascending")])
+        smp = smp.take(order).slice(0, kmeans.INIT_SAMPLE)
+        return list_matrix(smp["pc"])
 
     sample = collect_sample()
     inertias: dict[int, float] = {}
@@ -398,8 +419,10 @@ def _fit_kmeans_distributed(norm_ds, pca_model) -> "kmeans.KMeansModel":
             cref = ray.put(centroids)
 
             def part(batch: pa.Table, _cref=cref) -> pa.Table:
+                from ..functions.arrays import list_matrix
+
                 c = ray.get(_cref)
-                X = np.array([list(r) for r in batch["pc"].to_pylist()], dtype=np.float64)
+                X = list_matrix(batch["pc"])
                 cells = np.asarray(batch["cell"].to_numpy(zero_copy_only=False), dtype=np.uint64)
                 sums, counts, inertia = kmeans.lloyd_partial(X, c)
                 return pa.table({

@@ -435,9 +435,9 @@ def q47_clean_corpus(sf_dir: str):
     member_ref = ray.put(frozenset(member_rep))
 
     def pick_members(t: pa.Table) -> pa.Table:
-        members = ray.get(member_ref)
-        mask = np.array([int(d) in members for d in t["doc_id"].to_pylist()], dtype=bool)
-        return t.filter(pa.array(mask)).select(["doc_id"])
+        members = np.fromiter(ray.get(member_ref), dtype=np.int64)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.filter(pa.array(np.isin(ids, members))).select(["doc_id"])
 
     # kept ∩ group-members (small: ≤ |groups|) → re-anchor reps within kept
     kept_members = sorted(
@@ -451,9 +451,9 @@ def q47_clean_corpus(sf_dir: str):
     drop_ref = ray.put(drop)
 
     def drop_dups(t: pa.Table) -> pa.Table:
-        dd = ray.get(drop_ref)
-        mask = np.array([int(d) not in dd for d in t["doc_id"].to_pylist()], dtype=bool)
-        return t.filter(pa.array(mask))
+        dd = np.fromiter(ray.get(drop_ref), dtype=np.int64)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.filter(pa.array(~np.isin(ids, dd)))
 
     final = kept.map_batches(drop_dups, batch_format="pyarrow")
     return final.groupby("lang", num_partitions=default_partitions()).aggregate(

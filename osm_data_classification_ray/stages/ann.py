@@ -23,11 +23,9 @@ from . import kmeans as km
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
-    col = batch["embedding"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = np.asarray(col.flatten(), dtype=np.float64)
-    return flat.reshape(len(col), -1)
+    from ..functions.arrays import list_matrix
+
+    return list_matrix(batch["embedding"])
 
 
 def _normalize_rows(X: np.ndarray) -> np.ndarray:

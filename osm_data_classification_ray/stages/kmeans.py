@@ -140,7 +140,9 @@ class KMeansAssigner:
         self.model = m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pcs = np.array([r.as_py() for r in batch["pc"]], dtype=np.float64)
+        from ..functions.arrays import list_matrix
+
+        pcs = list_matrix(batch["pc"])
         if pcs.size == 0:
             return pa.table({"entity": pa.array([], type=pa.uint64()), "cluster": pa.array([], type=pa.int32())})
         labels, _ = assign_points(pcs, self.model.centroids)

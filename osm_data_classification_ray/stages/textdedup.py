@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..fixtures.gen import hash_u64
 
@@ -120,78 +121,247 @@ def minhash_band_rows(batch: pa.Table, shingle: str = "word") -> pa.Table:
     )
 
 
-def bucket_pairs_block(block: pa.Table) -> pa.Table:
-    """(band, bucket)-colocated block → unique candidate pairs (a < b)."""
+#: emit pair chunks of at most this many rows so a pathological bucket
+#: (n² pairs) streams through the object store instead of materializing
+#: in one worker heap
+_PAIR_CHUNK = 1 << 20
+#: log buckets larger than this (no-silent-caps policy; nothing is dropped)
+_HOT_BUCKET_LOG = 10_000
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+
+
+def bucket_pairs_block(block: pa.Table):
+    """(band, bucket)-colocated block → candidate pairs (a < b), generator.
+
+    EXACT: every co-bucketed pair is emitted (the round-1 200-doc silent
+    truncation is gone — a duplicate cluster of any size yields its full
+    pair set). Pair generation is vectorized (np.triu_indices per bucket,
+    chunked along rows) and yielded in bounded chunks; a bucket of n docs
+    inherently costs O(n²) pairs, so hot buckets are LOGGED and streamed,
+    never dropped. Cross-band duplicate pairs are removed downstream by a
+    key-colocated repartition + per-block dedup (global, distributed)."""
     import pandas as pd
 
     df = block.to_pandas()
-    pairs: set[tuple[int, int]] = set()
-    for _, g in df.groupby(["band", "bucket"], sort=False):
-        if len(g) < 2:
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    buffered = 0
+    for (band, bucket), g in df.groupby(["band", "bucket"], sort=False):
+        ids = np.unique(g["doc_id"].to_numpy())
+        n = len(ids)
+        if n < 2:
             continue
-        ids = np.sort(g["doc_id"].to_numpy())
-        ids = np.unique(ids)
-        if len(ids) < 2:
-            continue
-        if len(ids) > 200:  # pathological bucket guard (hot-bucket salt note)
-            ids = ids[:200]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((int(ids[i]), int(ids[j])))
-    if not pairs:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    arr = np.array(sorted(pairs), dtype=np.int64)
-    return pa.table({"doc_a": pa.array(arr[:, 0]), "doc_b": pa.array(arr[:, 1])})
+        if n > _HOT_BUCKET_LOG:
+            print(f"[textdedup] hot LSH bucket band={band} bucket={bucket}: "
+                  f"{n} docs -> {n*(n-1)//2} candidate pairs (streamed, not capped)")
+        # chunk along the first index so one yield never exceeds ~_PAIR_CHUNK
+        rows_per_chunk = max(1, _PAIR_CHUNK // n)
+        for i0 in range(0, n - 1, rows_per_chunk):
+            i1 = min(i0 + rows_per_chunk, n - 1)
+            # pairs (i, j) with i in [i0, i1), j > i — vectorized
+            counts = n - 1 - np.arange(i0, i1)
+            a = np.repeat(ids[i0:i1], counts)
+            j_idx = np.concatenate([np.arange(i + 1, n) for i in range(i0, i1)]) if i1 > i0 else np.zeros(0, np.int64)
+            b = ids[j_idx]
+            out_a.append(a)
+            out_b.append(b)
+            buffered += len(a)
+            if buffered >= _PAIR_CHUNK:
+                yield pa.table({"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                                "doc_b": pa.array(np.concatenate(out_b), pa.int64())})
+                out_a, out_b, buffered = [], [], 0
+    if buffered:
+        yield pa.table({"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                        "doc_b": pa.array(np.concatenate(out_b), pa.int64())})
+    elif not out_a:
+        yield _empty_pairs()
+
+
+def dedup_pairs_block(block: pa.Table) -> pa.Table:
+    """(doc_a, doc_b)-colocated block → distinct pairs (vectorized)."""
+    if block.num_rows == 0:
+        return _empty_pairs()
+    df = block.to_pandas().drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _shingle_sets_tab(t: pa.Table, shingle: str) -> pa.Table:
+    """(doc_id, text) batch → (doc_id, sh:binary) shingle-set rows; the set
+    is the sorted-unique uint64 hash array's raw bytes (Arrow's hash join
+    rejects list-typed payload columns, binary payloads it supports)."""
+    from ..functions.strhash import word_shingle_hashes
+
+    texts = t["text"].to_pylist()
+    if shingle == "word":
+        sh_list = word_shingle_hashes(texts, 3)
+    else:
+        sh_list = [_char_shingles(x or "") for x in texts]
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "sh": pa.array([s.tobytes() for s in sh_list], pa.binary()),
+    })
+
+
+def _jaccard_verify_tab(t: pa.Table, threshold: float) -> pa.Table:
+    """Pair batch with sh_a/sh_b binary shingle-set columns → verified
+    (doc_a, doc_b, jaccard) rows. Sets decode zero-copy via np.frombuffer;
+    the exact Jaccard is a C-level intersect per pair."""
+    sha_list = t["sh_a"].to_pylist()
+    shb_list = t["sh_b"].to_pylist()
+    out_a, out_b, out_j = [], [], []
+    das = t["doc_a"].to_pylist()
+    dbs = t["doc_b"].to_pylist()
+    for i in range(t.num_rows):
+        sa = np.frombuffer(sha_list[i], dtype=np.uint64)
+        sb = np.frombuffer(shb_list[i], dtype=np.uint64)
+        j = jaccard(sa, sb)
+        if j >= threshold:
+            out_a.append(das[i])
+            out_b.append(dbs[i])
+            out_j.append(round(j, 6))
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
 
 
 def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
                            shingle: str = "word") -> pa.Table:
     """Full MinHash-LSH near-dup pipeline → verified pairs table.
 
-    Verification recomputes exact Jaccard for candidate docs only (their
-    texts fetched via a semi-join filter on the broadcast candidate id set
-    — candidates ≪ corpus)."""
+    Every stage is distributed (round-1 VERDICT item #4 — no driver
+    materialization of pair/candidate/text sets):
+    1. band rows → (band, bucket) shuffle → exact per-bucket pair emission
+       (chunk-streamed, never truncated),
+    2. global pair dedup by (doc_a, doc_b)-keyed repartition + per-block
+       drop_duplicates,
+    3. candidate shingle sets: the distinct candidate ids semi-join the
+       docs table via a hash join (the docs side streams through ONE
+       doc_id exchange — linear, no broadcast assumption), shingles
+       recomputed per candidate only,
+    4. pairs ⋈ shingle sets (doc_a, then doc_b) → per-batch exact Jaccard.
+    Only the final verified pair table (the query result) is collected."""
     from ..runtime import use_hash_shuffle
 
     use_hash_shuffle()
+    # Phase barriers (same lesson as features_twolevel: running the whole
+    # DAG at once stacks 6 concurrent hash exchanges' aggregator pools on
+    # the node — worker storm/deadlock at small CPU counts; phased, at
+    # most 2 exchanges are live, and every materialized intermediate is
+    # pair-/candidate-sized, never corpus-sized).
     bands = docs_ds.map_batches(
         lambda t: minhash_band_rows(t, shingle), batch_format="pyarrow"
     )
     bands = bands.repartition(num_partitions, keys=["band", "bucket"], sort=True)
     pairs_ds = bands.map_batches(bucket_pairs_block, batch_format="pyarrow", batch_size=None)
-    pairs = pairs_ds.to_pandas().drop_duplicates()
-    if pairs.empty:
+    pairs_ds = pairs_ds.repartition(num_partitions, keys=["doc_a", "doc_b"], sort=False)
+    pairs_ds = pairs_ds.map_batches(
+        dedup_pairs_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # distinct candidate ids (narrow union of both pair sides)
+    ids_ds = pairs_ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays(
+            [t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"],
+             t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]])}),
+        batch_format="pyarrow",
+    ).groupby("doc_id", num_partitions=num_partitions).count()
+    ids_ds = ids_ds.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+    cand_docs = docs_ds.join(ids_ds, join_type="inner", num_partitions=num_partitions,
+                             on=("doc_id",))
+    sh_ds = cand_docs.map_batches(lambda t: _shingle_sets_tab(t, shingle),
+                                  batch_format="pyarrow").materialize()
+
+    sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow")
+    j1 = pairs_ds.join(sh_a, join_type="inner", num_partitions=num_partitions,
+                       on=("doc_a",)).materialize()
+    sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]), batch_format="pyarrow")
+    j2 = j1.join(sh_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+    verified = j2.map_batches(lambda t: _jaccard_verify_tab(t, threshold),
+                              batch_format="pyarrow")
+
+    out = verified.to_pandas()
+    if out.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    cand_ids = np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]))
-    id_set = set(int(x) for x in cand_ids)
-
-    def pick(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        mask = np.array([int(x) in id_set for x in ids])
-        return t.filter(pa.array(mask))
-
-    cand_docs = docs_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    sh_fn = _word_shingles if shingle == "word" else _char_shingles
-    sh = {int(r.doc_id): sh_fn(r.text or "") for r in cand_docs.itertuples()}
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(zip(pairs["doc_a"], pairs["doc_b"])):
-        j = jaccard(sh[int(a)], sh[int(b)])
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(round(j, 6))
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    out = out.sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def connected_groups(pairs: pa.Table, col_a: str = "doc_a", col_b: str = "doc_b") -> pa.Table:
+#: above this many pairs the driver union-find gives way to distributed
+#: label propagation (connected_groups_distributed)
+GROUPS_DRIVER_LIMIT = 2_000_000
+
+
+def connected_groups_distributed(pairs, num_partitions: int, max_iters: int = 64) -> pa.Table:
+    """Near-dup pair graph → (doc_id, group_rep) via distributed min-label
+    propagation (the scale fallback for ``connected_groups``): every
+    iteration is edges ⋈ labels (hash join on v) → groupby(u).min — no
+    driver state proportional to the graph. Converges in ≤ diameter
+    iterations (near-dup components are dense, so typically 2-3); output
+    is identical to the union-find (tested)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    pairs_ds = rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs
+
+    def edges_tab(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        u = np.concatenate([a, b, a])
+        v = np.concatenate([b, a, a])  # both directions + self loop (a,a)
+        u2 = np.concatenate([u, b])
+        v2 = np.concatenate([v, b])    # self loop (b,b)
+        return pa.table({"u": pa.array(u2, pa.int64()), "v": pa.array(v2, pa.int64())})
+
+    edges = pairs_ds.map_batches(edges_tab, batch_format="pyarrow").materialize()
+    labels = edges.groupby("u", num_partitions=num_partitions).aggregate(
+        Min("v", alias_name="label")
+    ).materialize()
+    for _ in range(max_iters):
+        lab_v = labels.map_batches(lambda t: t.rename_columns(["v", "vlabel"]),
+                                   batch_format="pyarrow")
+        prop = edges.join(lab_v, join_type="inner", num_partitions=num_partitions, on=("v",))
+        prop = prop.map_batches(
+            lambda t: pa.table({"u": t["u"], "label": t["vlabel"]}), batch_format="pyarrow"
+        )
+        new_labels = prop.groupby("u", num_partitions=num_partitions).aggregate(
+            Min("label", alias_name="label")
+        ).materialize()
+        old = labels.map_batches(lambda t: t.rename_columns(["u", "old_label"]),
+                                 batch_format="pyarrow")
+        diff = new_labels.join(old, join_type="inner", num_partitions=num_partitions, on=("u",))
+        changed = diff.map_batches(
+            lambda t: t.filter(pc.not_equal(t["label"], t["old_label"])),
+            batch_format="pyarrow",
+        ).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.to_pandas().sort_values("u")
+    return pa.table({"doc_id": pa.array(out["u"].to_numpy(np.int64), pa.int64()),
+                     "group_rep": pa.array(out["label"].to_numpy(np.int64), pa.int64())})
+
+
+def connected_groups(pairs: pa.Table, col_a: str = "doc_a", col_b: str = "doc_b",
+                     num_partitions: int = 8) -> pa.Table:
     """Near-dup pair graph → (doc_id, group_rep) via union-find.
 
-    Runs on the driver — valid because the pair set is the LSH-verified
-    candidate output (≪ corpus; the guide's "union-find on the driver only
-    if the candidate set is provably small" case). rep = min doc_id of the
-    connected component; only docs that appear in a pair are emitted."""
+    Runs on the driver while the pair set is small (the LSH-verified
+    candidate output; the guide's "union-find on the driver only if the
+    candidate set is provably small" case); above ``GROUPS_DRIVER_LIMIT``
+    pairs it switches to ``connected_groups_distributed`` (identical
+    output, tested). rep = min doc_id of the connected component; only
+    docs that appear in a pair are emitted."""
+    if pairs.num_rows > GROUPS_DRIVER_LIMIT:
+        if (col_a, col_b) != ("doc_a", "doc_b"):
+            pairs = pairs.select([col_a, col_b]).rename_columns(["doc_a", "doc_b"])
+        return connected_groups_distributed(pairs, num_partitions)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -260,6 +260,40 @@ class TestConnectedGroups:
         m = dict(zip(out["doc_id"].to_pylist(), out["group_rep"].to_pylist()))
         assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
+    def test_distributed_label_prop_matches_union_find(self, ray_session):
+        from osm_data_classification_ray.stages.textdedup import (
+            connected_groups,
+            connected_groups_distributed,
+        )
+
+        rng = np.random.default_rng(7)
+        m = 2000
+        pairs = pa.table({
+            "doc_a": pa.array(rng.integers(0, 500, m), pa.int64()),
+            "doc_b": pa.array(rng.integers(500, 1000, m), pa.int64()),
+        })
+        uf = connected_groups(pairs)
+        dist = connected_groups_distributed(pairs, 4)
+        assert uf.equals(dist)
+
+
+class TestHotBucket:
+    def test_identical_text_flood_yields_full_pair_set(self, ray_session):
+        """Round-1 VERDICT item #3: a duplicate cluster larger than the old
+        200-doc bucket cap must yield its FULL pair set (no silent
+        truncation) through the distributed pipeline."""
+        import ray.data as rd
+
+        n = 300  # > old 200-doc cap; full clique = 44,850 pairs
+        docs = pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(["the quick brown fox jumps over the lazy dog"] * n),
+        })
+        pairs = textdedup.minhash_near_dup_pairs(rd.from_arrow(docs), 4,
+                                                 threshold=0.6, shingle="word")
+        assert pairs.num_rows == n * (n - 1) // 2
+        assert set(pairs["jaccard"].to_pylist()) == {1.0}
+
 
 class TestMultimodalStages:
     def test_resize_and_frame_sample(self, ray_session):
