@@ -29,13 +29,13 @@ def _derive_docs(batch: pa.Table) -> pa.Table:
     )
 
 
-def _input_id(sf_dir: str) -> str:
-    """Identity of the input data: resolved path + documents.parquet
+def _input_id(sf_dir: str, table: str = "documents") -> str:
+    """Identity of the input data: resolved path + the table's parquet
     size/mtime. Mixed into the checkpoint root AND every stage fingerprint
     so a regenerated or same-named input never reuses stale checkpoints."""
     import hashlib
 
-    p = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    p = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
     try:
         st = os.stat(p)
         ident = f"{p}|{st.st_size}|{st.st_mtime_ns}"

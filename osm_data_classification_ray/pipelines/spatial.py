@@ -38,8 +38,13 @@ class EngineConfig:
     batch_size: int = 4096              # rows per batch for the heavy extract stage
     #: "colocated" = one r5 shuffle, exact distincts per block (fast; bounded
     #: by rows-per-hot-cell fitting a block); "twolevel" = skew-proof
-    #: combining aggregates (stages.features_twolevel), identical output
-    features_mode: str = "colocated"
+    #: combining aggregates (stages.features_twolevel), identical output;
+    #: "auto" (default) = cheap r5 histogram pre-pass picks colocated unless
+    #: some cell exceeds ``hot_cell_rows`` (the block budget)
+    features_mode: str = "auto"
+    #: rows per r5 cell beyond which the colocated pass would need one
+    #: block bigger than the budget → auto mode switches to twolevel
+    hot_cell_rows: int = 1_000_000
     #: "shuffle" = url-keyed hash exchange of full capture rows (default —
     #: measured 3x faster single-node); "bucketed" = write extraction output
     #: hash-partitioned by url bucket (hive parquet, no object-store
@@ -211,19 +216,34 @@ def run_cell_features(cfg: EngineConfig) -> str:
     fp = ckpt.fingerprint(cfg.fp({"stage": "cell_features"}),
                           [ckpt.manifest_path(cfg.out_root, "captures")])
 
+    chosen = {"mode": cfg.features_mode}
+
     def build():
         ds = read_stage(cfg.out_root, "captures", features.FEATURE_INPUT_COLUMNS + ["has_geo"],
                         num_blocks=cfg.num_partitions)
         ds = ds.map_batches(lambda t: t.filter(t["has_geo"]).drop_columns(["has_geo"]),
                             batch_format="pyarrow", batch_size=None)
-        if cfg.features_mode == "twolevel":
+        mode = cfg.features_mode
+        if mode == "auto":
+            # cheap count-only r5 histogram: if any cell would exceed the
+            # block budget, the colocated pass can't hold it in one block →
+            # switch to the skew-proof twolevel pass (bit-identical output)
+            from ray.data.aggregate import Count
+
+            hist = ds.groupby("h3_r5", num_partitions=cfg.num_partitions).aggregate(
+                Count(alias_name="n")
+            ).materialize()
+            mx = hist.max("n") if hist.count() else 0
+            mode = "twolevel" if (mx or 0) > cfg.hot_cell_rows else "colocated"
+            chosen["mode"] = mode
+        if mode == "twolevel":
             from ..stages.features_twolevel import cell_features_twolevel
 
             return cell_features_twolevel(ds, cfg.num_partitions)
         ds = ds.repartition(cfg.num_partitions, keys=["h3_r5"], sort=True)
         return ds.map_batches(features.cell_features_block, batch_format="pyarrow", batch_size=None)
 
-    return ckpt.run_stage(cfg.out_root, "cell_features", fp, build)
+    return ckpt.run_stage(cfg.out_root, "cell_features", fp, build, extra_meta=chosen)
 
 
 def run_tiles(cfg: EngineConfig) -> str:

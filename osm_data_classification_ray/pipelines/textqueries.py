@@ -106,8 +106,16 @@ def q24_embedding_near_dup(sf_dir: str):
 
 
 def q25_ann_ivf(sf_dir: str):
+    """IVF with a PHYSICAL inverted-file index: embeddings checkpointed
+    hive-partitioned by list id (keyed to the input's identity), probes
+    read only their lists' partitions."""
+    import os
+
+    from .entry_support import _input_id
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ann.ivf_topk(ds, _QUERY_VEC_IDS, k=5, nlist=16, nprobe=4)
+    root = os.path.join("/tmp/graft_engine", f"ivf-{_input_id(sf_dir, 'embeddings')}")
+    out = ann.ivf_topk(ds, _QUERY_VEC_IDS, k=5, nlist=16, nprobe=4, index_root=root)
     return out.select(["query_id", "neighbor_id", "rank"])
 
 

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -100,16 +102,97 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5) -> pa.Table:
     return _final_topk(cands, k)
 
 
-def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, nlist: int = 16,
-             nprobe: int = 4, sample: int = 4096) -> pa.Table:
-    """IVF approximate top-k: deterministic centroids over a sorted sample,
-    scan only the nprobe nearest inverted lists per query."""
+def deterministic_sample_matrix(emb_ds, n_target: int, stream: int = 955) -> np.ndarray:
+    """Deterministic sample WITHOUT a global sort (round-1 finding #2: the
+    old ``sort().limit()`` shuffled the whole table to read N rows):
+    hash-filter on vec_id at ~2x the target rate, local sort of the tiny
+    sample, truncate. Pure function of the data, not of block order."""
     import ray
 
-    smp = emb_ds.sort("vec_id").limit(sample).to_pandas()
-    X = _normalize_rows(np.stack(smp["embedding"].to_numpy()).astype(np.float64))
+    from ..fixtures.gen import hash_u64
+
+    n = emb_ds.count()
+    rate = min(1.0, (n_target * 2.0) / max(n, 1))
+    bound = np.uint64(int(rate * 2**63) * 2) if rate < 1.0 else np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mask = hash_u64(ids.view(np.uint64), stream) <= bound
+        return t.filter(pa.array(mask))
+
+    refs = emb_ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    smp = pa.concat_tables(tabs) if tabs else pa.table(
+        {"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float64()))}
+    )
+    import pyarrow.compute as _pc
+
+    smp = smp.take(_pc.sort_indices(smp, sort_keys=[("vec_id", "ascending")]))
+    smp = smp.slice(0, n_target)
+    return _emb_matrix(smp)
+
+
+def ivf_fit_centroids(emb_ds, nlist: int, sample: int = 4096) -> np.ndarray:
+    X = _normalize_rows(deterministic_sample_matrix(emb_ds, sample))
     model, _ = km.fit_local(X, nlist)
-    centroids = _normalize_rows(model.centroids)
+    return _normalize_rows(model.centroids)
+
+
+def ivf_build_index(emb_ds, out_root: str, nlist: int = 16, sample: int = 4096,
+                    fp_extra: str = "") -> tuple[str, np.ndarray]:
+    """Build (or reuse) a PHYSICAL inverted-file index: embeddings written
+    hive-partitioned by ``list_id`` (nearest centroid), so a probe reads
+    only its lists' partitions from storage — the scan-pruning IVF the
+    round-1 version lacked. Checkpointed with manifest/lineage like every
+    engine stage; centroids persisted beside the partitions."""
+    import pyarrow.parquet as pq
+
+    from ..state import checkpoint as ckpt
+
+    cent_path = os.path.join(out_root, "ivf_centroids.parquet")
+    fp = ckpt.fingerprint({"stage": "ivf_index", "nlist": nlist, "sample": sample,
+                           "extra": fp_extra})
+    if ckpt.is_complete(out_root, "ivf_index", fp) and os.path.exists(cent_path):
+        t = pq.read_table(cent_path)
+        from ..functions.arrays import list_matrix
+
+        return os.path.join(out_root, "ivf_index"), list_matrix(t["centroid"])
+
+    centroids = ivf_fit_centroids(emb_ds, nlist, sample)
+
+    def assign(t: pa.Table) -> pa.Table:
+        X = _normalize_rows(_emb_matrix(t))
+        lists = np.argmax(X @ centroids.T, axis=1).astype(np.int32)
+        return t.append_column("list_id", pa.array(lists, pa.int32()))
+
+    def build():
+        return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+    out_dir = ckpt.run_stage(out_root, "ivf_index", fp, build,
+                             partition_cols=["list_id"],
+                             extra_meta={"nlist": nlist, "index": "ivf"})
+    os.makedirs(out_root, exist_ok=True)
+    pq.write_table(
+        pa.table({"list": pa.array(np.arange(len(centroids), dtype=np.int32), pa.int32()),
+                  "centroid": pa.array([c.tolist() for c in centroids], pa.list_(pa.float64()))}),
+        cent_path,
+    )
+    return out_dir, centroids
+
+
+def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, nlist: int = 16,
+             nprobe: int = 4, sample: int = 4096,
+             index_root: str | None = None) -> pa.Table:
+    """IVF approximate top-k: deterministic centroids over a hash-filter
+    sample; with ``index_root`` the probe READS ONLY the probed lists'
+    parquet partitions (physical pruning); without it, it scans with
+    per-batch list masking (the no-index fallback)."""
+    import ray
+
+    if index_root is not None:
+        index_dir, centroids = ivf_build_index(emb_ds, index_root, nlist, sample)
+    else:
+        index_dir, centroids = None, ivf_fit_centroids(emb_ds, nlist, sample)
 
     def pick(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -122,6 +205,17 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, nlist: int = 16,
     probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
     q_ref = ray.put((qids, Q))
     c_ref = ray.put((centroids, probe))
+
+    if index_dir is not None:
+        import ray.data as rd
+
+        import glob
+
+        lists_needed = sorted(set(int(x) for x in probe.ravel()))
+        paths = [f for li in lists_needed
+                 for f in sorted(glob.glob(os.path.join(index_dir, f"list_id={li}", "*.parquet")))]
+        # pruned read: only the probed partitions' files leave storage
+        emb_ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
 
     class IVFEmitter(TopKEmitter):
         def __init__(self, q_ref, k, c_ref):

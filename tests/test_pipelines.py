@@ -223,3 +223,33 @@ def test_salted_pip_join_identical(golden, tmp_path_factory, ray_session):
     got = canon(_read({"page_admin": str(d / "page_admin")}, "page_admin"), ["url"])
     want = canon(ref["page_admin"], ["url"])
     assert got.equals(want)
+
+
+def test_auto_features_mode_switches_on_hot_cell(golden, ray_outputs, tmp_path_factory):
+    """features_mode='auto' (the default) must pick the skew-proof twolevel
+    pass when a cell exceeds the block budget — with NO manual config —
+    and stay bit-identical to the colocated output."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    docs, admin, _ = golden
+    cfg0, paths = ray_outputs
+    d = tmp_path_factory.mktemp("engine_auto_hot")
+    src = tmp_path_factory.mktemp("docs_in_auto")
+    pq.write_table(docs, src / "documents.parquet")
+    # hot_cell_rows=1: every populated cell is "hot" → auto must go twolevel
+    cfg = spatial.EngineConfig(out_root=str(d), num_partitions=3,
+                               pip_concurrency=(1, 2), hot_cell_rows=1)
+    spatial.run_captures(cfg, lambda: rd.read_parquet(str(src / "documents.parquet")).repartition(4))
+    spatial.run_cell_features(cfg)
+    with open(os.path.join(str(d), "cell_features", "manifest.json")) as f:
+        meta = json.load(f)["meta"]
+    assert meta["mode"] == "twolevel"
+    got = canon(_read({"cell_features": os.path.join(str(d), "cell_features")}, "cell_features"),
+                ["res", "cell"])
+    want = canon(_read(paths, "cell_features"), ["res", "cell"])
+    assert got.num_rows == want.num_rows
+    for c in got.column_names:
+        assert got[c].to_pylist() == want[c].to_pylist(), f"column {c}"

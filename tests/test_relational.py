@@ -74,6 +74,22 @@ def _ray_table(res) -> pa.Table:
     return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
 
 
+@pytest.mark.parametrize("name", ["q07_semi_join", "q08_anti_join"])
+def test_semi_anti_shuffle_variant_matches_broadcast(ray_session, duck, name, monkeypatch):
+    """J5 both ways: the key-colocated shuffle variant (the path for key
+    cardinalities beyond the broadcast limit) must equal the broadcast
+    variant AND the oracle."""
+    fn, sql = ALL_ORACLE_QUERIES[name]
+    monkeypatch.setenv("RAY_GRAFT_SEMI_MODE", "shuffle")
+    got = _normalize(_ray_table(fn(SF_DIR)))
+    monkeypatch.setenv("RAY_GRAFT_SEMI_MODE", "broadcast")
+    got_b = _normalize(_ray_table(fn(SF_DIR)))
+    want = _normalize(duck.execute(sql).arrow())
+    assert got.equals(got_b)
+    for col in got.column_names:
+        assert got[col].to_pylist() == want[col].to_pylist(), f"{name}: {col}"
+
+
 @pytest.mark.parametrize("name", sorted(ALL_ORACLE_QUERIES))
 def test_query_matches_oracle(ray_session, duck, name):
     fn, sql = ALL_ORACLE_QUERIES[name]

