@@ -53,6 +53,9 @@ class EngineConfig:
     #: is the constraint and shared storage is fast. Assumption: one bucket
     #: (≈ corpus / num_partitions) fits a worker heap.
     dedup_mode: str = "shuffle"
+    #: superseded-key count above which run_pages switches from the
+    #: broadcast anti-filter to a (url, warc_ts, sha) hash join
+    superseded_broadcast_limit: int = 5_000_000
     #: identity of the input data (path + size/mtime hash); root stages mix
     #: it into their fingerprint so regenerated inputs invalidate checkpoints
     input_id: str = ""
@@ -93,23 +96,54 @@ def read_stage(root: str, stage: str, columns: list[str] | None = None,
 # job 1: ingest_index — read documents → enrich → dedup/chains (url shuffle)
 # ---------------------------------------------------------------------------
 
+#: columns that cross the url exchange — everything EXCEPT extracted_text
+#: (round-1 VERDICT perf item #2: the text was ~70% of the 1 GB exchange
+#: and no shuffle consumer reads it; it stays in the unshuffled
+#: ``extracted`` checkpoint and is re-read, column-pruned, only by pages)
+CAPTURE_NARROW_COLUMNS = [
+    "url", "warc_ts", "host", "lang", "text_sha256", "n_chars", "n_tokens",
+    "lat", "lon", "geocode_src", "has_geo",
+    "h3_r5", "h3_r6", "h3_r7", "h3_r8", "h3_r9",
+]
+
+_PAGES_WIDE_COLUMNS = ["url", "warc_ts", "host", "lang", "extracted_text",
+                       "text_sha256", "n_chars", "n_tokens"]
+
+
+def run_extracted(cfg: EngineConfig, docs_source) -> str:
+    """documents → wide extraction checkpoint (html dropped, text kept).
+    NO exchange: blocks land as the streaming executor produces them; the
+    text bytes are written exactly once and never cross the object store."""
+    fp = ckpt.fingerprint(cfg.fp({"stage": "extracted"}))
+
+    def build():
+        ds = docs_source()
+        return ds.map_batches(
+            lambda t: ingest.extract_geocode_cells(t, compute_s2=False),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
+
+    return ckpt.run_stage(cfg.out_root, "extracted", fp, build)
+
+
 def run_captures(cfg: EngineConfig, docs_source) -> str:
-    """documents → enriched captures checkpoint. ``docs_source`` is a
+    """documents → enriched captures checkpoint (NARROW: no extracted_text).
+
+    Two stages: ``extracted`` (wide, exchange-free) then the url-keyed hash
+    shuffle over the COLUMN-PRUNED read (the parquet reader never touches
+    the text bytes) → per-block chain enrichment. ``docs_source`` is a
     zero-arg callable returning the input Dataset (lazy so a skipped stage
     never touches the input)."""
     if cfg.dedup_mode == "bucketed":
         return _run_captures_bucketed(cfg, docs_source)
     use_hash_shuffle()
-    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}))
+    run_extracted(cfg, docs_source)
+    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}),
+                          [ckpt.manifest_path(cfg.out_root, "extracted")])
 
     def build():
-        ds = docs_source()
-        ds = ds.map_batches(ingest.extract_geocode_cells, batch_format="pyarrow",
-                            batch_size=cfg.batch_size)
-        # s2_cells is a per-page covering detail no shuffle consumer needs —
-        # drop it before the url exchange (re-derivable from lat/lon via
-        # cellmath.s2.point_covering; served by the page_cells query).
-        ds = ds.map_batches(lambda t: t.drop_columns(["s2_cells"]), batch_format="pyarrow")
+        ds = read_stage(cfg.out_root, "extracted", CAPTURE_NARROW_COLUMNS,
+                        num_blocks=cfg.num_partitions)
         ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=True)
         return ds.map_batches(dedup.enrich_chains, batch_format="pyarrow", batch_size=None)
 
@@ -117,24 +151,25 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
 
 
 def _run_captures_bucketed(cfg: EngineConfig, docs_source) -> str:
-    """Shuffle-free captures: extraction output lands hash-partitioned by
-    url bucket (hive-partitioned compressed parquet — colocation by layout,
-    not by exchange), then each bucket is enriched locally in one task.
-    Output is identical to the shuffle path; resume is per bucket."""
+    """Shuffle-free captures: the narrow extraction columns land
+    hash-partitioned by url bucket (hive-partitioned compressed parquet —
+    colocation by layout, not by exchange), then each bucket is enriched
+    locally in one task. Output is identical to the shuffle path; resume
+    is per bucket."""
     import zlib
 
     import ray.data as rd
 
     B = cfg.num_partitions
-    fp_raw = ckpt.fingerprint(cfg.fp({"stage": "captures_raw"}))
+    run_extracted(cfg, docs_source)
+    fp_raw = ckpt.fingerprint(cfg.fp({"stage": "captures_raw"}),
+                              [ckpt.manifest_path(cfg.out_root, "extracted")])
 
     def build_raw():
-        ds = docs_source()
-        ds = ds.map_batches(ingest.extract_geocode_cells, batch_format="pyarrow",
-                            batch_size=cfg.batch_size)
+        ds = read_stage(cfg.out_root, "extracted", CAPTURE_NARROW_COLUMNS,
+                        num_blocks=cfg.num_partitions)
 
         def bucketize(t: pa.Table) -> pa.Table:
-            t = t.drop_columns(["s2_cells"])
             buckets = np.array(
                 [zlib.crc32(u.encode()) % B for u in t["url"].to_pylist()], dtype=np.int32
             )
@@ -192,18 +227,117 @@ def _pad_flags(t: pa.Table) -> pa.Table:
     return t
 
 
+#: per-worker-process cache of superseded-filter state (set + sorted hash
+#: prefilter) keyed by the broadcast object's ref — plain map tasks get
+#: init-once state without paying an actor-pool ramp-up
+_SUP_STATE_CACHE: dict[str, tuple] = {}
+
+
+def _sup_state(sup_ref):
+    import ray
+
+    key = sup_ref.hex() if hasattr(sup_ref, "hex") else str(id(sup_ref))
+    st = _SUP_STATE_CACHE.get(key)
+    if st is None:
+        from ..fixtures.gen import hash_u64
+        from ..functions.strhash import fnv1a_list
+
+        sup_keys = ray.get(sup_ref) if not isinstance(sup_ref, list) else sup_ref
+        urls = [k[0] for k in sup_keys]
+        ts = np.array([k[1] for k in sup_keys], dtype=np.int64)
+        h = np.sort(hash_u64(fnv1a_list(urls) ^ ts.view(np.uint64), 963))
+        st = (set(sup_keys), h)
+        _SUP_STATE_CACHE.clear()
+        _SUP_STATE_CACHE[key] = st
+    return st
+
+
+def _latest_filter(t: pa.Table, sup_ref) -> pa.Table:
+    """Drops superseded captures from the wide extracted stage. The
+    superseded-key set (non-latest captures — bounded by the DUPLICATE
+    count, not the corpus) is one broadcast object cached per worker;
+    membership is a vectorized (url, ts) hash prefilter + exact tuple
+    confirmation for the (rare) hash hits, so the hot path stays numpy."""
+    from ..fixtures.gen import hash_u64
+    from ..functions.strhash import fnv1a_arrow
+
+    sup_set, sup_hash = _sup_state(sup_ref)
+    if t.num_rows == 0 or len(sup_hash) == 0:
+        return t
+    ts = np.asarray(t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    h = hash_u64(fnv1a_arrow(t["url"]) ^ ts.view(np.uint64), 963)
+    pos = np.searchsorted(sup_hash, h)
+    pos = np.clip(pos, 0, len(sup_hash) - 1)
+    maybe = sup_hash[pos] == h
+    if not maybe.any():
+        return t
+    drop = np.zeros(t.num_rows, dtype=bool)
+    idxs = np.nonzero(maybe)[0]
+    urls = t["url"].take(pa.array(idxs)).to_pylist()
+    shas = t["text_sha256"].take(pa.array(idxs)).to_pylist()
+    for j, i in enumerate(idxs):
+        if (urls[j], int(ts[i]), shas[j]) in sup_set:
+            drop[i] = True
+    return t.filter(pa.array(~drop))
+
+
 def run_pages(cfg: EngineConfig) -> str:
-    """Deduped pages table (latest capture per url), extracted text included."""
-    fp = ckpt.fingerprint(cfg.fp({"stage": "pages"}), [ckpt.manifest_path(cfg.out_root, "captures")])
+    """Deduped pages table (latest capture per url), extracted text included.
+
+    The text comes straight from the unshuffled ``extracted`` checkpoint;
+    dedup is an anti-join against the SUPERSEDED capture keys (non-latest
+    rows of the narrow captures stage — proportional to the duplicate
+    count). Small superseded sets broadcast (one object, loaded per
+    actor); above ``superseded_broadcast_limit`` a hash join on
+    (url, warc_ts, text_sha256) runs instead — same rows, one wide
+    exchange (the cost the broadcast path avoids). Degenerate fully
+    identical capture records (same url+ts+content) are left intact by
+    the broadcast path (their copies are indistinguishable rows)."""
+    import ray
+
+    fp = ckpt.fingerprint(cfg.fp({"stage": "pages"}),
+                          [ckpt.manifest_path(cfg.out_root, "captures"),
+                           ckpt.manifest_path(cfg.out_root, "extracted")])
 
     def build():
-        ds = read_stage(cfg.out_root, "captures",
-                        ["url", "warc_ts", "host", "lang", "extracted_text",
-                         "text_sha256", "n_chars", "n_tokens", "is_latest"])
-        return ds.map_batches(
-            lambda t: t.filter(t["is_latest"]).drop_columns(["is_latest"]),
+        flags = read_stage(cfg.out_root, "captures",
+                           ["url", "warc_ts", "text_sha256", "is_latest", "dups_latest"],
+                           num_blocks=cfg.num_partitions)
+        wide = read_stage(cfg.out_root, "extracted", _PAGES_WIDE_COLUMNS,
+                          num_blocks=cfg.num_partitions)
+        # superseded keys, EXCLUDING fully identical capture records
+        # (dups_latest — their key equals the latest row's key and must
+        # never be dropped; the flag comes from enrich_chains, so no
+        # second pass is needed to find collisions)
+        sup_ds = flags.map_batches(
+            lambda t: t.filter(pc.and_(pc.invert(t["is_latest"]),
+                                       pc.invert(t["dups_latest"])))
+            .select(["url", "warc_ts", "text_sha256"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_sup = sup_ds.count()
+        if n_sup <= cfg.superseded_broadcast_limit:
+            keys: list[tuple] = []
+            if n_sup:
+                tabs = [x for x in ray.get(sup_ds.to_arrow_refs()) if x.num_rows]
+                sup_t = pa.concat_tables(tabs)
+                keys = list(zip(sup_t["url"].to_pylist(),
+                                sup_t["warc_ts"].cast(pa.int64()).to_pylist(),
+                                sup_t["text_sha256"].to_pylist()))
+            sup_ref = ray.put(keys)
+            return wide.map_batches(_latest_filter, fn_args=(sup_ref,),
+                                    batch_format="pyarrow", batch_size=None)
+        # join fallback (extreme duplicate rates): latest keys ⋈ wide rows
+        latest = flags.map_batches(
+            lambda t: t.filter(t["is_latest"]).select(["url", "warc_ts", "text_sha256"]),
             batch_format="pyarrow",
         )
+        joined = wide.join(latest, join_type="inner",
+                           num_partitions=cfg.num_partitions,
+                           on=("url", "warc_ts", "text_sha256"))
+        return joined.map_batches(lambda t: t.select(_PAGES_WIDE_COLUMNS),
+                                  batch_format="pyarrow")
 
     return ckpt.run_stage(cfg.out_root, "pages", fp, build)
 
@@ -211,6 +345,47 @@ def run_pages(cfg: EngineConfig) -> str:
 # ---------------------------------------------------------------------------
 # job 2 part A: cell features + tiles (ONE r5 hash shuffle for res 5..9)
 # ---------------------------------------------------------------------------
+
+def r5_histogram(cfg: EngineConfig) -> dict[int, int]:
+    """Geo-capture counts per r5 cell (all versions), computed ONCE per
+    captures checkpoint via per-block partial value counts (8-byte keys,
+    no exchange — driver combine is bounded by the r5 cell universe ×
+    blocks, never by rows) and cached as a sidecar json. Serves BOTH the
+    features auto-mode decision and the PIP salt pre-pass."""
+    import json
+
+    import ray
+
+    path = os.path.join(cfg.out_root, "r5_histogram.json")
+    fp = ckpt.fingerprint(cfg.fp({"stage": "r5_histogram"}),
+                          [ckpt.manifest_path(cfg.out_root, "captures")])
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("fingerprint") == fp:
+            return {int(k): int(v) for k, v in d["counts"].items()}
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_geo"])
+        cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        vals, cnts = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(vals.view(np.int64), pa.int64()),
+                         "n": pa.array(cnts, pa.int64())})
+
+    ds = read_stage(cfg.out_root, "captures", ["h3_r5", "has_geo"],
+                    num_blocks=cfg.num_partitions)
+    ds = ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+    tabs = [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows]
+    counts: dict[int, int] = {}
+    if tabs:
+        h = pa.concat_tables(tabs).to_pandas().groupby("cell")["n"].sum()
+        counts = {int(c) & 0xFFFFFFFFFFFFFFFF: int(n) for c, n in h.items()}
+    with open(path, "w") as f:
+        json.dump({"fingerprint": fp, "counts": {str(k): v for k, v in counts.items()}}, f)
+    return counts
+
 
 def run_cell_features(cfg: EngineConfig) -> str:
     fp = ckpt.fingerprint(cfg.fp({"stage": "cell_features"}),
@@ -225,16 +400,13 @@ def run_cell_features(cfg: EngineConfig) -> str:
                             batch_format="pyarrow", batch_size=None)
         mode = cfg.features_mode
         if mode == "auto":
-            # cheap count-only r5 histogram: if any cell would exceed the
-            # block budget, the colocated pass can't hold it in one block →
-            # switch to the skew-proof twolevel pass (bit-identical output)
-            from ray.data.aggregate import Count
-
-            hist = ds.groupby("h3_r5", num_partitions=cfg.num_partitions).aggregate(
-                Count(alias_name="n")
-            ).materialize()
-            mx = hist.max("n") if hist.count() else 0
-            mode = "twolevel" if (mx or 0) > cfg.hot_cell_rows else "colocated"
+            # if any r5 cell exceeds the block budget, the colocated pass
+            # can't hold it in one block → switch to the skew-proof
+            # twolevel pass (bit-identical output). Histogram is the
+            # shared exchange-free sidecar (also used by the PIP salt map).
+            counts = r5_histogram(cfg)
+            mx = max(counts.values()) if counts else 0
+            mode = "twolevel" if mx > cfg.hot_cell_rows else "colocated"
             chosen["mode"] = mode
         if mode == "twolevel":
             from ..stages.features_twolevel import cell_features_twolevel
@@ -279,30 +451,10 @@ def run_page_admin(cfg: EngineConfig, admin_table: pa.Table) -> str:
             lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(["has_geo", "is_latest"]),
             batch_format="pyarrow", batch_size=None,
         )
-        # skew pre-pass: r5 histogram → salt map (small driver dict). If the
-        # cell_features checkpoint already exists, its res-5 rows ARE the
-        # histogram (n_pages per r5 cell — counts all captures vs the latest
-        # page set joined here, an over-estimate, which only makes salting
-        # more conservative); otherwise run a count-only aggregate.
-        counts: dict[int, int] = {}
-        try:
-            import pyarrow.parquet as pq
-
-            if os.path.exists(os.path.join(cfg.out_root, "cell_features", "_SUCCESS")):
-                for f in ckpt.stage_files(cfg.out_root, "cell_features"):
-                    t = pq.read_table(f, columns=["cell", "res", "n_pages"])
-                    t = t.filter(pc.equal(t["res"], pa.scalar(5, pa.int8())))
-                    for c, n in zip(t["cell"].to_pylist(), t["n_pages"].to_pylist()):
-                        counts[int(c)] = counts.get(int(c), 0) + int(n)
-        except (OSError, pa.ArrowInvalid):
-            counts = {}
-        if not counts:
-            from ray.data.aggregate import Count
-
-            hist = pts.groupby("h3_r5", num_partitions=cfg.num_partitions).aggregate(
-                Count(alias_name="n")
-            ).to_pandas()
-            counts = dict(zip(hist["h3_r5"].astype(np.uint64), hist["n"]))
+        # skew pre-pass: the shared exchange-free r5 histogram → salt map
+        # (geo captures, all versions — an over-estimate of the latest
+        # page set joined here, which only makes salting more conservative)
+        counts = r5_histogram(cfg)
         salt_map = pip.compute_salt_map(counts, cfg.hot_threshold, cfg.max_salt)
 
         pts = pts.map_batches(lambda t: pip.add_salt(t, salt_map), batch_format="pyarrow")

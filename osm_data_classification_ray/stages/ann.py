@@ -255,7 +255,12 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, nlist: int = 16,
 
 def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
                           n_tables: int = 4, n_bits: int = 16) -> pa.Table:
-    """Random-hyperplane LSH → bucket groupby → exact cosine verify."""
+    """Random-hyperplane LSH → bucket pairs → exact cosine verify.
+
+    The band shuffle carries ONLY (band, bucket, vec_id) — round 1
+    replicated full vectors ×n_tables through the exchange; vectors now
+    join back by id (binary-blob payload) for the verify, exactly the
+    minhash pipeline's shape. Every stage distributed."""
     from ..runtime import use_hash_shuffle
 
     use_hash_shuffle()
@@ -268,53 +273,75 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
     def bucketize(t: pa.Table) -> pa.Table:
         X = _normalize_rows(_emb_matrix(t))
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        out_tab, out_bucket, out_doc, out_vec = [], [], [], []
+        out_tab = np.repeat(np.arange(n_tables, dtype=np.int32), len(ids))
+        out_doc = np.tile(ids, n_tables)
+        buckets = np.empty(n_tables * len(ids), dtype=np.int64)
         for ti in range(n_tables):
             bits = (X @ planes[ti].T) > 0  # (n, n_bits)
-            bucket = (bits.astype(np.int64) << np.arange(n_bits)).sum(axis=1)
-            out_tab.extend([ti] * len(ids))
-            out_bucket.extend(bucket.tolist())
-            out_doc.extend(ids.tolist())
-            out_vec.extend([row.tolist() for row in X])
+            buckets[ti * len(ids):(ti + 1) * len(ids)] = (
+                bits.astype(np.int64) << np.arange(n_bits)
+            ).sum(axis=1)
         return pa.table(
             {
                 "band": pa.array(out_tab, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.int64()),
-                "vec_id": pa.array(out_doc, pa.int64()),
-                "vec": pa.array(out_vec, pa.list_(pa.float64())),
+                "bucket": pa.array(buckets, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
             }
         )
+
+    from .textdedup import bucket_pairs_block, dedup_pairs_block
 
     b = emb_ds.map_batches(bucketize, batch_format="pyarrow")
     b = b.repartition(num_partitions, keys=["band", "bucket"], sort=True)
+    pairs_ds = b.map_batches(bucket_pairs_block, batch_format="pyarrow", batch_size=None)
+    pairs_ds = pairs_ds.repartition(num_partitions, keys=["doc_a", "doc_b"], sort=False)
+    pairs_ds = pairs_ds.map_batches(
+        dedup_pairs_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
 
-    def verify(block: pa.Table) -> pa.Table:
-        df = block.to_pandas()
-        rows = []
-        for _, g in df.groupby(["band", "bucket"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates("vec_id").sort_values("vec_id")
-            ids = g["vec_id"].to_numpy()
-            V = np.stack(g["vec"].to_numpy())
-            sims = V @ V.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            hit = sims[iu, ju] >= threshold
-            for a, bb, s in zip(ids[iu[hit]], ids[ju[hit]], sims[iu, ju][hit]):
-                rows.append((int(a), int(bb), round(float(s), 6)))
-        rows = sorted(set(rows))
+    ids_ds = pairs_ds.map_batches(
+        lambda t: pa.table({"vec_id": pa.concat_arrays(
+            [t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"],
+             t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]])}),
+        batch_format="pyarrow",
+    ).groupby("vec_id", num_partitions=num_partitions).count()
+    ids_ds = ids_ds.map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+
+    def vec_blob(t: pa.Table) -> pa.Table:
+        # binary blobs: Arrow joins reject list-typed payload columns
+        X = _normalize_rows(_emb_matrix(t))
+        return pa.table({"vec_id": t["vec_id"],
+                         "vec": pa.array([r.tobytes() for r in X], pa.binary())})
+
+    vecs = emb_ds.map_batches(vec_blob, batch_format="pyarrow").join(
+        ids_ds, join_type="inner", num_partitions=num_partitions, on=("vec_id",)
+    ).materialize()
+    va = vecs.map_batches(lambda t: t.rename_columns(["doc_a", "vec_a_"]), batch_format="pyarrow")
+    j1 = pairs_ds.join(va, join_type="inner", num_partitions=num_partitions,
+                       on=("doc_a",)).materialize()
+    vb = vecs.map_batches(lambda t: t.rename_columns(["doc_b", "vec_b_"]), batch_format="pyarrow")
+    j2 = j1.join(vb, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                             "cosine_sim": pa.array([], pa.float64())})
+        A = np.frombuffer(b"".join(t["vec_a_"].to_pylist()), dtype=np.float64).reshape(t.num_rows, -1)
+        B = np.frombuffer(b"".join(t["vec_b_"].to_pylist()), dtype=np.float64).reshape(t.num_rows, -1)
+        sims = np.einsum("ij,ij->i", A, B)
+        hit = sims >= threshold
         return pa.table(
             {
-                "vec_a": pa.array([r[0] for r in rows], pa.int64()),
-                "vec_b": pa.array([r[1] for r in rows], pa.int64()),
-                "cosine_sim": pa.array([r[2] for r in rows], pa.float64()),
+                "vec_a": pa.array(np.asarray(t["doc_a"].to_numpy(zero_copy_only=False))[hit], pa.int64()),
+                "vec_b": pa.array(np.asarray(t["doc_b"].to_numpy(zero_copy_only=False))[hit], pa.int64()),
+                "cosine_sim": pa.array(np.round(sims[hit], 6), pa.float64()),
             }
         )
 
-    out = b.map_batches(verify, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
     empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
                       "cosine_sim": pa.array([], pa.float64())})
     if out.empty:  # an empty Dataset's to_pandas loses the schema
         return empty
-    out = out.drop_duplicates(subset=["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
+    out = out.sort_values(["vec_a", "vec_b"])
     return pa.Table.from_pandas(out, preserve_index=False)

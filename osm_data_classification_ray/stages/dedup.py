@@ -73,12 +73,25 @@ def enrich_chains(block: pa.Table) -> pa.Table:
     willbe_changed = same_url_next & ~eq_next
     willbe_dup = same_url_next & eq_next
 
+    # dups_latest: non-latest row whose (warc_ts, sha) equals its url's
+    # LATEST row — i.e. a fully identical capture record. Consumers doing
+    # key-based anti-joins (run_pages) must not drop these keys, and with
+    # the flag computed here (one gather + two equals) they never need a
+    # second pass to find out.
+    last_idx = pos[last][grp_start]
+    li = pa.array(last_idx)
+    ts_col = block["warc_ts"].combine_chunks() if isinstance(block["warc_ts"], pa.ChunkedArray) else block["warc_ts"]
+    same_ts = np.asarray(pc.equal(ts_col, ts_col.take(li)).to_numpy(zero_copy_only=False), dtype=bool)
+    same_sha = np.asarray(pc.equal(sha, sha.take(li)).to_numpy(zero_copy_only=False), dtype=bool)
+    dups_latest = ~last & same_ts & same_sha
+
     return block.append_column("version", pa.array(version, type=pa.int64())) \
         .append_column("n_captures", pa.array(n_captures, type=pa.int64())) \
         .append_column("is_created", pa.array(version == 1)) \
         .append_column("is_latest", pa.array(last)) \
         .append_column("willbe_changed", pa.array(willbe_changed)) \
-        .append_column("willbe_dup", pa.array(willbe_dup))
+        .append_column("willbe_dup", pa.array(willbe_dup)) \
+        .append_column("dups_latest", pa.array(dups_latest))
 
 
 def dedup_latest(block: pa.Table) -> pa.Table:

@@ -30,12 +30,15 @@ def host_from_url(url_col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.utf8_lower(pc.fill_null(host, ""))
 
 
-def extract_geocode_cells(batch: pa.Table) -> pa.Table:
+def extract_geocode_cells(batch: pa.Table, compute_s2: bool = True) -> pa.Table:
     """documents batch → enriched captures batch (html dropped).
 
     Output: url, warc_ts, host, lang, extracted_text, text_sha256, n_chars,
-    n_tokens, lat, lon, geocode_src, has_geo, h3_r5..h3_r9, s2_cells.
-    Pages without coordinates keep has_geo=False and carry cell id 0.
+    n_tokens, lat, lon, geocode_src, has_geo, h3_r5..h3_r9 (+ s2_cells when
+    ``compute_s2``; the engine's extract stage passes False — coverings are
+    re-derived on demand by the page_cells query, so computing them in the
+    hot path was pure waste). Pages without coordinates keep has_geo=False
+    and carry cell id 0.
     """
     import hashlib
 
@@ -67,9 +70,10 @@ def extract_geocode_cells(batch: pa.Table) -> pa.Table:
         enc = hexgrid.encode_multi(lat[has_geo], lon[has_geo], HEX_RESOLUTIONS)
         for r in HEX_RESOLUTIONS:
             cells[r][has_geo] = enc[r]
-        cov = s2.point_covering(lat[has_geo], lon[has_geo], S2_LEVELS)
-        for row_i, covered in zip(np.nonzero(has_geo)[0], cov):
-            s2_list[row_i] = covered.tolist()
+        if compute_s2:
+            cov = s2.point_covering(lat[has_geo], lon[has_geo], S2_LEVELS)
+            for row_i, covered in zip(np.nonzero(has_geo)[0], cov):
+                s2_list[row_i] = covered.tolist()
 
     cols: dict[str, pa.Array] = {
         "url": batch["url"],
@@ -87,5 +91,6 @@ def extract_geocode_cells(batch: pa.Table) -> pa.Table:
     }
     for r in HEX_RESOLUTIONS:
         cols[f"h3_r{r}"] = pa.array(cells[r], type=pa.uint64())
-    cols["s2_cells"] = pa.array(s2_list, type=pa.list_(pa.uint64()))
+    if compute_s2:
+        cols["s2_cells"] = pa.array(s2_list, type=pa.list_(pa.uint64()))
     return pa.table(cols)

@@ -105,7 +105,8 @@ def test_resume_skips_completed_stage(golden, ray_outputs):
     import time
 
     cfg, paths = ray_outputs
-    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}))
+    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}),
+                          [ckpt.manifest_path(cfg.out_root, "extracted")])
     assert ckpt.is_complete(cfg.out_root, "captures", fp)
     t0 = time.monotonic()
     out = ckpt.run_stage(cfg.out_root, "captures", fp,
@@ -160,7 +161,9 @@ def test_bucketed_dedup_mode_identical(golden, tmp_path_factory, ray_session):
     spatial.run_captures(cfg, lambda: rd.read_parquet(str(src_dir / "documents.parquet")).repartition(5))
     files = sorted(glob.glob(str(d / "captures" / "*.parquet")))
     got = pa.concat_tables(pq.read_table(f) for f in files)
-    want = ref["captures"].drop_columns(["s2_cells"])
+    # the narrow captures checkpoint carries no text (it lives in the
+    # unshuffled `extracted` stage) and no s2 covering
+    want = ref["captures"].drop_columns(["s2_cells", "extracted_text"])
     got = canon(got.select(sorted(got.column_names)), ["url", "warc_ts"])
     want = canon(want.select(sorted(want.column_names)), ["url", "warc_ts"])
     assert got.num_rows == want.num_rows
