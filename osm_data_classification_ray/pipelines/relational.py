@@ -1137,6 +1137,160 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q48 — per-group top-k (T3 as a driver-checkable query: key-colocated
+# repartition + vectorized in-block ranking, no global sort)
+# ---------------------------------------------------------------------------
+
+def q48_group_topk(sf_dir: str):
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    ds = ds.repartition(default_partitions(), keys=["o_orderpriority"], sort=True)
+
+    def topk(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64()),
+                             "rk": pa.array([], pa.int64())})
+        import pandas as pd
+
+        df = block.to_pandas()
+        df = df.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        df["rk"] = df.groupby("o_orderpriority", sort=False).cumcount() + 1
+        df = df[df["rk"] <= 3]
+        return pa.Table.from_pandas(
+            df[["o_orderpriority", "o_orderkey", "o_totalprice", "rk"]],
+            preserve_index=False)
+
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+Q48_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 — banded interval join (range join on user + time window): per event,
+# how many of the user's orders fall in the 7 days at-or-before the event.
+# Key-colocated union + per-block vectorized interval counting (the as-of
+# join's shape generalized to a window).
+# ---------------------------------------------------------------------------
+
+_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q49_interval_join(sf_dir: str):
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table({
+            "key": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+        }),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({
+            "key": t["o_custkey"].cast(pa.int64()),
+            "event_id": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "ts_us": t["o_orderdate"].cast(pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+        }),
+        batch_format="pyarrow",
+    )
+    both = ev.union(orders).repartition(default_partitions(), keys=["key"], sort=True)
+
+    def count_window(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n_orders_7d": pa.array([], pa.int64())})
+        import pandas as pd
+
+        df = block.to_pandas()
+        out_e, out_u, out_n = [], [], []
+        for key, g in df.groupby("key", sort=True):
+            evs = g[g["side"] == 0]
+            ots = np.sort(g.loc[g["side"] == 1, "ts_us"].to_numpy())
+            if len(evs) == 0:
+                continue
+            ts = evs["ts_us"].to_numpy()
+            hi = np.searchsorted(ots, ts, side="right")   # o_ts <= ts
+            lo = np.searchsorted(ots, ts - _WINDOW_US, side="right")  # o_ts > ts-7d
+            out_e.extend(evs["event_id"].tolist())
+            out_u.extend([int(key)] * len(evs))
+            out_n.extend((hi - lo).tolist())
+        return pa.table({"event_id": pa.array(out_e, pa.int64()),
+                         "user_id": pa.array(out_u, pa.int64()),
+                         "n_orders_7d": pa.array(out_n, pa.int64())})
+
+    return both.map_batches(count_window, batch_format="pyarrow", batch_size=None)
+
+
+Q49_SQL = """
+SELECT e.event_id, e.user_id,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate <= e.ts
+          AND o.o_orderdate > e.ts - INTERVAL 7 DAY) AS n_orders_7d
+FROM events e
+"""
+
+
+# ---------------------------------------------------------------------------
+# q50 — grouped argmax (per lang: the doc with the most chars; ties → min
+# doc_id). Per-batch partial argmax → tiny final reduce: the combiner
+# pattern, no row ever colocated by group.
+# ---------------------------------------------------------------------------
+
+def q50_group_argmax(sf_dir: str):
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        # per-batch winner per lang under the frozen order
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        w = df.groupby("lang", sort=True).head(1)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = partials.repartition(1)
+    return merged.map_batches(partial, batch_format="pyarrow", batch_size=None).map_batches(
+        lambda t: pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
+                            "max_chars": t["n_chars"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+Q50_SQL = """
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS max_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk = 1
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1163,4 +1317,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q43_sessionize": (q43_sessionize, Q43_SQL),
     "q45_pushdown_filter": (q45_pushdown_filter, Q45_SQL),
     "q46_nation_revenue": (q46_nation_revenue, Q46_SQL),
+    "q48_group_topk": (q48_group_topk, Q48_SQL),
+    "q49_interval_join": (q49_interval_join, Q49_SQL),
+    "q50_group_argmax": (q50_group_argmax, Q50_SQL),
 }
