@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q36_tiles_rollup": es.tiles_rollup_query,
             "q37_dedup_urls": es.dedup_urls_query,
             "q38_page_cells": es.page_cells_query,
+            "q51_cell_features_packed": es.cell_features_packed_query,
         }
     )
     return out

@@ -59,15 +59,19 @@ def _run(args) -> int:
         return rd.read_parquet(path, override_num_blocks=args.num_cpus * 4)
 
     out: dict[str, str] = {}
-    if args.job in ("ingest_index", "all"):
+    if args.job == "all":
+        # run_all overlaps the independent middle stages (cell_features ∥
+        # pages ∥ page_admin) — the single-job CLI paths stay sequential
+        out.update(spatial.run_all(cfg, docs_source, admin))
+    if args.job == "ingest_index":
         out["captures"] = spatial.run_captures(cfg, docs_source)
         out["pages"] = spatial.run_pages(cfg)
-    if args.job in ("spatial_join", "all"):
+    if args.job == "spatial_join":
         out.setdefault("captures", spatial.run_captures(cfg, docs_source))
         out["cell_features"] = spatial.run_cell_features(cfg)
         out["tiles"] = spatial.run_tiles(cfg)
         out["page_admin"] = spatial.run_page_admin(cfg, admin)
-    if args.job in ("classify", "all"):
+    if args.job == "classify":
         out.setdefault("captures", spatial.run_captures(cfg, docs_source))
         out.setdefault("cell_features", spatial.run_cell_features(cfg))
         out.update(spatial.run_classify(cfg))

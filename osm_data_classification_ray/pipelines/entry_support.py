@@ -107,6 +107,17 @@ def cell_features_query(sf_dir: str):
     return spatial.read_stage(cfg.out_root, "cell_features")
 
 
+def cell_features_packed_query(sf_dir: str):
+    """CELL_FEATURES with the declared ``features: fixed_size_list`` vector
+    column packed zero-copy from the wide columns (SURVEY.md §2.2)."""
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "cell_features")
+    return ds.map_batches(
+        lambda t: features.pack_features(t).select(["cell", "res", "features"]),
+        batch_format="pyarrow",
+    )
+
+
 def clusters_query(sf_dir: str):
     cfg, _ = ensure_outputs(sf_dir)
     return spatial.read_stage(cfg.out_root, "cluster_assignments")

@@ -626,12 +626,40 @@ def _fit_kmeans_distributed(norm_ds, pca_model) -> "kmeans.KMeansModel":
     return models[kmeans.choose_k_by_elbow(inertias)]
 
 
+def run_middle_stages(cfg: EngineConfig, admin_table: pa.Table) -> dict[str, str]:
+    """cell_features ∥ pages ∥ page_admin — mutually independent once the
+    captures checkpoint exists, so they run CONCURRENTLY: the CPU-bound
+    exchanges (cell features, salted PIP) overlap the IO-bound pages
+    rewrite instead of serializing behind it (the shared page cache
+    throttled whichever stage followed the big write — measured 2x on the
+    follower at 20M rows). The shared r5 histogram is computed first so
+    both its consumers read the sidecar race-free. At most two hash
+    exchanges are live (the documented concurrency budget).
+
+    Overlap needs slack capacity: below ~12 partitions (≈ CPUs) the two
+    exchanges' aggregator pools plus the PIP actor pool starve each other
+    (observed livelock at 4 CPUs), so small configs run sequentially —
+    same outputs, checkpoints make the order irrelevant."""
+    r5_histogram(cfg)
+    overlap_env = os.environ.get("GRAFT_STAGE_OVERLAP", "1") != "0"
+    if cfg.num_partitions < 12 or not overlap_env:
+        return {"cell_features": run_cell_features(cfg),
+                "pages": run_pages(cfg),
+                "page_admin": run_page_admin(cfg, admin_table)}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_feat = ex.submit(run_cell_features, cfg)
+        f_pages = ex.submit(run_pages, cfg)
+        f_admin = ex.submit(run_page_admin, cfg, admin_table)
+        return {"cell_features": f_feat.result(), "pages": f_pages.result(),
+                "page_admin": f_admin.result()}
+
+
 def run_all(cfg: EngineConfig, docs_source, admin_table: pa.Table) -> dict[str, str]:
     """Full flagship pipeline; returns stage output dirs."""
     out = {"captures": run_captures(cfg, docs_source)}
-    out["pages"] = run_pages(cfg)
-    out["cell_features"] = run_cell_features(cfg)
+    out.update(run_middle_stages(cfg, admin_table))
     out["tiles"] = run_tiles(cfg)
-    out["page_admin"] = run_page_admin(cfg, admin_table)
     out.update(run_classify(cfg))
     return out

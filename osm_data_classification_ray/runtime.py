@@ -8,8 +8,41 @@ the backbone of every colocating shuffle here — requires
 
 from __future__ import annotations
 
+_FSSPEC_WARMED = False
+
+
+def _warm_fsspec_http() -> None:
+    """Pre-import fsspec's HTTP filesystem module once, single-threaded.
+
+    Ray's path resolution probes ``fsspec.implementations.http`` on every
+    dataset creation; in this offline sandbox the module fails to import
+    (no aiohttp), and because a failed import is retried every time,
+    CONCURRENT stage threads race the import machinery and one of them
+    gets a partially-initialized module ("cannot import name
+    HTTPFileSystem"), which Ray does not catch. Stub the two missing
+    network-only deps (their symbols are referenced solely inside method
+    bodies that never run offline) so the import succeeds once and is
+    cached for good."""
+    global _FSSPEC_WARMED
+    if _FSSPEC_WARMED:
+        return
+    import sys
+    import types
+
+    for name in ("aiohttp", "yarl"):
+        try:
+            __import__(name)
+        except ImportError:
+            sys.modules[name] = types.ModuleType(name)
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        pass
+    _FSSPEC_WARMED = True
+
 
 def use_hash_shuffle() -> None:
+    _warm_fsspec_http()
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 

@@ -111,6 +111,28 @@ def tiles_from_features(batch: pa.Table) -> pa.Table:
     )
 
 
+def pack_features(table: pa.Table) -> pa.Table:
+    """Append ``features: fixed_size_list<float64, F>`` packed from the
+    wide feature columns (SURVEY.md §2.2's declared vector column) —
+    zero-copy from the stacked values buffer; order = FEATURE_NAMES."""
+    n = table.num_rows
+    X = np.stack(
+        [np.asarray(table[c].to_numpy(zero_copy_only=False), dtype=np.float64)
+         for c in FEATURE_NAMES],
+        axis=1,
+    ) if n else np.zeros((0, len(FEATURE_NAMES)))
+    flat = pa.array(X.ravel(), type=pa.float64())
+    fsl = pa.FixedSizeListArray.from_arrays(flat, len(FEATURE_NAMES))
+    return table.append_column("features", fsl)
+
+
+def unpack_features(table: pa.Table) -> np.ndarray:
+    """fixed_size_list column → (n, F) float64 matrix (zero-copy view)."""
+    from ..functions.arrays import list_matrix
+
+    return list_matrix(table["features"])
+
+
 def features_matrix(table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(entities, X) — cell ids and the float64 feature matrix in frozen order."""
     ents = np.asarray(table["cell"].to_numpy(zero_copy_only=False), dtype=np.uint64)

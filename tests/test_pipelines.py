@@ -256,3 +256,42 @@ def test_auto_features_mode_switches_on_hot_cell(golden, ray_outputs, tmp_path_f
     assert got.num_rows == want.num_rows
     for c in got.column_names:
         assert got[c].to_pylist() == want[c].to_pylist(), f"column {c}"
+
+
+def test_pages_join_fallback_matches_broadcast(golden, ray_outputs, tmp_path_factory):
+    """run_pages above the superseded broadcast limit switches to the
+    (url, warc_ts, sha) hash join — rows must match the broadcast path."""
+    import os
+
+    import ray.data as rd
+
+    docs, admin, ref = golden
+    cfg0, paths = ray_outputs
+    d = tmp_path_factory.mktemp("pages_join_out")
+    src = tmp_path_factory.mktemp("docs_in_pj")
+    pq.write_table(docs, src / "documents.parquet")
+    cfg = spatial.EngineConfig(out_root=str(d), num_partitions=3,
+                               superseded_broadcast_limit=0)
+    spatial.run_captures(cfg, lambda: rd.read_parquet(str(src / "documents.parquet")).repartition(4))
+    spatial.run_pages(cfg)
+    got = canon(_read({"pages": os.path.join(str(d), "pages")}, "pages"), ["url"])
+    want = canon(_read(paths, "pages"), ["url"])
+    assert got.num_rows == want.num_rows
+    assert got.column_names == want.column_names
+    for c in got.column_names:
+        assert got[c].to_pylist() == want[c].to_pylist(), f"column {c}"
+
+
+def test_pack_unpack_features_roundtrip(golden):
+    """The fixed_size_list features vector (SURVEY §2.2) must round-trip
+    bit-for-bit against the wide columns / features_matrix."""
+    from osm_data_classification_ray.stages import features as F
+
+    _, _, ref = golden
+    t = ref["cell_features"]
+    packed = F.pack_features(t)
+    assert packed["features"].type == pa.list_(pa.float64(), F_len := len(F.FEATURE_NAMES))
+    X = F.unpack_features(packed)
+    _, want = F.features_matrix(t)
+    assert X.shape == want.shape == (t.num_rows, F_len)
+    assert np.array_equal(X, want)
