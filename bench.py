@@ -182,9 +182,11 @@ def main() -> None:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
-        # scaling legs use a larger amplification (default 400 → 2M rows)
-        # so compute dominates the fixed per-stage latencies
-        amp = os.environ.get("GRAFT_SCALING_AMP", "800")
+        # scaling legs use a larger amplification (default 4000 → 20M rows)
+        # so compute dominates the fixed per-stage latencies — the round-2
+        # engine is ~2x faster per core, so the round-1 point (4M rows) no
+        # longer amortizes them (BASELINE.md round-2 protocol)
+        amp = os.environ.get("GRAFT_SCALING_AMP", "4000")
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_AMP=amp)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
