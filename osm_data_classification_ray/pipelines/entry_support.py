@@ -152,7 +152,18 @@ def knn_query(sf_dir: str):
     ).to_pandas()
     counts = {int(c): int(n) for c, n in zip(hist["h3_r7"].astype(np.uint64), hist["n"])}
     queries = gen.gen_knn_queries()
-    return knn.run_knn(pages, queries, counts)
+    out = knn.run_knn(pages, queries, counts)
+    # mm-rounded distance so the value hash is robust to the ≤1-ulp libm
+    # differences between numpy and DuckDB trig (selection/rank still use
+    # the exact distances); rank widened to match SQL ROW_NUMBER typing.
+    return pa.table(
+        {
+            "query_id": out["query_id"],
+            "url": out["url"],
+            "rank": out["rank"].cast(pa.int32()),
+            "dist_m": pc.round(out["dist_m"], 3),
+        }
+    )
 
 
 def page_cells_query(sf_dir: str):
@@ -265,7 +276,143 @@ SELECT 'https://host' || CAST(url_i % 97 AS VARCHAR) || '.example/p' || CAST(url
 FROM e
 """
 
+# ---------------------------------------------------------------------------
+# q35 SQL oracle: brute-force exact kNN in DuckDB. The page/query coordinates
+# are a pure function of doc_id through the fixtures' counter-based splitmix64
+# hash (fixtures/gen.py:hash_u64/host_coords/page_coords/gen_knn_queries), so
+# the whole derivation is mirrored in SQL: splitmix64 runs in HUGEINT with
+# 32-bit-decomposed multiplies mod 2^64 (the q28 Rabin-Karp pattern), the
+# uniform draw is (h >> 11) * 2^-53 (exact float ops), and the final distance
+# is rounded to mm on both sides so ≤1-ulp libm trig differences between
+# numpy and DuckDB cannot perturb the value hash. Validated bit-exact against
+# gen.uniform01 for every (entity, stream) used here.
+# ---------------------------------------------------------------------------
+
+_SM_PRIME = 0x100000001B3
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+_SM_MOD = 1 << 64
+
+
+def _sm64_base(stream: int, seed: int = 42) -> int:
+    """Python-int mirror of gen.hash_u64's per-stream base constant."""
+    x = (seed * _SM_PRIME + stream) % _SM_MOD
+    x = (x + _SM_GOLDEN) % _SM_MOD
+    x = ((x ^ (x >> 30)) * _SM_C1) % _SM_MOD
+    x = ((x ^ (x >> 27)) * _SM_C2) % _SM_MOD
+    return x ^ (x >> 31)
+
+
+def _mulmod_sql(xcol: str, c: int) -> str:
+    """(xcol * c) mod 2^64 in DuckDB via 32-bit limb products (HUGEINT-safe)."""
+    clo, chi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"CAST((CAST(({xcol}) & 4294967295 AS HUGEINT) * {clo}"
+        f" + ((CAST(({xcol}) & 4294967295 AS HUGEINT) * {chi}) % 4294967296) * 4294967296"
+        f" + ((CAST(({xcol}) >> 32 AS HUGEINT) * {clo}) % 4294967296) * 4294967296)"
+        f" % {_SM_MOD} AS UBIGINT)"
+    )
+
+
+def _hotspot_case(idx_expr: str, coord: int) -> str:
+    from ..fixtures.gen import HOTSPOTS
+
+    arms = " ".join(
+        f"WHEN {k} THEN {HOTSPOTS[k][coord]!r}" for k in range(len(HOTSPOTS))
+    )
+    return f"CASE {idx_expr} {arms} END"
+
+
+def _knn_sql() -> str:
+    streams = {s: _sm64_base(s) for s in (101, 102, 103, 104, 201, 202, 401, 402)}
+    host_vals = ", ".join(f"({s}, CAST({b} AS UBIGINT))" for s, b in streams.items() if s in (101, 102, 103, 104))
+    page_vals = ", ".join(f"({s}, CAST({b} AS UBIGINT))" for s, b in streams.items() if s in (201, 202))
+    query_vals = ", ".join(f"({s}, CAST({b} AS UBIGINT))" for s, b in streams.items() if s in (401, 402))
+    u = lambda s: f"MAX(CASE WHEN s={s} THEN u01 END)"  # noqa: E731
+    hav = (
+        "2.0 * 6371008.8 * ASIN(SQRT(LEAST(GREATEST("
+        "POWER(SIN((RADIANS(p.lat) - RADIANS(q.lat)) / 2.0), 2)"
+        " + COS(RADIANS(q.lat)) * COS(RADIANS(p.lat))"
+        " * POWER(SIN((RADIANS(p.lon) - RADIANS(q.lon)) / 2.0), 2), 0.0), 1.0)))"
+    )
+    return f"""
+WITH k AS (
+  SELECT doc_id, CASE WHEN doc_id % 37 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS url_i
+  FROM documents
+),
+kept AS (SELECT url_i, MAX(doc_id) AS doc_id FROM k GROUP BY url_i),
+gp AS (SELECT url_i, doc_id FROM kept WHERE doc_id % 10 <> 7),
+sm_src AS (
+  SELECT 'h' AS ent, CAST(h AS UBIGINT) AS id, s, b
+  FROM (SELECT DISTINCT url_i % 97 AS h FROM gp) CROSS JOIN (VALUES {host_vals}) AS t(s, b)
+  UNION ALL
+  SELECT 'p', CAST(url_i AS UBIGINT), s, b FROM gp CROSS JOIN (VALUES {page_vals}) AS t(s, b)
+  UNION ALL
+  SELECT 'q', CAST(qi AS UBIGINT), s, b
+  FROM (SELECT UNNEST(RANGE(0, 100)) AS qi) CROSS JOIN (VALUES {query_vals}) AS t(s, b)
+),
+st0 AS (SELECT ent, id, s, xor({_mulmod_sql('id', _SM_PRIME)}, b) AS x0 FROM sm_src),
+st1 AS (SELECT ent, id, s, CAST((CAST(x0 AS HUGEINT) + {_SM_GOLDEN}) % {_SM_MOD} AS UBIGINT) AS x1 FROM st0),
+st2 AS (SELECT ent, id, s, {_mulmod_sql('xor(x1, x1 >> 30)', _SM_C1)} AS x2 FROM st1),
+st3 AS (SELECT ent, id, s, {_mulmod_sql('xor(x2, x2 >> 27)', _SM_C2)} AS x3 FROM st2),
+uu AS (SELECT ent, id, s, CAST(xor(x3, x3 >> 31) >> 11 AS DOUBLE) * POWER(2.0, -53) AS u01 FROM st3),
+hostc AS (
+  SELECT id AS h, {u(101)} AS u_lat, {u(102)} AS u_lon, {u(103)} AS u_r, {u(104)} AS u_t
+  FROM uu WHERE ent = 'h' GROUP BY id
+),
+hcoord AS (
+  SELECT h,
+    CASE WHEN h % 5 = 0
+         THEN {_hotspot_case('CAST((h // 5) % 5 AS INTEGER)', 0)} + (0.5 * SQRT(u_r)) * COS(2.0 * PI() * u_t)
+         ELSE -60.0 + 130.0 * u_lat END AS base_lat,
+    CASE WHEN h % 5 = 0
+         THEN {_hotspot_case('CAST((h // 5) % 5 AS INTEGER)', 1)} + (0.5 * SQRT(u_r)) * SIN(2.0 * PI() * u_t)
+         ELSE -180.0 + 360.0 * u_lon END AS base_lon
+  FROM hostc
+),
+pagej AS (
+  SELECT id AS url_i, {u(201)} AS u_jlat, {u(202)} AS u_jlon
+  FROM uu WHERE ent = 'p' GROUP BY id
+),
+pages AS (
+  SELECT gp.url_i,
+    'https://host' || CAST(gp.url_i % 97 AS VARCHAR) || '.example/p' || CAST(gp.url_i AS VARCHAR) AS url,
+    ROUND(GREATEST(LEAST(hc.base_lat + (pj.u_jlat - 0.5) * 0.1, 89.9), -89.9), 6) AS lat,
+    ROUND(CASE WHEN ((hc.base_lon + (pj.u_jlon - 0.5) * 0.1 + 180.0) % 360.0) < 0
+               THEN ((hc.base_lon + (pj.u_jlon - 0.5) * 0.1 + 180.0) % 360.0) + 360.0
+               ELSE ((hc.base_lon + (pj.u_jlon - 0.5) * 0.1 + 180.0) % 360.0) END - 180.0, 6) AS lon
+  FROM gp
+  JOIN pagej pj ON pj.url_i = CAST(gp.url_i AS UBIGINT)
+  JOIN hcoord hc ON hc.h = CAST(gp.url_i % 97 AS UBIGINT)
+),
+qu AS (
+  SELECT CAST(id AS BIGINT) AS query_id, {u(401)} AS u_lat, {u(402)} AS u_lon
+  FROM uu WHERE ent = 'q' GROUP BY id
+),
+queries AS (
+  SELECT query_id,
+    ROUND(CASE WHEN query_id >= 95 THEN -55.0 + (u_lat - 0.5) * 2.0
+               WHEN query_id < 80 THEN {_hotspot_case('CAST(query_id % 5 AS INTEGER)', 0)} + (u_lat - 0.5) * 1.0
+               ELSE -60.0 + 130.0 * u_lat END, 6) AS lat,
+    ROUND(CASE WHEN query_id >= 95 THEN -150.0 + (u_lon - 0.5) * 2.0
+               WHEN query_id < 80 THEN {_hotspot_case('CAST(query_id % 5 AS INTEGER)', 1)} + (u_lon - 0.5) * 1.0
+               ELSE -180.0 + 360.0 * u_lon END, 6) AS lon,
+    3 + CAST(query_id % 8 AS INTEGER) AS kk
+  FROM qu
+),
+ranked AS (
+  SELECT q.query_id, p.url, q.kk, {hav} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {hav}, p.url) AS rn
+  FROM queries q CROSS JOIN pages p
+)
+SELECT query_id, url, CAST(rn AS INTEGER) AS "rank", ROUND(dist, 3) AS dist_m
+FROM ranked WHERE rn <= kk
+"""
+
+
 SPATIAL_SQL: dict[str, str] = {
     "q30_pages_extract": Q30_SQL,
     "q37_dedup_urls": Q37_SQL,
+    "q35_knn_geo": _knn_sql(),
 }

@@ -25,6 +25,7 @@ def _spatial_oracles():
     return {
         "q30_pages_extract": (es.pages_query, es.Q30_SQL),
         "q37_dedup_urls": (es.dedup_urls_query, es.Q37_SQL),
+        "q35_knn_geo": (es.knn_query, es.SPATIAL_SQL["q35_knn_geo"]),
     }
 
 
