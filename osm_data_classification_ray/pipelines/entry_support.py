@@ -288,31 +288,15 @@ FROM e
 # gen.uniform01 for every (entity, stream) used here.
 # ---------------------------------------------------------------------------
 
-_SM_PRIME = 0x100000001B3
-_SM_GOLDEN = 0x9E3779B97F4A7C15
-_SM_C1 = 0xBF58476D1CE4E5B9
-_SM_C2 = 0x94D049BB133111EB
-_SM_MOD = 1 << 64
-
-
-def _sm64_base(stream: int, seed: int = 42) -> int:
-    """Python-int mirror of gen.hash_u64's per-stream base constant."""
-    x = (seed * _SM_PRIME + stream) % _SM_MOD
-    x = (x + _SM_GOLDEN) % _SM_MOD
-    x = ((x ^ (x >> 30)) * _SM_C1) % _SM_MOD
-    x = ((x ^ (x >> 27)) * _SM_C2) % _SM_MOD
-    return x ^ (x >> 31)
-
-
-def _mulmod_sql(xcol: str, c: int) -> str:
-    """(xcol * c) mod 2^64 in DuckDB via 32-bit limb products (HUGEINT-safe)."""
-    clo, chi = c & 0xFFFFFFFF, c >> 32
-    return (
-        f"CAST((CAST(({xcol}) & 4294967295 AS HUGEINT) * {clo}"
-        f" + ((CAST(({xcol}) & 4294967295 AS HUGEINT) * {chi}) % 4294967296) * 4294967296"
-        f" + ((CAST(({xcol}) >> 32 AS HUGEINT) * {clo}) % 4294967296) * 4294967296)"
-        f" % {_SM_MOD} AS UBIGINT)"
-    )
+from .sqlmirror import (  # noqa: E402
+    SM_C1 as _SM_C1,
+    SM_C2 as _SM_C2,
+    SM_GOLDEN as _SM_GOLDEN,
+    SM_MOD as _SM_MOD,
+    SM_PRIME as _SM_PRIME,
+    mulmod_sql as _mulmod_sql,
+    sm64_base as _sm64_base,
+)
 
 
 def _hotspot_case(idx_expr: str, coord: int) -> str:

@@ -378,8 +378,11 @@ SELECT u AS doc_id, MIN(v) AS group_rep FROM reach GROUP BY u
 
 def q39_hll_distinct(sf_dir: str):
     """Approx COUNT(DISTINCT text) per lang via mergeable HLL sketches
-    (registers shuffled, not rows). Approximate by design → rows-only for
-    the driver; accuracy (<2% at these cardinalities) asserted in tests."""
+    (registers shuffled, not rows). The estimate is approximate w.r.t. the
+    true cardinality but DETERMINISTIC (integer registers, order-invariant
+    merge), so Q39_SQL mirrors the whole sketch — FNV-1a over the text via
+    recursive CTE, splitmix finalize, register max, estimate formula — and
+    the driver hash-verifies it. Accuracy (<2%) asserted in tests."""
     from ..stages import sketch_agg
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
@@ -387,6 +390,73 @@ def q39_hll_distinct(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["lang", "approx_distinct_texts"]), batch_format="pyarrow"
     )
+
+
+def _q39_sql() -> str:
+    """HLL mirror in DuckDB (see q39_hll_distinct). Registers are integers,
+    the power sums are dyadic (exact in any order), and the one libm call
+    (LN in the linear-counting branch) is washed by the 1-decimal rounding
+    both engines apply."""
+    from ..functions.sketches import M, P
+    from .sqlmirror import FNV_OFFSET, FNV_PRIME, SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    alpha_sql = "(0.7213 / (1.0 + 1.079 / 4096.0))"
+    est = f"({alpha_sql} * {M} * {M}) / s"
+    vexpr = mulmod_sql("hv", 1 << P)  # hv << P, wrap-safe
+    return f"""
+WITH RECURSIVE dt AS (SELECT DISTINCT lang, text FROM documents),
+f AS (
+  SELECT lang, text, 0 AS i, CAST({FNV_OFFSET} AS UBIGINT) AS h FROM dt
+  UNION ALL
+  SELECT lang, text, i + 1,
+         {mulmod_sql("xor(h, CAST(ascii(substr(text, i + 1, 1)) AS UBIGINT))", FNV_PRIME)}
+  FROM f WHERE i < LENGTH(text)
+),
+done AS (SELECT lang, h FROM f WHERE i = LENGTH(text)),
+{sm64_steps('sm', 'done', 'lang', f"xor({mulmod_sql('h', SM_PRIME)}, CAST({sm64_base(931)} AS UBIGINT))")},
+reg AS (
+  SELECT lang, hv >> {64 - P} AS idx,
+         MAX(CASE WHEN {vexpr} = 0 THEN {64 - P + 1}
+              ELSE LEAST(strpos(lpad(bin({vexpr}), 64, '0'), '1'), {64 - P + 1}) END) AS r
+  FROM smf GROUP BY lang, idx
+),
+agg AS (
+  SELECT lang,
+         SUM(1.0 / CAST(CAST(1 AS HUGEINT) << r AS DOUBLE)) + ({M} - COUNT(*)) * 1.0 AS s,
+         {M} - COUNT(*) AS zeros
+  FROM reg GROUP BY lang
+)
+SELECT lang,
+  ROUND(CASE WHEN {est} <= 2.5 * {M} AND zeros > 0
+        THEN {M} * LN({M}.0 / zeros) ELSE {est} END, 1) AS approx_distinct_texts
+FROM agg
+"""
+
+
+def q52_embedding_all_nn(sf_dir: str):
+    """All-pairs nearest neighbor (T3/ANN baseline): for EVERY vector, its
+    top-1 cosine neighbor via the broadcast-matrix brute force — the whole
+    (small-side) matrix is ray.put once and each batch does one matmul
+    against it. At corpus scale the broadcast side must be the bounded one
+    (queries/centroids — see ivf_topk for the indexed path); ranks-only
+    output per the q23 oracle policy (float32 sims differ at ulp level
+    across engines, orderings don't)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = ds.map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow").to_pandas()[
+        "vec_id"
+    ].tolist()
+    out = ann.brute_force_topk(ds, ids, k=1)
+    return pa.table({"vec_id": out["query_id"], "nn_id": out["neighbor_id"]})
+
+
+Q52_SQL = """
+SELECT a.vec_id, b.vec_id AS nn_id
+FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id ASC
+) = 1
+"""
 
 
 def q47_clean_corpus(sf_dir: str):
@@ -545,7 +615,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q27_quality": (q27_quality, Q27_SQL),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
     "q29_media_features": (q29_media_features, None),
-    "q39_hll_distinct": (q39_hll_distinct, None),
+    "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),
     "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),
     "q47_clean_corpus": (q47_clean_corpus, Q47_SQL),
+    "q52_embedding_all_nn": (q52_embedding_all_nn, Q52_SQL),
 }

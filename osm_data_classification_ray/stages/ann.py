@@ -48,6 +48,11 @@ class TopKEmitter:
         X = _normalize_rows(_emb_matrix(batch))
         ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         sims = X @ self.Q.T  # (n, q)
+        # self-matches must be excluded BEFORE the per-batch partial top-k:
+        # a query living in this batch would otherwise occupy a top-k slot
+        # (sim 1.0) and silently crowd out a true neighbor that only this
+        # batch could have emitted (the final merge drops self too late).
+        sims[ids[:, None] == np.asarray(self.qids)[None, :]] = -np.inf
         out_q, out_n, out_s = [], [], []
         for qi in range(self.Q.shape[0]):
             s = sims[:, qi]
@@ -235,6 +240,8 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, nlist: int = 16,
                     continue
                 s = X[mask] @ self.Q[qi]
                 sub_ids = ids[mask]
+                s[sub_ids == int(self.qids[qi])] = -np.inf  # see TopKEmitter
+
                 kk = min(self.k, len(sub_ids))
                 top = np.argpartition(-s, kk - 1)[:kk] if len(sub_ids) > kk else np.arange(len(sub_ids))
                 out_q.extend([int(self.qids[qi])] * len(top))

@@ -137,6 +137,24 @@ class TestANN:
             rows = got.filter(pa.compute.equal(got["query_id"], qid))
             assert rows["neighbor_id"].to_pylist() == want
 
+    def test_single_block_self_not_crowding_topk(self, ray_session, emb):
+        """Regression: when a query vector lives in the emitting batch, its
+        self-match (sim 1.0) must not occupy a partial top-k slot — with ONE
+        block the partial IS the final set, so before the fix the k-th true
+        neighbor was silently replaced by the (k+1)-th."""
+        import ray.data as rd
+
+        ds = rd.from_arrow(emb).repartition(1)
+        got = ann.brute_force_topk(ds, [0, 3, 7], k=5)
+        X = np.stack([np.array(r) for r in emb["embedding"].to_pylist()]).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        for qid in [0, 3, 7]:
+            sims = Xn @ Xn[qid]
+            sims[qid] = -np.inf
+            want = np.lexsort((np.arange(300), -sims))[:5].tolist()
+            rows = got.filter(pa.compute.equal(got["query_id"], qid))
+            assert rows["neighbor_id"].to_pylist() == want
+
     def test_ivf_recall(self, ray_session, emb):
         import ray.data as rd
 
@@ -369,9 +387,9 @@ def test_clean_corpus_composite(ray_session):
     deterministic and internally consistent."""
     from osm_data_classification_ray.pipelines.textqueries import q47_clean_corpus
 
-    a = q47_clean_corpus("/root/testdata/sf0.001").to_pandas()
-    b = q47_clean_corpus("/root/testdata/sf0.001").to_pandas()
-    assert a.equals(b)
+    a = q47_clean_corpus("/root/testdata/sf0.001").to_pandas().sort_values("lang").reset_index(drop=True)
+    b = q47_clean_corpus("/root/testdata/sf0.001").to_pandas().sort_values("lang").reset_index(drop=True)
+    assert a.equals(b)  # content-deterministic (row order is not a contract)
     assert set(a.columns) == {"lang", "n_docs", "total_tokens"}
     assert (a["n_docs"] > 0).all() and (a["total_tokens"] > 0).all()
     # kept docs cannot exceed the corpus
