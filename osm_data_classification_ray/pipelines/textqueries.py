@@ -332,8 +332,67 @@ SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
 
 
 def q29_media_features(sf_dir: str):
+    """Multimodal feature extraction over synthesized media rows (decode is
+    the documented deterministic byte-domain stand-in — multimodal.py). The
+    stand-in features are pure splitmix byte statistics, so Q29_SQL mirrors
+    them and the driver hash-verifies the whole actor-pool pipeline. Only
+    the std feature is rounded (6 decimals, both sides — its reduction
+    order differs at ulp level); mean/checksum/length are exact dyadic or
+    integer doubles, identical bit-for-bit (rounding THOSE would create
+    half-way ties where the engines' rounding modes differ)."""
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return multimodal.media_features(ds, concurrency=(1, 4), batch_size=64)
+    out = multimodal.media_features(ds, concurrency=(1, 4), batch_size=64)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("feat_1")
+        return t.set_column(i, "feat_1", pc.round(t["feat_1"], 6))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q29_sql() -> str:
+    """DuckDB mirror of the synth-media feature pipeline: payload words are
+    hash_u64(0..511, 922 + doc_id%1024), features are byte statistics of
+    the 4096-byte little-endian stream — so each distinct doc_id%1024 class
+    shares one feature row, computed once from 512 mirrored hashes."""
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    byte_sum = " + ".join(f"CAST((hv >> {8 * k}) & 255 AS BIGINT)" for k in range(8))
+    byte_sq = " + ".join(
+        f"CAST((hv >> {8 * k}) & 255 AS BIGINT) * CAST((hv >> {8 * k}) & 255 AS BIGINT)"
+        for k in range(8)
+    )
+    # per-stream base constant computed in SQL: sm64(42*PRIME + 922 + sid)
+    base_in = f"CAST({(42 * SM_PRIME) % (1 << 64)} + 922 + sid AS UBIGINT)"
+    return f"""
+WITH sw AS (
+  SELECT sid, wi FROM (SELECT UNNEST(RANGE(0, 1024)) AS sid)
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 512)) AS wi)
+),
+{sm64_steps('bs', 'sw', 'sid, wi', base_in)},
+{sm64_steps('hw', 'bsf', 'sid, wi', f"xor({mulmod_sql('CAST(wi AS UBIGINT)', SM_PRIME)}, hv)")},
+wsum AS (
+  SELECT sid, wi, {byte_sum} AS s1, {byte_sq} AS s2 FROM hwf
+),
+feat AS (
+  SELECT sid,
+         SUM(s1) / 4096.0 AS mean_b,
+         SQRT((SUM(s2) - 2.0 * (SUM(s1) / 4096.0) * SUM(s1)
+               + 4096.0 * (SUM(s1) / 4096.0) * (SUM(s1) / 4096.0)) / 4096.0) AS std_b,
+         CAST(SUM(CASE WHEN wi < 8 THEN s1 ELSE 0 END) % 997 AS DOUBLE) AS f2
+  FROM wsum GROUP BY sid
+),
+d AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS du FROM documents),
+{sm64_steps('mt', 'd', 'doc_id', f"xor({mulmod_sql('du', SM_PRIME)}, CAST({sm64_base(921)} AS UBIGINT))")}
+SELECT d2.doc_id,
+       CASE mtf.hv % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(4096 AS BIGINT) AS n_bytes,
+       f.mean_b AS feat_0, ROUND(f.std_b, 6) AS feat_1,
+       f.f2 AS feat_2, 4096.0 AS feat_3
+FROM documents d2
+JOIN mtf ON mtf.doc_id = d2.doc_id
+JOIN feat f ON f.sid = d2.doc_id % 1024
+"""
 
 
 def q44_near_dup_groups(sf_dir: str):
@@ -614,7 +673,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q26_langid": (q26_langid, Q26_SQL),
     "q27_quality": (q27_quality, Q27_SQL),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
-    "q29_media_features": (q29_media_features, None),
+    "q29_media_features": (q29_media_features, _q29_sql()),
     "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),
     "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),
     "q47_clean_corpus": (q47_clean_corpus, Q47_SQL),

@@ -35,7 +35,9 @@ def synth_media_batch(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
     """Deterministic fake media rows for a documents batch (pure fn of doc_id)."""
     ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     h = hash_u64(ids, 921)
-    mtypes = [_TYPES[int(x % 3)] for x in h]
+    # int(x) first: np.uint64 % python-int silently promotes to float64 and
+    # loses low bits above 2^53 — integer mod is the defined behavior
+    mtypes = [_TYPES[int(x) % 3] for x in h]
     payloads = []
     for i, seed in zip(ids, h):
         # payload = repeated splitmix stream — deterministic, incompressible-ish
