@@ -124,7 +124,11 @@ def clusters_query(sf_dir: str):
 
 
 def tiles_rollup_query(sf_dir: str):
-    """A6 parent rollup: res-9 tiles → res-8 by pure cell arithmetic."""
+    """A6 parent rollup: res-9 tiles → res-8 by pure cell arithmetic. The
+    weighted-mean value is rounded to 6 decimals: its partial sums
+    accumulate in shuffle-arrival order, so the raw float is only
+    ulp-deterministic — rounding makes the output (and the DuckDB oracle
+    hash) order-invariant."""
     from ..stages import rollup
 
     cfg, _ = ensure_outputs(sf_dir)
@@ -132,7 +136,11 @@ def tiles_rollup_query(sf_dir: str):
         lambda t: t.filter(pc.equal(t["res"], pa.scalar(9, pa.int8()))),
         batch_format="pyarrow",
     )
-    return rollup.rollup_parents(tiles, default_partitions())
+    out = rollup.rollup_parents(tiles, default_partitions())
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("value"), "value", pc.round(t["value"], 6)),
+        batch_format="pyarrow",
+    )
 
 
 def knn_query(sf_dir: str):
@@ -395,8 +403,20 @@ FROM ranked WHERE rn <= kk
 """
 
 
+def _spatial_engine_sql() -> dict[str, str]:
+    from . import spatialsql
+
+    return {
+        "q31_page_admin_join": spatialsql.q31_sql(),
+        "q32_tiles": spatialsql.q32_sql(),
+        "q33_cell_features": spatialsql.q33_sql(),
+        "q36_tiles_rollup": spatialsql.q36_sql(),
+    }
+
+
 SPATIAL_SQL: dict[str, str] = {
     "q30_pages_extract": Q30_SQL,
     "q37_dedup_urls": Q37_SQL,
     "q35_knn_geo": _knn_sql(),
+    **_spatial_engine_sql(),
 }

@@ -1,0 +1,329 @@
+"""DuckDB mirrors of the spatial engine itself — the oracle side for the
+cell-math queries (q31/q32/q33/q36), which round 1 classified as "genuinely
+can't be DuckDB'd". They can: the hex lattice (cellmath/hexgrid.py) is pure
+linear algebra + np.rint, both exactly expressible in SQL —
+
+- coordinates: the splitmix64 mirror (pipelines/sqlmirror.py), bit-exact;
+- ``np.rint`` (round-half-EVEN — DuckDB ROUND is half-away, and the parent
+  chain divides integers by 2, so exact .5 ties are the COMMON case):
+  mirrored with an explicit FLOOR-parity CASE;
+- cube rounding / parent chains / id packing: integer ops, exact;
+- the capture-chain flags (stages/dedup.py): window functions over the
+  deterministic capture derivation (the Q30 pattern);
+- the feature aggregates (stages/features.py): integer sums and exact
+  means, bit-identical without rounding.
+
+Only reductions whose float accumulation ORDER differs between engines
+(the weighted tile rollup mean) get a 6-decimal round on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base
+
+# ---------------------------------------------------------------------------
+# hexgrid mirror (cellmath/hexgrid.py)
+# ---------------------------------------------------------------------------
+
+_SIZE_R9 = 0.005
+_BIAS = 1 << 29
+
+
+def _rint(x: str) -> str:
+    """np.rint (round-half-even) for a SQL double expression."""
+    return (
+        f"(CASE WHEN ({x}) - FLOOR({x}) = 0.5 THEN FLOOR({x}) +"
+        f" CASE WHEN CAST(FLOOR({x}) AS BIGINT) % 2 <> 0 THEN 1.0 ELSE 0.0 END"
+        f" ELSE ROUND({x}) END)"
+    )
+
+
+def _cube_round_ctes(prefix: str, src: str, keys: str, qf: str, rf: str) -> str:
+    """CTE chain mirroring hexgrid._cube_round; final CTE ``{prefix}f`` has
+    ``{keys}`` plus integer-valued doubles ``q``/``r``."""
+    p = prefix
+    return f"""
+{p}a AS (SELECT {keys}, {qf} AS qf, {rf} AS rf, -({qf}) - ({rf}) AS sf FROM {src}),
+{p}b AS (SELECT {keys}, qf, rf, sf, {_rint('qf')} AS q0, {_rint('rf')} AS r0, {_rint('sf')} AS s0 FROM {p}a),
+{p}c AS (SELECT {keys}, q0, r0, s0,
+         ABS(q0 - qf) AS dq, ABS(r0 - rf) AS dr, ABS(s0 - sf) AS ds FROM {p}b),
+{p}f AS (SELECT {keys},
+         CASE WHEN dq > dr AND dq > ds THEN -r0 - s0 ELSE q0 END AS q,
+         CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q0 - s0 ELSE r0 END AS r
+         FROM {p}c)"""
+
+
+def _pack(res: int, q: str, r: str) -> str:
+    return (
+        f"CAST(CAST({res} AS HUGEINT) * {1 << 60}"
+        f" + (CAST({q} AS HUGEINT) + {_BIAS}) * {1 << 30}"
+        f" + (CAST({r} AS HUGEINT) + {_BIAS}) AS UBIGINT)"
+    )
+
+
+def hex_encode_ctes(prefix: str, src: str, keys: str, lat: str, lon: str) -> str:
+    """CTE chain: res-9 encode of (lat, lon) + parent chain down to res 5
+    (hexgrid.encode_multi semantics — coarse cells ARE parent chains of the
+    res-9 cell). Final CTE ``{prefix}`` carries {keys} + cell_r5..cell_r9."""
+    qf = f"(SQRT(3.0) / 3.0 * ({lon}) - ({lat}) / 3.0) / {_SIZE_R9}"
+    rf = f"(2.0 / 3.0 * ({lat})) / {_SIZE_R9}"
+    ctes = [_cube_round_ctes(f"{prefix}9", src, keys, qf, rf),
+            f"{prefix}9r AS (SELECT {keys}, q AS q9, r AS r9 FROM {prefix}9f)"]
+    prev = f"{prefix}9r"
+    for res in (8, 7, 6, 5):
+        child = res + 1
+        keep = ", ".join(f"q{r2}, r{r2}" for r2 in range(9, res, -1))
+        ctes.append(
+            _cube_round_ctes(
+                f"{prefix}{res}", prev, f"{keys}, {keep}",
+                f"q{child} / 2.0", f"r{child} / 2.0",
+            )
+        )
+        ctes.append(
+            f"{prefix}{res}r AS (SELECT {keys}, {keep}, q AS q{res}, r AS r{res} FROM {prefix}{res}f)"
+        )
+        prev = f"{prefix}{res}r"
+    packs = ", ".join(
+        f"{_pack(res, f'q{res}', f'r{res}')} AS cell_r{res}" for res in (5, 6, 7, 8, 9)
+    )
+    ctes.append(f"{prefix} AS (SELECT {keys}, {packs} FROM {prev})")
+    return ",\n".join(ctes)
+
+
+def parent_cell_sql(cell: str) -> str:
+    """hexgrid.cell_to_parent (one level) for a SQL UBIGINT expression:
+    unpack res/q/r, one cube round of (q/2, r/2), repack at res-1."""
+    res = f"CAST(({cell}) >> 60 AS BIGINT)"
+    q = f"(CAST((({cell}) >> 30) & {(1 << 30) - 1} AS BIGINT) - {_BIAS})"
+    r = f"(CAST(({cell}) & {(1 << 30) - 1} AS BIGINT) - {_BIAS})"
+    return res, q, r
+
+
+# ---------------------------------------------------------------------------
+# captures mirror: documents → per-capture rows with chain flags + cells
+# (stages/ingest.extract_geocode_cells + stages/dedup.enrich_chains over the
+# fixtures' docs_from_doc_ids derivation)
+# ---------------------------------------------------------------------------
+
+
+def captures_ctes() -> str:
+    """CTE block ending in ``cap``: one row per capture with url_i, host_i,
+    ts_us, lang, ext, n_chars, n_tokens, has_geo, lat/lon (geocoded rows),
+    version/is_created/is_latest/willbe_changed/willbe_dup, cell_r5..9
+    (0 where not geocoded — matching the engine's placeholder)."""
+    streams = {s: sm64_base(s) for s in (101, 102, 103, 104, 201, 202)}
+    host_vals = ", ".join(
+        f"({s}, CAST({b} AS UBIGINT))" for s, b in streams.items() if s < 200
+    )
+    page_vals = ", ".join(
+        f"({s}, CAST({b} AS UBIGINT))" for s, b in streams.items() if s >= 200
+    )
+    u = lambda s: f"MAX(CASE WHEN s={s} THEN u01 END)"  # noqa: E731
+    from ..fixtures.gen import HOTSPOTS
+
+    hs_lat = " ".join(f"WHEN {k} THEN {HOTSPOTS[k][0]!r}" for k in range(5))
+    hs_lon = " ".join(f"WHEN {k} THEN {HOTSPOTS[k][1]!r}" for k in range(5))
+    from .sqlmirror import SM_C1, SM_C2, SM_GOLDEN, SM_MOD
+
+    return f"""
+k AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 37 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS url_i
+  FROM documents
+),
+sm_src AS (
+  SELECT 'h' AS ent, CAST(h AS UBIGINT) AS id, s, b
+  FROM (SELECT DISTINCT url_i % 97 AS h FROM k) CROSS JOIN (VALUES {host_vals}) AS t(s, b)
+  UNION ALL
+  SELECT 'p', CAST(url_i AS UBIGINT), s, b
+  FROM (SELECT DISTINCT url_i FROM k) CROSS JOIN (VALUES {page_vals}) AS t(s, b)
+),
+st0 AS (SELECT ent, id, s, xor({mulmod_sql('id', SM_PRIME)}, b) AS x0 FROM sm_src),
+st1 AS (SELECT ent, id, s, CAST((CAST(x0 AS HUGEINT) + {SM_GOLDEN}) % {SM_MOD} AS UBIGINT) AS x1 FROM st0),
+st2 AS (SELECT ent, id, s, {mulmod_sql('xor(x1, x1 >> 30)', SM_C1)} AS x2 FROM st1),
+st3 AS (SELECT ent, id, s, {mulmod_sql('xor(x2, x2 >> 27)', SM_C2)} AS x3 FROM st2),
+uu AS (SELECT ent, id, s, CAST(xor(x3, x3 >> 31) >> 11 AS DOUBLE) * POWER(2.0, -53) AS u01 FROM st3),
+hostc AS (
+  SELECT id AS h, {u(101)} AS u_lat, {u(102)} AS u_lon, {u(103)} AS u_r, {u(104)} AS u_t
+  FROM uu WHERE ent = 'h' GROUP BY id
+),
+hcoord AS (
+  SELECT h,
+    CASE WHEN h % 5 = 0
+         THEN CASE CAST((h // 5) % 5 AS INTEGER) {hs_lat} END + (0.5 * SQRT(u_r)) * COS(2.0 * PI() * u_t)
+         ELSE -60.0 + 130.0 * u_lat END AS base_lat,
+    CASE WHEN h % 5 = 0
+         THEN CASE CAST((h // 5) % 5 AS INTEGER) {hs_lon} END + (0.5 * SQRT(u_r)) * SIN(2.0 * PI() * u_t)
+         ELSE -180.0 + 360.0 * u_lon END AS base_lon
+  FROM hostc
+),
+pagej AS (SELECT id AS url_iu, {u(201)} AS u_jlat, {u(202)} AS u_jlon FROM uu WHERE ent = 'p' GROUP BY id),
+coords AS (
+  SELECT CAST(url_iu AS BIGINT) AS url_i,
+    ROUND(GREATEST(LEAST(hc.base_lat + (pj.u_jlat - 0.5) * 0.1, 89.9), -89.9), 6) AS lat,
+    ROUND(CASE WHEN ((hc.base_lon + (pj.u_jlon - 0.5) * 0.1 + 180.0) % 360.0) < 0
+               THEN ((hc.base_lon + (pj.u_jlon - 0.5) * 0.1 + 180.0) % 360.0) + 360.0
+               ELSE ((hc.base_lon + (pj.u_jlon - 0.5) * 0.1 + 180.0) % 360.0) END - 180.0, 6) AS lon
+  FROM pagej pj JOIN hcoord hc ON hc.h = url_iu % 97
+),
+cap0 AS (
+  SELECT k.doc_id, k.url_i,
+    'https://host' || CAST(k.url_i % 97 AS VARCHAR) || '.example/p' || CAST(k.url_i AS VARCHAR) AS url,
+    'host' || CAST(k.url_i % 97 AS VARCHAR) || '.example' AS host,
+    1704067200000000 + k.doc_id * 977 * 1000000 AS ts_us,
+    CASE WHEN k.doc_id % 10 <= 4 THEN 'en' WHEN k.doc_id % 10 <= 6 THEN 'de'
+         WHEN k.doc_id % 10 = 7 THEN 'fr' WHEN k.doc_id % 10 = 8 THEN 'es'
+         ELSE 'zh' END AS lang,
+    'doc ' || CAST(k.doc_id AS VARCHAR) || chr(10) ||
+    'doc ' || CAST(k.doc_id AS VARCHAR) || chr(10) || k.text AS ext,
+    k.doc_id % 10 <> 7 AS has_geo,
+    c.lat, c.lon
+  FROM k JOIN coords c ON c.url_i = k.url_i
+),
+capc AS (
+  SELECT cap0.*,
+    LENGTH(ext) AS n_chars,
+    LENGTH(regexp_extract_all(ext, '\\S+')) AS n_tokens,
+    ROW_NUMBER() OVER w AS version,
+    COUNT(*) OVER (PARTITION BY url_i) AS n_captures,
+    LEAD(ext) OVER w AS next_ext
+  FROM cap0
+  WINDOW w AS (PARTITION BY url_i ORDER BY ts_us, ext)
+),
+geo AS (SELECT url_i, lat, lon FROM cap0 WHERE has_geo GROUP BY ALL),
+{hex_encode_ctes('hx', 'geo', 'url_i', 'lat', 'lon')},
+cap AS (
+  SELECT c.*,
+    c.version = 1 AS is_created,
+    c.version = c.n_captures AS is_latest,
+    c.next_ext IS NOT NULL AND c.next_ext <> c.ext AS willbe_changed,
+    c.next_ext IS NOT NULL AND c.next_ext = c.ext AS willbe_dup,
+    COALESCE(hx.cell_r5, 0) AS cell_r5, COALESCE(hx.cell_r6, 0) AS cell_r6,
+    COALESCE(hx.cell_r7, 0) AS cell_r7, COALESCE(hx.cell_r8, 0) AS cell_r8,
+    COALESCE(hx.cell_r9, 0) AS cell_r9
+  FROM capc c LEFT JOIN hx ON hx.url_i = c.url_i AND c.has_geo
+)"""
+
+
+# ---------------------------------------------------------------------------
+# q33 / q32 / q36 oracles
+# ---------------------------------------------------------------------------
+
+_FEATURE_AGG = """
+  SELECT {cell} AS cell, CAST({res} AS TINYINT) AS res,
+    CAST(COUNT(*) AS DOUBLE) AS n_pages,
+    CAST(COUNT(DISTINCT url_i) AS DOUBLE) AS n_urls,
+    CAST(COUNT(DISTINCT url_i % 97) AS DOUBLE) AS n_hosts,
+    CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+    CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_created,
+    CAST(SUM(CASE WHEN version > 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_updated,
+    CAST(SUM(CASE WHEN willbe_changed THEN 1 ELSE 0 END) AS DOUBLE) AS n_changed,
+    CAST(SUM(CASE WHEN willbe_dup THEN 1 ELSE 0 END) AS DOUBLE) AS n_dupes,
+    (MAX(ts_us) - MIN(ts_us)) / 86400000000.0 AS lifespan_days,
+    CAST(COUNT(DISTINCT ts_us // 86400000000) AS DOUBLE) AS n_activity_days,
+    SUM(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) / COUNT(*) AS frac_en,
+    CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_created,
+    CAST(SUM(CASE WHEN willbe_changed THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_changed,
+    SUM(CAST(n_chars AS DOUBLE)) / COUNT(*) AS mean_text_len,
+    SUM(CAST(n_tokens AS DOUBLE)) / COUNT(*) AS mean_tokens,
+    CAST(COUNT(*) AS DOUBLE) /
+      GREATEST((MAX(ts_us) - MIN(ts_us)) / 86400000000.0, 1.0) AS pages_per_day
+  FROM cap WHERE has_geo GROUP BY {cell}
+"""
+
+
+def q33_sql() -> str:
+    body = "\nUNION ALL\n".join(
+        _FEATURE_AGG.format(cell=f"cell_r{r}", res=r) for r in (5, 6, 7, 8, 9)
+    )
+    return f"WITH {captures_ctes()}\n{body}"
+
+
+def q32_sql() -> str:
+    body = "\nUNION ALL\n".join(
+        _FEATURE_AGG.format(cell=f"cell_r{r}", res=r) for r in (5, 6, 7, 8, 9)
+    )
+    return f"""WITH {captures_ctes()},
+feat AS ({body})
+SELECT cell, res, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_hosts AS BIGINT) AS n_hosts, mean_tokens AS value
+FROM feat"""
+
+
+def q36_sql() -> str:
+    """res-9 tiles → res-8 parent rollup (stages/rollup.py): weighted mean
+    of tile values; both sides round the float mean to 6 (the partial-sum
+    orders differ)."""
+    agg9 = _FEATURE_AGG.format(cell="cell_r9", res=9)
+    res, q, r = parent_cell_sql("cell")
+    return f"""WITH {captures_ctes()},
+t9 AS (SELECT cell, CAST(n_pages AS BIGINT) AS n_pages, mean_tokens AS value FROM ({agg9})),
+pu AS (SELECT cell, n_pages, value, {q} AS qc, {r} AS rc FROM t9),
+{_cube_round_ctes('pr', 'pu', 'cell, n_pages, value', 'qc / 2.0', 'rc / 2.0')},
+par AS (SELECT {_pack(8, 'q', 'r')} AS parent_cell, n_pages, value FROM prf)
+SELECT parent_cell AS cell, CAST(8 AS TINYINT) AS res,
+       CAST(SUM(n_pages) AS BIGINT) AS n_pages,
+       ROUND(SUM(value * n_pages) / SUM(n_pages), 6) AS value
+FROM par GROUP BY parent_cell"""
+
+
+# ---------------------------------------------------------------------------
+# q31 oracle: brute-force PIP join (cellmath/pip.py conventions) against the
+# fixture polygons inlined as literals (pure function of the seed)
+# ---------------------------------------------------------------------------
+
+
+def _polygon_edge_rows() -> list[tuple]:
+    from ..fixtures import gen
+
+    tbl = gen.gen_admin_polygons()
+    rows = []
+    for rec in tbl.to_pylist():
+        for ring in rec["rings"]:
+            n = len(ring)
+            for i, p in enumerate(ring):
+                b = ring[(i + 1) % n]
+                rows.append(
+                    (rec["admin_id"], rec["level"], p["lat"], p["lon"], b["lat"], b["lon"])
+                )
+    return rows
+
+
+def q31_sql() -> str:
+    """Latest geocoded pages ⋈ admin polygons: even-odd ray cast with the
+    frozen edge/vertex/on-edge conventions (cellmath/pip.py), polygon pick =
+    (level DESC, admin_id ASC). The engine's cover-based candidate pruning
+    is an optimization the oracle deliberately skips — brute force over all
+    polygons; any divergence would expose a lossy cover."""
+    edges = ", ".join(
+        f"({aid}, {lvl}, {ay!r}, {ax!r}, {by!r}, {bx!r})"
+        for aid, lvl, ay, ax, by, bx in _polygon_edge_rows()
+    )
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT url, url_i, lat, lon, cell_r7 FROM cap WHERE has_geo AND is_latest),
+edges(admin_id, level, ay, ax, by, bx) AS (VALUES {edges}),
+crossings AS (
+  SELECT p.url_i, e.admin_id, e.level,
+    SUM(CASE WHEN (e.ay > p.lat) <> (e.by > p.lat)
+              AND p.lon < e.ax + (p.lat - e.ay) * (e.bx - e.ax) / (e.by - e.ay)
+         THEN 1 ELSE 0 END) AS n_cross,
+    MAX(CASE WHEN ABS((e.bx - e.ax) * (p.lat - e.ay) - (e.by - e.ay) * (p.lon - e.ax)) <= 1e-12
+              AND p.lon >= LEAST(e.ax, e.bx) - 1e-12 AND p.lon <= GREATEST(e.ax, e.bx) + 1e-12
+              AND p.lat >= LEAST(e.ay, e.by) - 1e-12 AND p.lat <= GREATEST(e.ay, e.by) + 1e-12
+         THEN 1 ELSE 0 END) AS on_edge
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.url_i, e.admin_id, e.level
+),
+contained AS (
+  SELECT url_i, admin_id, level FROM crossings WHERE n_cross % 2 = 1 OR on_edge = 1
+),
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+)
+SELECT p.url, b.admin_id, p.cell_r7 AS h3_r7
+FROM best b JOIN pts p ON p.url_i = b.url_i
+WHERE b.rn = 1"""

@@ -26,6 +26,10 @@ def _spatial_oracles():
         "q30_pages_extract": (es.pages_query, es.Q30_SQL),
         "q37_dedup_urls": (es.dedup_urls_query, es.Q37_SQL),
         "q35_knn_geo": (es.knn_query, es.SPATIAL_SQL["q35_knn_geo"]),
+        "q31_page_admin_join": (es.page_admin_query, es.SPATIAL_SQL["q31_page_admin_join"]),
+        "q32_tiles": (es.tiles_query, es.SPATIAL_SQL["q32_tiles"]),
+        "q33_cell_features": (es.cell_features_query, es.SPATIAL_SQL["q33_cell_features"]),
+        "q36_tiles_rollup": (es.tiles_rollup_query, es.SPATIAL_SQL["q36_tiles_rollup"]),
     }
 
 
