@@ -1291,6 +1291,45 @@ SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS max_chars FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q53 — deterministic stratified sampling (T4 made driver-verifiable):
+# per-stratum (lang) keep-rates, membership decided by a counter-based hash
+# of the row key — a pure filter, no shuffle, no RNG state, identical on
+# any partitioning/parallelism. The scale shape for "downsample the
+# majority class" corpus balancing.
+# ---------------------------------------------------------------------------
+
+_Q53_RATES = {"en": 0.2, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 1.0}
+_Q53_STREAM = 777
+
+
+def q53_stratified_sample(sf_dir: str):
+    from ..fixtures.gen import hash_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        u = hash_u64(ids, _Q53_STREAM).astype(np.float64) * 2.0**-64
+        rates = np.array([_Q53_RATES.get(v, 0.0) for v in t["lang"].to_pylist()])
+        return t.filter(pa.array(u < rates))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _q53_sql() -> str:
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    rates = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _Q53_RATES.items())
+    return f"""
+WITH d AS (SELECT doc_id, lang, n_chars, CAST(doc_id AS UBIGINT) AS du FROM documents),
+{sm64_steps('sm', 'd', 'doc_id, lang, n_chars',
+            f"xor({mulmod_sql('du', SM_PRIME)}, CAST({sm64_base(_Q53_STREAM)} AS UBIGINT))")}
+SELECT doc_id, lang, n_chars FROM smf
+WHERE CAST(hv AS DOUBLE) * POWER(2.0, -64) < CASE lang {rates} ELSE 0.0 END
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1320,4 +1359,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q48_group_topk": (q48_group_topk, Q48_SQL),
     "q49_interval_join": (q49_interval_join, Q49_SQL),
     "q50_group_argmax": (q50_group_argmax, Q50_SQL),
+    "q53_stratified_sample": (q53_stratified_sample, _q53_sql()),
 }
