@@ -23,6 +23,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-partitions", type=int, default=32)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--hot-threshold", type=int, default=200_000)
+    p.add_argument("--pages-mode", choices=["materialized", "view"], default="materialized",
+                   help="view = persist only the superseded-key sidecar; pages is an "
+                        "anti-filtered read over extracted (100 TB path: text written once)")
     args = p.parse_args(argv)
 
     import ray
@@ -49,6 +52,7 @@ def _run(args) -> int:
         num_partitions=args.num_partitions,
         pip_concurrency=max(2, args.num_cpus // 2),
         hot_threshold=args.hot_threshold,
+        pages_mode=args.pages_mode,
     )
     admin = gen.gen_admin_polygons()
 
@@ -65,7 +69,8 @@ def _run(args) -> int:
         out.update(spatial.run_all(cfg, docs_source, admin))
     if args.job == "ingest_index":
         out["captures"] = spatial.run_captures(cfg, docs_source)
-        out["pages"] = spatial.run_pages(cfg)
+        out["pages"] = (spatial.run_pages_keys(cfg) if cfg.pages_mode == "view"
+                        else spatial.run_pages(cfg))
     if args.job == "spatial_join":
         out.setdefault("captures", spatial.run_captures(cfg, docs_source))
         out["cell_features"] = spatial.run_cell_features(cfg)

@@ -75,8 +75,7 @@ def ensure_outputs(sf_dir: str) -> tuple[spatial.EngineConfig, dict[str, str]]:
 
 def pages_query(sf_dir: str):
     cfg, _ = ensure_outputs(sf_dir)
-    ds = spatial.read_stage(cfg.out_root, "pages",
-                            ["url", "warc_ts", "host", "lang", "n_chars", "text_sha256"])
+    ds = spatial.read_pages(cfg, ["url", "warc_ts", "host", "lang", "n_chars", "text_sha256"])
     # hex the binary hash so every consumer (pandas/duckdb) hashes it stably
     return ds.map_batches(
         lambda t: t.drop_columns(["text_sha256"]).append_column(

@@ -56,6 +56,15 @@ class EngineConfig:
     #: superseded-key count above which run_pages switches from the
     #: broadcast anti-filter to a (url, warc_ts, sha) hash join
     superseded_broadcast_limit: int = 5_000_000
+    #: "materialized" (default) = pages is its own wide parquet table — the
+    #: SURVEY §2.2 user-facing artifact, text duplicated from ``extracted``.
+    #: "view" = the stage persists ONLY the superseded-key sidecar (bounded
+    #: by the duplicate count); ``read_pages`` applies the anti-filter over
+    #: the column-pruned ``extracted`` read. At 100 TB this removes a full
+    #: corpus write+read from the critical path (the text bytes then hit
+    #: storage exactly once); the trade is that every pages consumer pays
+    #: the (vectorized, broadcast) filter at read time. Same rows, tested.
+    pages_mode: str = "materialized"
     #: identity of the input data (path + size/mtime hash); root stages mix
     #: it into their fingerprint so regenerated inputs invalidate checkpoints
     input_id: str = ""
@@ -340,6 +349,66 @@ def run_pages(cfg: EngineConfig) -> str:
                                   batch_format="pyarrow")
 
     return ckpt.run_stage(cfg.out_root, "pages", fp, build)
+
+
+def run_pages_keys(cfg: EngineConfig) -> str:
+    """View-mode pages stage: persist ONLY the superseded capture keys
+    (url, warc_ts, text_sha256 of non-latest, non-identical captures) —
+    bounded by the duplicate count, not the corpus. ``read_pages`` applies
+    them as a broadcast anti-filter over ``extracted`` at read time."""
+    fp = ckpt.fingerprint(cfg.fp({"stage": "pages_keys"}),
+                          [ckpt.manifest_path(cfg.out_root, "captures")])
+
+    def build():
+        flags = read_stage(cfg.out_root, "captures",
+                           ["url", "warc_ts", "text_sha256", "is_latest", "dups_latest"],
+                           num_blocks=cfg.num_partitions)
+        return flags.map_batches(
+            lambda t: t.filter(pc.and_(pc.invert(t["is_latest"]),
+                                       pc.invert(t["dups_latest"])))
+            .select(["url", "warc_ts", "text_sha256"]),
+            batch_format="pyarrow",
+        )
+
+    return ckpt.run_stage(cfg.out_root, "pages_keys", fp, build)
+
+
+def read_pages(cfg: EngineConfig, columns: list[str] | None = None):
+    """The PAGES table as a Dataset, whichever way it is persisted.
+
+    materialized → plain pruned read of the pages parquet. view → pruned
+    read of ``extracted`` + the superseded-key broadcast anti-filter
+    (the keys sidecar is tiny; the filter is the same vectorized
+    hash-prefilter path run_pages uses). Identical rows either way
+    (test_pages_view_mode_identical)."""
+    if cfg.pages_mode != "view":
+        return read_stage(cfg.out_root, "pages", columns)
+    import ray
+
+    run_pages_keys(cfg)
+    import pyarrow.parquet as pq
+
+    files = ckpt.stage_files(cfg.out_root, "pages_keys")
+    sup_t = pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+    keys = []
+    if sup_t is not None and sup_t.num_rows:
+        keys = list(zip(sup_t["url"].to_pylist(),
+                        sup_t["warc_ts"].cast(pa.int64()).to_pylist(),
+                        sup_t["text_sha256"].to_pylist()))
+    sup_ref = ray.put(keys)
+    # the filter needs the key columns; re-project afterwards if the caller
+    # asked for fewer. No explicit columns → the pages schema (NOT all of
+    # extracted's geo columns).
+    if columns is None:
+        columns = list(_PAGES_WIDE_COLUMNS)
+    need = ["url", "warc_ts", "text_sha256"]
+    read_cols = sorted(set(columns) | set(need))
+    wide = read_stage(cfg.out_root, "extracted", read_cols, num_blocks=cfg.num_partitions)
+    out = wide.map_batches(_latest_filter, fn_args=(sup_ref,),
+                           batch_format="pyarrow", batch_size=None)
+    if set(columns) != set(read_cols) or list(columns) != read_cols:
+        out = out.map_batches(lambda t: t.select(columns), batch_format="pyarrow")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -641,16 +710,17 @@ def run_middle_stages(cfg: EngineConfig, admin_table: pa.Table) -> dict[str, str
     (observed livelock at 4 CPUs), so small configs run sequentially —
     same outputs, checkpoints make the order irrelevant."""
     r5_histogram(cfg)
+    pages_stage = run_pages_keys if cfg.pages_mode == "view" else run_pages
     overlap_env = os.environ.get("GRAFT_STAGE_OVERLAP", "1") != "0"
     if cfg.num_partitions < 12 or not overlap_env:
         return {"cell_features": run_cell_features(cfg),
-                "pages": run_pages(cfg),
+                "pages": pages_stage(cfg),
                 "page_admin": run_page_admin(cfg, admin_table)}
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=3) as ex:
         f_feat = ex.submit(run_cell_features, cfg)
-        f_pages = ex.submit(run_pages, cfg)
+        f_pages = ex.submit(pages_stage, cfg)
         f_admin = ex.submit(run_page_admin, cfg, admin_table)
         return {"cell_features": f_feat.result(), "pages": f_pages.result(),
                 "page_admin": f_admin.result()}

@@ -173,6 +173,41 @@ def test_bucketed_dedup_mode_identical(golden, tmp_path_factory, ray_session):
     pd.testing.assert_frame_equal(got.to_pandas(), want.to_pandas())  # NaN-aware
 
 
+def test_pages_view_mode_identical(golden, tmp_path_factory, ray_session):
+    """pages_mode="view" (persist only the superseded-key sidecar, filter
+    ``extracted`` at read time) must yield the same pages rows as the
+    materialized table — the 100 TB path where the text bytes hit storage
+    exactly once."""
+    import ray.data as rd
+
+    docs, _, ref = golden
+    src_dir = tmp_path_factory.mktemp("docs_in_pview")
+    pq.write_table(docs, src_dir / "documents.parquet")
+
+    def src():
+        return rd.read_parquet(str(src_dir / "documents.parquet")).repartition(5)
+
+    tables = {}
+    for mode in ("materialized", "view"):
+        d = tmp_path_factory.mktemp(f"pages_{mode}")
+        cfg = spatial.EngineConfig(out_root=str(d), num_partitions=3, pages_mode=mode)
+        spatial.run_captures(cfg, src)
+        if mode == "view":
+            spatial.run_pages_keys(cfg)
+        else:
+            spatial.run_pages(cfg)
+        t = pa.Table.from_pandas(
+            spatial.read_pages(cfg).to_pandas(), preserve_index=False
+        )
+        tables[mode] = canon(t.select(sorted(t.column_names)), ["url", "warc_ts"])
+    a, b = tables["materialized"], tables["view"]
+    assert a.num_rows == b.num_rows and a.num_rows > 0
+    assert a.column_names == b.column_names
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a.to_pandas(), b.to_pandas())
+
+
 def test_bounded_memory_small_blocks(golden, tmp_path_factory, ray_session):
     """SURVEY §6.5: tiny target_max_block_size forces many small blocks
     through the streaming executor; results stay identical."""
