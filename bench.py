@@ -87,6 +87,9 @@ def run_headline(out_root: str) -> dict:
         num_partitions=max(8, NUM_CPUS),
         pip_concurrency=pip_pool,
         hot_threshold=100_000,
+        # "view" measures the write-once text layout (pages = key sidecar +
+        # read-time anti-filter); default stays the materialized table
+        pages_mode=os.environ.get("GRAFT_PAGES_MODE", "materialized"),
     )
     admin = gen.gen_admin_polygons()
     src = _amplified_docs_source(SF_DIR, AMP)
