@@ -518,6 +518,116 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q54_cosine_pair_join(sf_dir: str):
+    """Exact cosine-similarity self-join (all pairs >= 0.4) — the
+    brute-force baseline the approximate paths (q24 LSH, q25 IVF) are
+    measured against. Broadcast-matrix matmul per batch; pairs-only output
+    (set membership at 0.4 has >=1e-4 margin on every fixture, so the
+    oracle comparison is engine-stable; raw sims are not — q23 policy)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.cosine_pair_join(ds, threshold=0.4)
+
+
+# CAST to DOUBLE[] so DuckDB accumulates in float64 exactly like the numpy
+# side (float32 kernels would drift ~1e-4 — the size of the corpus margin).
+Q54_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q55_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms: tokenize → per-doc term counts
+    (vectorized explode inside each block; blocks hold whole docs so the
+    per-block counts are complete) → document frequency via a term-keyed
+    aggregate → hash join df back onto the term rows → per-doc top-3 by
+    (tf·idf desc, term asc) after a doc-keyed repartition (q48's T3 shape).
+
+    idf = ln(N/df) is computed per DISTINCT df value with scalar
+    ``math.log`` (libm) — the same libm call DuckDB's LN makes — so the
+    rank comparisons are bit-identical across engines (numpy's SIMD log
+    is NOT used; its rounding differs at ulp level). Output is ranks +
+    integer tf/df (no float columns — q23 oracle policy)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern(
+            pc.utf8_lower(pc.coalesce(t["text"], pa.scalar(""))), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        ids = np.repeat(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)), lens)
+        df = pd.DataFrame({"doc_id": ids, "term": toks.flatten().to_pandas()})
+        g = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                         "term": pa.array(g["term"], pa.string()),
+                         "tf": pa.array(g["tf"], pa.int64())})
+
+    tf_ds = ds.map_batches(term_counts, batch_format="pyarrow")
+    df_ds = tf_ds.groupby("term", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="df"))
+    joined = tf_ds.join(df_ds, join_type="inner",
+                        num_partitions=default_partitions(), on=("term",))
+    joined = joined.repartition(default_partitions(), keys=["doc_id"], sort=True)
+
+    def topk(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "rk": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        pdf = block.to_pandas()
+        idf = {d: math.log(n_docs / d) for d in pdf["df"].unique()}
+        pdf["score"] = pdf["tf"].to_numpy(dtype=np.float64) * pdf["df"].map(idf).to_numpy()
+        pdf = pdf.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True], kind="mergesort")
+        pdf["rk"] = pdf.groupby("doc_id", sort=False).cumcount() + 1
+        pdf = pdf[pdf["rk"] <= 3]
+        return pa.table({"doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                         "term": pa.array(pdf["term"], pa.string()),
+                         "tf": pa.array(pdf["tf"], pa.int64()),
+                         "df": pa.array(pdf["df"], pa.int64()),
+                         "rk": pa.array(pdf["rk"], pa.int64())})
+
+    return joined.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+Q55_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(lower(COALESCE(text, '')), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term ASC
+         ) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rk
+FROM s WHERE rk <= 3
+"""
+
+
 def q47_clean_corpus(sf_dir: str):
     """End-to-end training-data cleaning composite: quality-score filter →
     exact dedup (keep min doc_id per sha) → near-dup removal (MinHash
@@ -678,4 +788,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),
     "q47_clean_corpus": (q47_clean_corpus, Q47_SQL),
     "q52_embedding_all_nn": (q52_embedding_all_nn, Q52_SQL),
+    "q54_cosine_pair_join": (q54_cosine_pair_join, Q54_SQL),
+    "q55_tfidf_top_terms": (q55_tfidf_top_terms, Q55_SQL),
 }

@@ -352,3 +352,44 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
         return empty
     out = out.sort_values(["vec_a", "vec_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cosine_pair_join(emb_ds, threshold: float):
+    """Exact cosine-similarity self-join: every pair (a < b) with
+    cosine >= threshold. The brute-force baseline to the LSH path
+    (``cosine_near_dup_pairs``): the full normalized matrix is broadcast
+    ONCE (``ray.put``), each batch does a single matmul against it and
+    emits its rows' qualifying pairs — the ``a < b`` mask both dedups
+    pairs across batches and excludes self-matches. No shuffle.
+
+    Scale note: O(n^2) dot products with the matrix side held per worker —
+    correct while the embedding table is the bounded side (queries /
+    centroids / a sampled corpus); beyond worker memory use the banded LSH
+    path, which shuffles only (band, bucket, id) triples. Output is
+    pairs-only (the q23 oracle policy: set membership at the threshold is
+    stable across engines, raw float sims are not)."""
+    import ray
+
+    mat = emb_ds.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"]}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    order = np.argsort(mat["vec_id"].to_numpy())
+    M = _normalize_rows(np.stack(mat["embedding"].to_numpy()[order]).astype(np.float64))
+    all_ids = mat["vec_id"].to_numpy()[order].astype(np.int64)
+    m_ref = ray.put((all_ids, M))
+
+    class PairEmitter:
+        def __init__(self):
+            self.ids, self.M = ray.get(m_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize_rows(_emb_matrix(batch))
+            ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            sims = X @ self.M.T  # (n_batch, n_all)
+            hit = (sims >= threshold) & (ids[:, None] < self.ids[None, :])
+            r, c = np.nonzero(hit)
+            return pa.table({"vec_a": pa.array(ids[r], pa.int64()),
+                             "vec_b": pa.array(self.ids[c], pa.int64())})
+
+    return emb_ds.map_batches(PairEmitter, batch_format="pyarrow", concurrency=(1, 4))
