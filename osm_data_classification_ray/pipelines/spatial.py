@@ -109,11 +109,46 @@ def read_stage(root: str, stage: str, columns: list[str] | None = None,
 #: (round-1 VERDICT perf item #2: the text was ~70% of the 1 GB exchange
 #: and no shuffle consumer reads it; it stays in the unshuffled
 #: ``extracted`` checkpoint and is re-read, column-pruned, only by pages)
+#: and EXCEPT h3_r5..h3_r8 (32 B/row): only the finest cell crosses —
+#: ``encode(p, r) == cell_to_parent(encode(p, 9), r)`` holds by
+#: construction (test_parent_to_res), so the coarser cells are rebuilt
+#: after the exchange by pure bit-math (``_derive_coarse_cells``).
 CAPTURE_NARROW_COLUMNS = [
     "url", "warc_ts", "host", "lang", "text_sha256", "n_chars", "n_tokens",
     "lat", "lon", "geocode_src", "has_geo",
-    "h3_r5", "h3_r6", "h3_r7", "h3_r8", "h3_r9",
+    "h3_r9",
 ]
+
+
+def _derive_coarse_cells(t: pa.Table, res: tuple[int, ...] = (8, 7, 6, 5)) -> pa.Table:
+    """Rebuild the given coarse h3_r* columns from h3_r9 (exact parent
+    bit-math), inserted before h3_r9 so the schema matches the
+    pre-narrowing layout. ``res`` must be descending."""
+    from ..cellmath import hexgrid
+
+    idx = t.column_names.index("h3_r9")
+    if t.num_rows == 0:
+        for r in res:
+            t = t.add_column(idx, f"h3_r{r}", pa.array([], pa.uint64()))
+        return t
+    c9 = np.asarray(t["h3_r9"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    geo = c9 != 0  # non-geo rows carry the 0 sentinel at EVERY res (ingest)
+    for r in res:
+        cells = np.zeros(len(c9), dtype=np.uint64)
+        if geo.any():
+            cells[geo] = hexgrid.cell_to_parent(c9[geo], r)
+        t = t.add_column(idx, f"h3_r{r}", pa.array(cells, pa.uint64()))
+    return t
+
+
+def _derive_mid_cells(t: pa.Table) -> pa.Table:
+    """h3_r6..h3_r8 from h3_r9 — for consumers that already carry h3_r5
+    (their shuffle key) and h3_r9 across an exchange."""
+    return _derive_coarse_cells(t, res=(8, 7, 6))
+
+
+def _enrich_derive(t: pa.Table) -> pa.Table:
+    return _derive_coarse_cells(dedup.enrich_chains(t))
 
 _PAGES_WIDE_COLUMNS = ["url", "warc_ts", "host", "lang", "extracted_text",
                        "text_sha256", "n_chars", "n_tokens"]
@@ -154,7 +189,7 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
         ds = read_stage(cfg.out_root, "extracted", CAPTURE_NARROW_COLUMNS,
                         num_blocks=cfg.num_partitions)
         ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=True)
-        return ds.map_batches(dedup.enrich_chains, batch_format="pyarrow", batch_size=None)
+        return ds.map_batches(_enrich_derive, batch_format="pyarrow", batch_size=None)
 
     return ckpt.run_stage(cfg.out_root, "captures", fp, build)
 
@@ -204,7 +239,7 @@ def _run_captures_bucketed(cfg: EngineConfig, docs_source) -> str:
                 if not files:
                     continue
                 t = pa.concat_tables(pq.read_table(f) for f in files)
-                outs.append(dedup.enrich_chains(t))
+                outs.append(_derive_coarse_cells(dedup.enrich_chains(t)))
             if not outs:
                 return _empty_enriched_schema(raw_dir)
             return pa.concat_tables(outs)
@@ -224,7 +259,8 @@ def _empty_enriched_schema(raw_dir: str) -> pa.Table:
 
     any_file = sorted(glob.glob(os.path.join(raw_dir, "bucket=*", "*.parquet")))[0]
     base = pq.read_table(any_file).slice(0, 0)
-    return dedup.enrich_chains(base.slice(0, 0)) if base.num_rows else _pad_flags(base)
+    enriched = dedup.enrich_chains(base.slice(0, 0)) if base.num_rows else _pad_flags(base)
+    return _derive_coarse_cells(enriched)
 
 
 def _pad_flags(t: pa.Table) -> pa.Table:
@@ -463,7 +499,11 @@ def run_cell_features(cfg: EngineConfig) -> str:
     chosen = {"mode": cfg.features_mode}
 
     def build():
-        ds = read_stage(cfg.out_root, "captures", features.FEATURE_INPUT_COLUMNS + ["has_geo"],
+        # h3_r6..r8 never cross the r5 exchange: only the key (h3_r5) and
+        # the finest cell (h3_r9, from which they derive exactly) are read
+        narrow = [c for c in features.FEATURE_INPUT_COLUMNS
+                  if c not in ("h3_r6", "h3_r7", "h3_r8")]
+        ds = read_stage(cfg.out_root, "captures", narrow + ["has_geo"],
                         num_blocks=cfg.num_partitions)
         ds = ds.map_batches(lambda t: t.filter(t["has_geo"]).drop_columns(["has_geo"]),
                             batch_format="pyarrow", batch_size=None)
@@ -480,9 +520,14 @@ def run_cell_features(cfg: EngineConfig) -> str:
         if mode == "twolevel":
             from ..stages.features_twolevel import cell_features_twolevel
 
-            return cell_features_twolevel(ds, cfg.num_partitions)
+            # twolevel shuffles only pre-aggregated partials, so the mid
+            # cells are rebuilt up front (its partial_sums wants all res)
+            return cell_features_twolevel(
+                ds.map_batches(_derive_mid_cells, batch_format="pyarrow"),
+                cfg.num_partitions)
         ds = ds.repartition(cfg.num_partitions, keys=["h3_r5"], sort=True)
-        return ds.map_batches(features.cell_features_block, batch_format="pyarrow", batch_size=None)
+        return ds.map_batches(lambda t: features.cell_features_block(_derive_mid_cells(t)),
+                              batch_format="pyarrow", batch_size=None)
 
     return ckpt.run_stage(cfg.out_root, "cell_features", fp, build, extra_meta=chosen)
 

@@ -88,33 +88,34 @@ def _token_hash_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 
 def emit_distinct_tokens(block: pa.Table) -> pa.Table:
-    """Per-batch deduped (res, cell, kind, tok_h1, tok_h2) tuples — fixed
-    16-byte token identities keep the dedup exchange narrow."""
+    """Per-batch deduped (r9 cell, kind, tok_h1, tok_h2) tuples — fixed
+    16-byte token identities keep the dedup exchange narrow.
+
+    Only the FINEST resolution crosses the exchange: ``encode(p, r) ==
+    cell_to_parent(encode(p, 9), r)`` holds by construction
+    (tests/test_cellmath.py::test_parent_to_res), so the coarser tuples
+    are derived and deduped AFTER the token-colocating shuffle
+    (``dedup_count_block``) by pure parent bit-math — a ~5× narrower
+    exchange than shipping all of res 5–9."""
     url = block["url"].to_pandas()
     host = block["host"].to_pandas()
     lang = block["lang"].to_pandas()
     day = (block["warc_ts"].cast(pa.int64()).to_pandas() // 86_400_000_000)
     # hash each distinct raw value once per batch, then map per row
-    outs_res, outs_cell, outs_kind, outs_h1, outs_h2 = [], [], [], [], []
+    outs_cell, outs_kind, outs_h1, outs_h2 = [], [], [], []
     series_by_kind = (url, host, lang, day.astype(str))
-    codes_by_kind = []
+    cells = _cells_i64(block, 9)
     for kind_i, series in enumerate(series_by_kind):
         cat = pd.Categorical(series)
         h1u, h2u = _token_hash_pair(pd.Series(cat.categories))
-        codes_by_kind.append((cat.codes, h1u, h2u))
-    for r in RESOLUTIONS:
-        cells = _cells_i64(block, r)
-        for kind_i, (codes, h1u, h2u) in enumerate(codes_by_kind):
-            df = pd.DataFrame({"cell": cells, "code": codes}).drop_duplicates()
-            c = df["code"].to_numpy()
-            outs_res.append(np.full(len(df), r, dtype=np.int8))
-            outs_cell.append(df["cell"].to_numpy(dtype=np.int64))
-            outs_kind.append(np.full(len(df), kind_i, dtype=np.int8))
-            outs_h1.append(h1u[c])
-            outs_h2.append(h2u[c])
+        df = pd.DataFrame({"cell": cells, "code": cat.codes}).drop_duplicates()
+        c = df["code"].to_numpy()
+        outs_cell.append(df["cell"].to_numpy(dtype=np.int64))
+        outs_kind.append(np.full(len(df), kind_i, dtype=np.int8))
+        outs_h1.append(h1u[c])
+        outs_h2.append(h2u[c])
     return pa.table(
         {
-            "res": pa.array(np.concatenate(outs_res), pa.int8()),
             "cell": pa.array(np.concatenate(outs_cell), pa.int64()),
             "kind": pa.array(np.concatenate(outs_kind), pa.int8()),
             "tok_h1": pa.array(np.concatenate(outs_h1), pa.int64()),
@@ -202,9 +203,32 @@ def cell_features_twolevel(geo_ds, num_partitions: int):
         if block.num_rows == 0:
             return pa.table({"res": pa.array([], pa.int8()), "cell": pa.array([], pa.int64()),
                              "kind": pa.array([], pa.int8()), "nn": pa.array([], pa.int64())})
+        from ..cellmath import hexgrid
+
+        # exact global dedup: the tok_h1-keyed repartition colocated every
+        # copy of a token, so in-block drop_duplicates IS the global dedup —
+        # at r9 and (after the parent derivation below) at every coarser res
         df = block.to_pandas().drop_duplicates()
-        g = df.groupby(["res", "cell", "kind"], sort=True).size().reset_index(name="nn")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        cells9 = df["cell"].to_numpy(dtype=np.int64)
+        kinds = df["kind"].to_numpy()
+        h1 = df["tok_h1"].to_numpy()
+        h2 = df["tok_h2"].to_numpy()
+        out_res, out_cell, out_kind, out_nn = [], [], [], []
+        for r in RESOLUTIONS:
+            cells = cells9 if r == 9 else hexgrid.cell_to_parent(
+                cells9.view(np.uint64), r).view(np.int64)
+            sub = pd.DataFrame({"cell": cells, "kind": kinds, "h1": h1, "h2": h2})
+            g = sub.drop_duplicates().groupby(["cell", "kind"], sort=True).size().reset_index(name="nn")
+            out_res.append(np.full(len(g), r, dtype=np.int8))
+            out_cell.append(g["cell"].to_numpy(dtype=np.int64))
+            out_kind.append(g["kind"].to_numpy())
+            out_nn.append(g["nn"].to_numpy(dtype=np.int64))
+        return pa.table({
+            "res": pa.array(np.concatenate(out_res), pa.int8()),
+            "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+            "kind": pa.array(np.concatenate(out_kind), pa.int8()),
+            "nn": pa.array(np.concatenate(out_nn), pa.int64()),
+        })
 
     partial = toks.map_batches(dedup_count_block, batch_format="pyarrow", batch_size=None)
     lvl2 = partial.groupby(["res", "cell", "kind"], num_partitions=num_partitions).aggregate(
