@@ -139,6 +139,28 @@ def cell_to_parent(cell, res: int | None = None) -> np.ndarray:
     return _pack(target, q, r)
 
 
+def cell_to_parents_multi(cell, res_list: tuple[int, ...]) -> dict[int, np.ndarray]:
+    """Parents at every requested res from ONE unpack + a shared halving
+    chain (the ``encode_multi`` shape): for k requested resolutions this
+    does ``max_res - min(res_list)`` cube-rounds total instead of
+    ``sum(max_res - r)`` — the hot path for rebuilding coarse cell columns
+    after a finest-cell-only exchange."""
+    r0, q, r = _unpack(cell)
+    cur = int(r0.flat[0]) if r0.size else 9
+    if r0.size and not np.all(r0 == cur):
+        raise ValueError("cell_to_parents_multi requires uniform input resolution")
+    want = sorted(set(res_list), reverse=True)
+    if want and (want[0] > cur or want[-1] < RES_MIN):
+        raise ValueError(f"bad parent res {want} for child res {cur}")
+    out: dict[int, np.ndarray] = {}
+    for res in want:
+        while cur > res:
+            q, r = _cube_round(q / 2.0, r / 2.0)
+            cur -= 1
+        out[res] = _pack(res, q, r)
+    return out
+
+
 def cell_center(cell) -> tuple[np.ndarray, np.ndarray]:
     """(lat, lon) degrees of the cell center."""
     res, q, r = _unpack(cell)

@@ -17,6 +17,7 @@ model math over per-entity aggregates.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -65,6 +66,15 @@ class EngineConfig:
     #: storage exactly once); the trade is that every pages consumer pays
     #: the (vectorized, broadcast) filter at read time. Same rows, tested.
     pages_mode: str = "materialized"
+    #: "fused" (default) = extracted + captures run as ONE streaming DAG:
+    #: the extract map tee-writes the wide ``extracted`` checkpoint from
+    #: inside the task (deterministic per-block file names → idempotent on
+    #: retry) and streams the narrow columns straight into the url shuffle
+    #: — no materialization barrier, no checkpoint re-read between the two
+    #: heaviest stages. "staged" = the two-stage form (extract → write →
+    #: re-read → shuffle); also the resume path when ``extracted`` already
+    #: exists. Outputs are identical (tests).
+    ingest_mode: str = "fused"
     #: identity of the input data (path + size/mtime hash); root stages mix
     #: it into their fingerprint so regenerated inputs invalidate checkpoints
     input_id: str = ""
@@ -133,10 +143,12 @@ def _derive_coarse_cells(t: pa.Table, res: tuple[int, ...] = (8, 7, 6, 5)) -> pa
         return t
     c9 = np.asarray(t["h3_r9"].to_numpy(zero_copy_only=False), dtype=np.uint64)
     geo = c9 != 0  # non-geo rows carry the 0 sentinel at EVERY res (ingest)
+    parents = (hexgrid.cell_to_parents_multi(c9[geo], res)
+               if geo.any() else {r: None for r in res})
     for r in res:
         cells = np.zeros(len(c9), dtype=np.uint64)
-        if geo.any():
-            cells[geo] = hexgrid.cell_to_parent(c9[geo], r)
+        if parents[r] is not None:
+            cells[geo] = parents[r]
         t = t.add_column(idx, f"h3_r{r}", pa.array(cells, pa.uint64()))
     return t
 
@@ -170,28 +182,113 @@ def run_extracted(cfg: EngineConfig, docs_source) -> str:
     return ckpt.run_stage(cfg.out_root, "extracted", fp, build)
 
 
+def captures_fingerprint(cfg: EngineConfig) -> str:
+    """The fingerprint the captures checkpoint answers to for this cfg.
+    Fused runs have no upstream ``extracted`` manifest at fingerprint time
+    (the tee writes it inside the same DAG), so their fp is config+code
+    only; staged runs chain the extracted manifest. A checkpoint written
+    by a fused run keeps satisfying reruns in either mode."""
+    fused_fp = ckpt.fingerprint(cfg.fp({"stage": "captures", "ingest": "fused"}))
+    if ckpt.is_complete(cfg.out_root, "captures", fused_fp):
+        return fused_fp
+    return ckpt.fingerprint(cfg.fp({"stage": "captures"}),
+                            [ckpt.manifest_path(cfg.out_root, "extracted")])
+
+
+def _tee_write_block(tee_dir: str):
+    """map_batches callable: persist this (wide) block into the extracted
+    checkpoint from inside the task, pass the NARROW columns downstream.
+    The file name is a content hash of the url column's Arrow buffers, so
+    a retried task overwrites its own file (idempotent) and never
+    collides with another block's. Writes are tmp-name + atomic rename."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            arr = t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"]
+            h = hashlib.sha256(str(t.num_rows).encode())
+            for buf in arr.buffers():
+                if buf is not None:
+                    h.update(buf)
+            name = f"tee-{h.hexdigest()[:24]}.parquet"
+            tmp = os.path.join(tee_dir, name + ".inprogress")
+            pq.write_table(t, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(tee_dir, name))
+        return t.select(CAPTURE_NARROW_COLUMNS)
+
+    return f
+
+
 def run_captures(cfg: EngineConfig, docs_source) -> str:
     """documents → enriched captures checkpoint (NARROW: no extracted_text).
 
-    Two stages: ``extracted`` (wide, exchange-free) then the url-keyed hash
-    shuffle over the COLUMN-PRUNED read (the parquet reader never touches
-    the text bytes) → per-block chain enrichment. ``docs_source`` is a
-    zero-arg callable returning the input Dataset (lazy so a skipped stage
-    never touches the input)."""
+    Fused default: ONE streaming DAG — extract map (tee-writing the wide
+    ``extracted`` checkpoint from inside the task) → narrow projection →
+    url-keyed hash shuffle → per-block chain enrichment. Extract compute
+    overlaps the exchange instead of serializing behind a full
+    materialize + re-read. ``ingest_mode="staged"`` (and any resume where
+    ``extracted`` is already complete) runs the two-stage form over the
+    COLUMN-PRUNED checkpoint read; outputs are identical. ``docs_source``
+    is a zero-arg callable returning the input Dataset (lazy so a skipped
+    stage never touches the input)."""
     if cfg.dedup_mode == "bucketed":
         return _run_captures_bucketed(cfg, docs_source)
     use_hash_shuffle()
-    run_extracted(cfg, docs_source)
-    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}),
-                          [ckpt.manifest_path(cfg.out_root, "extracted")])
+    ex_final = os.path.join(cfg.out_root, "extracted")
+    fp_ex = ckpt.fingerprint(cfg.fp({"stage": "extracted"}))
+    ex_done = ckpt.is_complete(cfg.out_root, "extracted", fp_ex)
+    if cfg.ingest_mode != "fused" or ex_done:
+        fused_fp = ckpt.fingerprint(cfg.fp({"stage": "captures", "ingest": "fused"}))
+        if ex_done and ckpt.is_complete(cfg.out_root, "captures", fused_fp):
+            return os.path.join(cfg.out_root, "captures")  # fused-complete
+        run_extracted(cfg, docs_source)
+        fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}),
+                              [ckpt.manifest_path(cfg.out_root, "extracted")])
+
+        def build():
+            ds = read_stage(cfg.out_root, "extracted", CAPTURE_NARROW_COLUMNS,
+                            num_blocks=cfg.num_partitions)
+            ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=True)
+            return ds.map_batches(_enrich_derive, batch_format="pyarrow", batch_size=None)
+
+        return ckpt.run_stage(cfg.out_root, "captures", fp, build)
+
+    fp_cap = ckpt.fingerprint(cfg.fp({"stage": "captures", "ingest": "fused"}))
+    if ckpt.is_complete(cfg.out_root, "captures", fp_cap):
+        # fused run died between captures completing and extracted
+        # finalizing: rebuild the text store alone, keep captures
+        run_extracted(cfg, docs_source)
+        return os.path.join(cfg.out_root, "captures")
+
+    tee_tmp = ex_final + ".tmp"
+    shutil.rmtree(tee_tmp, ignore_errors=True)
+    shutil.rmtree(ex_final, ignore_errors=True)
+    os.makedirs(tee_tmp, exist_ok=True)
+    import time as _time
+
+    t0 = _time.monotonic()
 
     def build():
-        ds = read_stage(cfg.out_root, "extracted", CAPTURE_NARROW_COLUMNS,
-                        num_blocks=cfg.num_partitions)
+        ds = docs_source()
+        ds = ds.map_batches(
+            lambda t: ingest.extract_geocode_cells(t, compute_s2=False),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
+        ds = ds.map_batches(_tee_write_block(tee_tmp), batch_format="pyarrow",
+                            batch_size=None)
         ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=True)
         return ds.map_batches(_enrich_derive, batch_format="pyarrow", batch_size=None)
 
-    return ckpt.run_stage(cfg.out_root, "captures", fp, build)
+    out = ckpt.run_stage(cfg.out_root, "captures", fp_cap, build,
+                         extra_meta={"ingest": "fused"})
+    # finalize the tee'd extracted checkpoint (manifest + _SUCCESS)
+    ckpt.finalize_dir_stage(cfg.out_root, "extracted", fp_ex, tee_tmp,
+                            wall_s=_time.monotonic() - t0,
+                            extra_meta={"ingest": "fused"})
+    return out
+
 
 
 def _run_captures_bucketed(cfg: EngineConfig, docs_source) -> str:

@@ -213,10 +213,11 @@ def cell_features_twolevel(geo_ds, num_partitions: int):
         kinds = df["kind"].to_numpy()
         h1 = df["tok_h1"].to_numpy()
         h2 = df["tok_h2"].to_numpy()
+        parents = hexgrid.cell_to_parents_multi(
+            cells9.view(np.uint64), tuple(r for r in RESOLUTIONS if r != 9))
         out_res, out_cell, out_kind, out_nn = [], [], [], []
         for r in RESOLUTIONS:
-            cells = cells9 if r == 9 else hexgrid.cell_to_parent(
-                cells9.view(np.uint64), r).view(np.int64)
+            cells = cells9 if r == 9 else parents[r].view(np.int64)
             sub = pd.DataFrame({"cell": cells, "kind": kinds, "h1": h1, "h2": h2})
             g = sub.drop_duplicates().groupby(["cell", "kind"], sort=True).size().reset_index(name="nn")
             out_res.append(np.full(len(g), r, dtype=np.int8))

@@ -150,6 +150,37 @@ def run_stage(
     return final
 
 
+def finalize_dir_stage(
+    root: str,
+    stage: str,
+    fp: str,
+    tmp_dir: str,
+    *,
+    wall_s: float,
+    extra_meta: dict[str, Any] | None = None,
+) -> str:
+    """Turn a directory of already-written parquet files (e.g. the fused
+    ingest's tee output) into a complete checkpoint: lineage from the
+    footers, manifest, atomic rename, ``_SUCCESS`` — the same contract
+    ``run_stage`` provides for Dataset writes."""
+    final = os.path.join(root, stage)
+    lineage = _partition_lineage(tmp_dir)
+    manifest = {
+        "stage": stage,
+        "fingerprint": fp,
+        "wall_s": round(wall_s, 3),
+        "rows": sum(p["rows"] for p in lineage),
+        "partitions": lineage,
+        "meta": extra_meta or {},
+    }
+    with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp_dir, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("")
+    return final
+
+
 def stage_files(root: str, stage: str) -> list[str]:
     d = os.path.join(root, stage)
     return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]

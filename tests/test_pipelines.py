@@ -105,8 +105,7 @@ def test_resume_skips_completed_stage(golden, ray_outputs):
     import time
 
     cfg, paths = ray_outputs
-    fp = ckpt.fingerprint(cfg.fp({"stage": "captures"}),
-                          [ckpt.manifest_path(cfg.out_root, "extracted")])
+    fp = spatial.captures_fingerprint(cfg)
     assert ckpt.is_complete(cfg.out_root, "captures", fp)
     t0 = time.monotonic()
     out = ckpt.run_stage(cfg.out_root, "captures", fp,
