@@ -329,3 +329,30 @@ def test_pack_unpack_features_roundtrip(golden):
     _, want = F.features_matrix(t)
     assert X.shape == want.shape == (t.num_rows, F_len)
     assert np.array_equal(X, want)
+
+
+def test_tee_write_idempotent(tmp_path):
+    """Fused-ingest tee: a retried task rewrites ITS OWN file (content-keyed
+    name) — two invocations leave exactly one parquet, bytes stable; the
+    returned table is the narrow projection."""
+    from osm_data_classification_ray.fixtures import gen
+    from osm_data_classification_ray.pipelines.spatial import (
+        CAPTURE_NARROW_COLUMNS, _tee_write_block)
+    from osm_data_classification_ray.stages import ingest
+
+    wide = ingest.extract_geocode_cells(gen.gen_documents(200), compute_s2=False)
+    f = _tee_write_block(str(tmp_path))
+    out1 = f(wide)
+    files1 = sorted(p.name for p in tmp_path.glob("*.parquet"))
+    out2 = f(wide)
+    files2 = sorted(p.name for p in tmp_path.glob("*.parquet"))
+    import pandas.testing as pdt
+
+    assert files1 == files2 and len(files1) == 1
+    assert out1.column_names == CAPTURE_NARROW_COLUMNS
+    pdt.assert_frame_equal(out1.to_pandas(), out2.to_pandas())  # NaN-aware
+    back = pq.read_table(tmp_path / files1[0])
+    pdt.assert_frame_equal(back.to_pandas(), wide.to_pandas())
+    # a different block must land in a different file
+    f(ingest.extract_geocode_cells(gen.gen_documents(201), compute_s2=False))
+    assert len(list(tmp_path.glob("*.parquet"))) == 2
