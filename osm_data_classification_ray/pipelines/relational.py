@@ -1330,6 +1330,280 @@ WHERE CAST(hv AS DOUBLE) * POWER(2.0, -64) < CASE lang {rates} ELSE 0.0 END
 """
 
 
+# ---------------------------------------------------------------------------
+# q56 — exact heavy hitters: global top-20 tokens by frequency over
+# documents.text. The canonical "most frequent n-grams in the corpus" op:
+# per-block vectorized split + value_counts (partial combine — only
+# (token, n) partials ever shuffle, never token instances), token-keyed
+# exact sum, then per-block partial top-k → tiny driver-side final merge.
+# At 100 TB the shuffle is bounded by blocks × distinct-tokens-per-block.
+# ---------------------------------------------------------------------------
+
+_Q56_K = 20
+
+
+def q56_heavy_hitters(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial_counts, batch_format="pyarrow")
+           .groupby("tok", num_partitions=default_partitions())
+           .aggregate(Sum("n", alias_name="n")))
+
+    def topk(t: pa.Table) -> pa.Table:
+        # counts are already global post-groupby, so any block's non-top-k
+        # rows can never enter the global top-k → per-block prune is exact
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("tok", "ascending")])
+        return t.take(order.slice(0, _Q56_K))
+
+    pruned = agg.map_batches(topk, batch_format="pyarrow", batch_size=None)
+    return pruned.repartition(1).map_batches(topk, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+Q56_SQL = f"""
+SELECT tok, COUNT(*)::BIGINT AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT {_Q56_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — grouped collect (array_agg/string_agg): per (lang, source), doc
+# count plus the CSV of the 3 smallest doc_ids. Combiner pattern: each
+# block emits its own 3-smallest per key (+ partial count), a single tiny
+# merge finishes — no row colocation by group, list built only at the end.
+# ---------------------------------------------------------------------------
+
+def q57_group_collect(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["lang", "source"], sort=True)
+        n = g.size().rename("n_docs").reset_index()
+        heads = (df.sort_values("doc_id").groupby(["lang", "source"], sort=True)
+                 .head(3).groupby(["lang", "source"], sort=True)["doc_id"]
+                 .apply(list).rename("ids").reset_index())
+        m = n.merge(heads, on=["lang", "source"])
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        out = df.groupby(["lang", "source"], sort=True).agg(
+            n_docs=("n_docs", "sum"),
+            ids=("ids", lambda s: sorted(x for sub in s for x in sub)[:3]),
+        ).reset_index()
+        out["top_ids"] = out["ids"].map(lambda v: ",".join(str(x) for x in v))
+        out = out.drop(columns=["ids"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                               batch_size=None)
+
+
+Q57_SQL = """
+SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+       string_agg(CASE WHEN rk <= 3 THEN CAST(doc_id AS VARCHAR) END, ','
+                  ORDER BY doc_id) AS top_ids
+FROM (SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rk
+      FROM documents)
+GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q58 — bloom-filter semi-join (J5 at cardinality, the 100-TB shape): the
+# build side's keys are folded into fixed-size bloom bitmaps per block
+# (numpy, k=3 hashes), OR-merged on the driver (bitmaps are m/8 bytes
+# regardless of key count) and broadcast; the probe side prefilters
+# vectorized against the bits, and only the (rare) survivors pay the exact
+# distributed hash join that removes false positives. The driver never
+# holds the key set — only the constant-size bitmap.
+# ---------------------------------------------------------------------------
+
+_Q58_M_BITS = 1 << 20  # 128 KB bitmap
+_Q58_PRICE = 400_000.0
+
+
+def _bloom_positions(keys: np.ndarray) -> list[np.ndarray]:
+    from ..fixtures.gen import hash_u64
+
+    return [(hash_u64(keys.astype(np.int64), 580 + j) % np.uint64(_Q58_M_BITS))
+            .astype(np.int64) for j in range(3)]
+
+
+def q58_bloom_semi_join(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    keys_ds = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(_Q58_PRICE)))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(_Q58_M_BITS // 64, dtype=np.uint64)
+        ks = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        if len(ks):
+            for pos in _bloom_positions(ks):
+                np.bitwise_or.at(bits, pos >> 6,
+                                 np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    blooms = keys_ds.map_batches(block_bloom, batch_format="pyarrow",
+                                 batch_size=None).take_all()
+    bits = np.zeros(_Q58_M_BITS // 64, dtype=np.uint64)
+    for row in blooms:  # OR-merge: #blocks × 128 KB, independent of key count
+        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bits_ref = ray.put(bits)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+
+    def prefilter(t: pa.Table, _ref=bits_ref) -> pa.Table:
+        b = ray.get(_ref)
+        ks = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        keep = np.ones(len(ks), dtype=bool)
+        for pos in _bloom_positions(ks):
+            keep &= ((b[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)) != 0
+        return t.filter(pa.array(keep))
+
+    cand = li.map_batches(prefilter, batch_format="pyarrow")
+    # exact confirm: distributed join of the (pre-thinned) candidates
+    # against the real key set kills bloom false positives
+    confirmed = cand.join(
+        keys_ds.map_batches(lambda t: t.rename_columns(["l_orderkey"]),
+                            batch_format="pyarrow"),
+        join_type="inner", num_partitions=default_partitions(),
+        on=("l_orderkey",),
+    )
+    agg = (confirmed.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"],
+                            "qty": pc.cast(t["l_quantity"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=default_partitions())
+        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty")))
+    return agg
+
+
+Q58_SQL = f"""
+SELECT l_returnflag, COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > {_Q58_PRICE})
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q59 — sequence packing (concat-and-chunk) via a DISTRIBUTED PREFIX SUM:
+# every doc gets its running token offset within its lang stream (ordered
+# by doc_id), then seq_id = offset // C and tok_start = offset % C — the
+# training-data op that turns a deduped corpus into fixed-budget training
+# sequences. Two passes, no global sort: (1) per-(lang, doc_id-range
+# bucket) partial token sums — a tiny aggregate (buckets, not rows) the
+# driver prefix-scans and broadcasts; (2) a bucket-keyed repartition
+# colocates each bucket so blocks compute exact within-bucket cumsums and
+# add their bucket's global offset. Scales as rows/P + #buckets.
+# ---------------------------------------------------------------------------
+
+_Q59_CAP = 256     # tokens per packed sequence
+_Q59_BUCKET = 512  # doc_id range width per prefix bucket
+
+
+def q59_pack_sequences(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
+        spaces = pc.count_substring(t["text"], pattern=" ").cast(pa.int64())
+        n_tokens = pc.if_else(pc.equal(n_chars, 0), pa.scalar(0, pa.int64()),
+                              pc.add(spaces, pa.scalar(1, pa.int64())))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_tokens": n_tokens,
+                         "bucket": pa.array(ids // _Q59_BUCKET, pa.int64())})
+
+    toks = ds.map_batches(with_tokens, batch_format="pyarrow")
+
+    # pass 1: per-(lang, bucket) token totals — small (≤ #buckets × #langs)
+    from ray.data.aggregate import Sum
+
+    totals = (toks.groupby(["lang", "bucket"], num_partitions=default_partitions())
+              .aggregate(Sum("n_tokens", alias_name="tok")))
+    tt = pa.concat_tables([x for x in ray.get(totals.to_arrow_refs()) if x.num_rows])
+    order = pc.sort_indices(tt, sort_keys=[("lang", "ascending"), ("bucket", "ascending")])
+    tt = tt.take(order)
+    offsets: dict[tuple, int] = {}
+    run: dict[str, int] = {}
+    for lang, bucket, tok in zip(tt["lang"].to_pylist(), tt["bucket"].to_pylist(),
+                                 tt["tok"].to_pylist()):
+        offsets[(lang, bucket)] = run.get(lang, 0)
+        run[lang] = run.get(lang, 0) + int(tok)
+    off_ref = ray.put(offsets)
+
+    # pass 2: bucket-colocated exact within-bucket cumsum + global offset
+    keyed = toks.repartition(default_partitions(), keys=["lang", "bucket"], sort=True)
+
+    def assign(t: pa.Table, _ref=off_ref) -> pa.Table:
+        import pandas as pd
+
+        off = ray.get(_ref)
+        df = t.to_pandas().sort_values(["lang", "bucket", "doc_id"])
+        cum = df.groupby(["lang", "bucket"], sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        base = np.array([off[(l, b)] for l, b in zip(df["lang"], df["bucket"])],
+                        dtype=np.int64)
+        start = base + cum.to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
+                            "n_tokens": df["n_tokens"],
+                            "seq_id": start // _Q59_CAP,
+                            "tok_start": start % _Q59_CAP})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return keyed.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+Q59_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN LENGTH(text) = 0 THEN 0
+              ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+         END::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       (cum // {_Q59_CAP})::BIGINT AS seq_id,
+       (cum % {_Q59_CAP})::BIGINT AS tok_start
+FROM c
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1360,4 +1634,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q49_interval_join": (q49_interval_join, Q49_SQL),
     "q50_group_argmax": (q50_group_argmax, Q50_SQL),
     "q53_stratified_sample": (q53_stratified_sample, _q53_sql()),
+    "q56_heavy_hitters": (q56_heavy_hitters, Q56_SQL),
+    "q57_group_collect": (q57_group_collect, Q57_SQL),
+    "q58_bloom_semi_join": (q58_bloom_semi_join, Q58_SQL),
+    "q59_pack_sequences": (q59_pack_sequences, Q59_SQL),
 }
