@@ -1604,6 +1604,216 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# q60 — count-min-sketch heavy-hitter estimates (A8 family, beside q39's
+# HLL): each block folds its token counts into a fixed (d=3, w=1024) CMS —
+# a LINEAR sketch, so blocks never shuffle token instances; the driver
+# sum-merges #blocks × 24 KB arrays. Estimates (min over rows) are probed
+# for the exact top-20 tokens and reported beside the exact counts. The
+# sketch is RNG-free (FNV-1a token hash → splitmix64 row streams), hence
+# deterministic and hash-verifiable: the SQL oracle rebuilds the identical
+# sketch from global token counts (linearity makes per-block == global).
+# ---------------------------------------------------------------------------
+
+_Q60_D, _Q60_W = 3, 1024
+_Q60_STREAM = 600
+
+
+def _cms_positions(tok_hashes: np.ndarray) -> list[np.ndarray]:
+    from ..fixtures.gen import hash_u64
+
+    return [(hash_u64(tok_hashes, _Q60_STREAM + j) % np.uint64(_Q60_W))
+            .astype(np.int64) for j in range(_Q60_D)]
+
+
+def q60_cms_heavy_hitters(sf_dir: str):
+    import ray
+
+    from ..functions.strhash import fnv1a_arrow, fnv1a_list
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def block_sketch(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        cnts = np.asarray(vc.field("counts").cast(pa.int64()).to_numpy(zero_copy_only=False))
+        hs = fnv1a_arrow(vc.field("values"))
+        sk = np.zeros((_Q60_D, _Q60_W), dtype=np.int64)
+        for j, pos in enumerate(_cms_positions(hs)):
+            np.add.at(sk[j], pos, cnts)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(block_sketch, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    cms = np.zeros((_Q60_D, _Q60_W), dtype=np.int64)
+    for r in rows:  # linear merge: #blocks × 24 KB, independent of corpus size
+        cms += np.frombuffer(r["sk"], dtype=np.int64).reshape(_Q60_D, _Q60_W)
+
+    # probe the exact top-20 (q56's two-level path) against the sketch
+    top = q56_heavy_hitters(sf_dir)
+
+    def probe(t: pa.Table, _cms=cms) -> pa.Table:
+        hs = fnv1a_list(t["tok"].to_pylist())
+        est = np.full(t.num_rows, np.iinfo(np.int64).max, dtype=np.int64)
+        for j, pos in enumerate(_cms_positions(hs)):
+            est = np.minimum(est, _cms[j][pos])
+        return t.append_column("n_est", pa.array(est, pa.int64()))
+
+    return top.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
+def _q60_sql() -> str:
+    from .sqlmirror import FNV_OFFSET, FNV_PRIME, SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    streams = " UNION ALL ".join(
+        f"SELECT {j} AS j, CAST({sm64_base(_Q60_STREAM + j)} AS UBIGINT) AS base"
+        for j in range(_Q60_D)
+    )
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT tok, COUNT(*)::BIGINT AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+fnv(tok, i, h) AS (
+  SELECT tok, 0, CAST({FNV_OFFSET} AS UBIGINT) FROM c
+  UNION ALL
+  SELECT tok, i + 1,
+         {mulmod_sql("xor(h, CAST(ascii(substr(tok, i + 1, 1)) AS UBIGINT))", FNV_PRIME)}
+  FROM fnv WHERE i < LENGTH(tok)
+),
+tokh AS (SELECT tok, h FROM fnv WHERE i = LENGTH(tok)),
+js AS ({streams}),
+tj AS (SELECT t.tok, j.j, j.base, t.h FROM tokh t CROSS JOIN js j),
+{sm64_steps('p', 'tj', 'tok, j',
+            f"xor({mulmod_sql('h', SM_PRIME)}, base)")},
+pos AS (SELECT tok, j, CAST(hv % {_Q60_W} AS BIGINT) AS pos FROM pf),
+cells AS (
+  SELECT p.j, p.pos, SUM(c.n) AS cell
+  FROM pos p JOIN c USING (tok) GROUP BY p.j, p.pos
+),
+est AS (
+  SELECT p.tok, MIN(cl.cell)::BIGINT AS n_est
+  FROM pos p JOIN cells cl ON cl.j = p.j AND cl.pos = p.pos
+  GROUP BY p.tok
+)
+SELECT c.tok, c.n, e.n_est
+FROM c JOIN est e USING (tok)
+ORDER BY c.n DESC, c.tok ASC
+LIMIT {_Q56_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q61 — grouped z-score normalization (M8's two-pass normalize made
+# driver-verifiable): pass 1 aggregates exact integer moments per lang
+# (partial-combine, no row colocation), pass 2 broadcasts the tiny stats
+# table and applies (x - mean) / std per batch. Mean/std derive from int64
+# sums via one frozen float64 expression on BOTH engines, z rounded to 6.
+# ---------------------------------------------------------------------------
+
+def q61_grouped_zscore(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def with_sq(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64())
+        return pa.table({"lang": t["lang"], "x": x, "xx": pc.multiply(x, x)})
+
+    stats = (ds.map_batches(with_sq, batch_format="pyarrow")
+             .groupby("lang", num_partitions=default_partitions())
+             .aggregate(Count(alias_name="n"), Sum("x", alias_name="s"),
+                        Sum("xx", alias_name="ss")))
+    st = pa.concat_tables([x for x in ray.get(stats.to_arrow_refs()) if x.num_rows])
+    mom = {}
+    for lang, n, s, ss in zip(st["lang"].to_pylist(), st["n"].to_pylist(),
+                              st["s"].to_pylist(), st["ss"].to_pylist()):
+        mean = float(s) / float(n)
+        std = np.sqrt((float(ss) - float(s) * float(s) / float(n)) / float(n))
+        mom[lang] = (mean, std)
+    mom_ref = ray.put(mom)
+
+    def apply_z(t: pa.Table, _ref=mom_ref) -> pa.Table:
+        m = ray.get(_ref)
+        langs = t["lang"].to_pylist()
+        mean = np.array([m[v][0] for v in langs])
+        std = np.array([m[v][1] for v in langs])
+        x = np.asarray(t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        z = np.round((x - mean) / std, 6)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "z": pa.array(z, pa.float64())})
+
+    return ds.map_batches(apply_z, batch_format="pyarrow")
+
+
+Q61_SQL = """
+WITH m AS (
+  SELECT lang, COUNT(*)::BIGINT AS n,
+         SUM(CAST(n_chars AS BIGINT)) AS s,
+         SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS ss
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       ROUND((CAST(d.n_chars AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                     / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)), 6) AS z
+FROM documents d JOIN m USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q62 — within-doc 3-gram repetition score (the corpus-quality rule that
+# drops boilerplate/spam docs): rep3 = duplicated-trigram fraction per doc.
+# Stateless per-row map over the zero-alloc shingle-window kernel
+# (strhash.word_shingle_hashes — no shingle strings materialize); docs
+# with <3 tokens score 0. Ratio denominators are ≤ #tokens, whose only
+# power-of-2/5 factors stay below 10^6, so ROUND(…, 6) can never land on
+# a half-way tie — the float is hash-exact across engines.
+# ---------------------------------------------------------------------------
+
+def q62_repetition_score(sf_dir: str):
+    from ..functions.strhash import word_shingle_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        uniq = word_shingle_hashes(texts, k=3)
+        tot = np.fromiter(
+            (0 if not (s or "").split() else max(len((s or "").split()) - 2, 1)
+             for s in texts), dtype=np.int64, count=len(texts))
+        dst = np.fromiter((len(u) for u in uniq), dtype=np.int64, count=len(texts))
+        rep = np.where(tot > 0,
+                       np.round((tot - dst) / np.maximum(tot, 1), 6), 0.0)
+        return pa.table({"doc_id": t["doc_id"], "rep3": pa.array(rep, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q62_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, len(toks) AS nt,
+         CASE WHEN len(toks) >= 3 THEN
+           len(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))))
+         ELSE 1 END AS dst,
+         CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END AS tot
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN nt = 0 THEN 0.0
+            ELSE ROUND(CAST(tot - dst AS DOUBLE) / tot, 6) END AS rep3
+FROM g
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1638,4 +1848,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q57_group_collect": (q57_group_collect, Q57_SQL),
     "q58_bloom_semi_join": (q58_bloom_semi_join, Q58_SQL),
     "q59_pack_sequences": (q59_pack_sequences, Q59_SQL),
+    "q60_cms_heavy_hitters": (q60_cms_heavy_hitters, _q60_sql()),
+    "q61_grouped_zscore": (q61_grouped_zscore, Q61_SQL),
+    "q62_repetition_score": (q62_repetition_score, Q62_SQL),
 }
