@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q37_dedup_urls": es.dedup_urls_query,
             "q38_page_cells": es.page_cells_query,
             "q51_cell_features_packed": es.cell_features_packed_query,
+            "q63_page_cells_hex": es.page_cells_hex_query,
         }
     )
     return out

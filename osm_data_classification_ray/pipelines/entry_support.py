@@ -194,6 +194,23 @@ def page_cells_query(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def page_cells_hex_query(sf_dir: str):
+    """q63: the hex-cell half of PAGE_CELLS as a driver-verifiable query —
+    url + h3_r5..r9 for latest geocoded pages. q38 carries the S2 covering
+    too (a Hilbert-curve id; its trig/bit pipeline has no practical SQL
+    mirror, so q38 stays rows-only); this view hash-verifies the hexgrid
+    encode + parent chain end-to-end against the spatialsql mirror."""
+    cfg, _ = ensure_outputs(sf_dir)
+    cols = ["url", "h3_r5", "h3_r6", "h3_r7", "h3_r8", "h3_r9",
+            "has_geo", "is_latest"]
+    ds = spatial.read_stage(cfg.out_root, "captures", cols)
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(
+            ["has_geo", "is_latest"]),
+        batch_format="pyarrow",
+    )
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""
@@ -410,6 +427,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q32_tiles": spatialsql.q32_sql(),
         "q33_cell_features": spatialsql.q33_sql(),
         "q36_tiles_rollup": spatialsql.q36_sql(),
+        "q63_page_cells_hex": spatialsql.q63_sql(),
     }
 
 

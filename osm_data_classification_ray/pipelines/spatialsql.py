@@ -241,6 +241,16 @@ def q33_sql() -> str:
     return f"WITH {captures_ctes()}\n{body}"
 
 
+def q63_sql() -> str:
+    """q63 oracle: hex cells res 5-9 per latest geocoded page — the direct
+    hash-check of hexgrid.encode_multi (the q31-q36 oracles only exercise
+    the cells through aggregates/joins; this one compares the raw ids)."""
+    return f"""WITH {captures_ctes()}
+SELECT url, cell_r5 AS h3_r5, cell_r6 AS h3_r6, cell_r7 AS h3_r7,
+       cell_r8 AS h3_r8, cell_r9 AS h3_r9
+FROM cap WHERE has_geo AND is_latest"""
+
+
 def q32_sql() -> str:
     body = "\nUNION ALL\n".join(
         _FEATURE_AGG.format(cell=f"cell_r{r}", res=r) for r in (5, 6, 7, 8, 9)

@@ -100,9 +100,52 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM s WHERE rank <= 5
 """
 
 
+_CLONE_OFF = 1_000_000
+
+
 def q24_embedding_near_dup(sf_dir: str):
+    """Embedding near-dup via hyperplane LSH + exact cosine verify, over the
+    driver embeddings augmented with scaled clones (vec_id + 1e6,
+    embedding × 2 — cosine(v, 2v) = 1 exactly; ×2 is an exact float scale,
+    so the normalized rows are bit-identical and every planted pair lands
+    in the same bucket in EVERY table: detection probability 1, which is
+    what makes the exact-SQL oracle valid for a probabilistic index).
+    Organic pairs max out at cosine ≈ 0.51 on the driver fixtures
+    (measured at sf0.01), far under the 0.9 threshold, so the qualifying
+    set is exactly the clone pairs. Pairs-only output (q23 oracle policy:
+    raw float sims differ across engines at ulp level)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ann.cosine_near_dup_pairs(ds, default_partitions(), threshold=0.9)
+
+    def plant(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int32())
+        doubled = pa.ListArray.from_arrays(
+            offsets, pc.multiply(emb.flatten(), pa.scalar(2.0, emb.type.value_type)))
+        orig = t.select(["vec_id", "embedding"])
+        clones = pa.table({"vec_id": pc.add(t["vec_id"], pa.scalar(_CLONE_OFF, pa.int64())),
+                           "embedding": doubled})
+        return pa.concat_tables([orig, clones.cast(orig.schema)])
+
+    out = ann.cosine_near_dup_pairs(ds.map_batches(plant, batch_format="pyarrow"),
+                                    default_partitions(), threshold=0.9)
+    return out.select(["vec_a", "vec_b"])
+
+
+Q24_SQL = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_CLONE_OFF} AS vec_id,
+         list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
 
 
 def q25_ann_ivf(sf_dir: str):
@@ -778,7 +821,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q21_simhash_near_dup": (q21_simhash_near_dup, Q21_SQL),
     "q22_chargram_near_dup": (q22_chargram_near_dup, Q22_SQL),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
-    "q24_embedding_near_dup": (q24_embedding_near_dup, None),
+    "q24_embedding_near_dup": (q24_embedding_near_dup, Q24_SQL),
     "q25_ann_ivf": (q25_ann_ivf, None),
     "q26_langid": (q26_langid, Q26_SQL),
     "q27_quality": (q27_quality, Q27_SQL),

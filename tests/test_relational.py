@@ -30,6 +30,7 @@ def _spatial_oracles():
         "q32_tiles": (es.tiles_query, es.SPATIAL_SQL["q32_tiles"]),
         "q33_cell_features": (es.cell_features_query, es.SPATIAL_SQL["q33_cell_features"]),
         "q36_tiles_rollup": (es.tiles_rollup_query, es.SPATIAL_SQL["q36_tiles_rollup"]),
+        "q63_page_cells_hex": (es.page_cells_hex_query, es.SPATIAL_SQL["q63_page_cells_hex"]),
     }
 
 
