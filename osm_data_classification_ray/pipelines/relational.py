@@ -1814,6 +1814,115 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# q64 — sliding-interval windowed aggregate (the custom-operator class the
+# Dataset API lacks): per event, how many events the same user fired in the
+# preceding hour (inclusive, RANGE semantics — all ts-peers count). One
+# user-keyed exchange colocates each user's events; inside a block the
+# window is answered by TWO vectorized searchsorteds over a composite
+# (user-rank, ts) key — no per-user Python loop, no per-row window scan.
+# Counts are integers: hash-exact against the SQL RANGE window.
+# ---------------------------------------------------------------------------
+
+_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q64_sliding_window(sf_dir: str):
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ds = ds.repartition(default_partitions(), keys=["user_id"], sort=True)
+
+    def win(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_1h": pa.array([], pa.int64())})
+        idx = pc.sort_indices(block, sort_keys=[("user_id", "ascending"), ("ts", "ascending")])
+        block = block.take(idx)
+        uid = np.asarray(block["user_id"].to_numpy(zero_copy_only=False))
+        ts = np.asarray(block["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        # composite key: user-dense-rank × (span + 2·window) + ts-offset —
+        # strictly separates users so one searchsorted serves every group
+        urank = np.cumsum(np.concatenate([[0], (uid[1:] != uid[:-1]).astype(np.int64)]))
+        t0 = ts - ts.min()
+        stride = int(t0.max()) + 2 * _WINDOW_US + 1
+        assert urank[-1] < (1 << 62) // max(stride, 1), "composite window key overflow"
+        key = urank * stride + t0
+        n_1h = (np.searchsorted(key, key, side="right")
+                - np.searchsorted(key, key - _WINDOW_US, side="left"))
+        return pa.table({"event_id": block["event_id"],
+                         "n_1h": pa.array(n_1h.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(win, batch_format="pyarrow", batch_size=None)
+
+
+Q64_SQL = """
+SELECT event_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# q65 — percentile rank within group WITHOUT a per-group sort: pass 1
+# builds per-(lang, n_chars) value counts (two-level, tiny exchange — the
+# q40 shape), the driver turns them into per-lang cumulative-below tables
+# (5 langs × distinct lengths), pass 2 broadcasts that CDF and ranks every
+# row by np.searchsorted. PERCENT_RANK = (#values below) / (n - 1): one
+# integer division per row, bit-identical to the SQL window function.
+# ---------------------------------------------------------------------------
+
+def q65_percentile_rank(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(),
+                           "v": pc.cast(t["n_chars"], pa.int64()).to_pandas()})
+        g = df.groupby(["lang", "v"], sort=True).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        ["lang", "v"], num_partitions=default_partitions()
+    ).aggregate(Sum("n", alias_name="n"))
+    st = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs()) if x.num_rows])
+    cdf: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    import pandas as pd
+
+    for lang, g in st.to_pandas().groupby("lang", sort=True):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy(dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(g["n"].to_numpy(dtype=np.int64))[:-1]])
+        cdf[str(lang)] = (vals, below, int(g["n"].sum()))
+    cdf_ref = ray.put(cdf)
+
+    def rank(t: pa.Table, _ref=cdf_ref) -> pa.Table:
+        m = ray.get(_ref)
+        langs = t["lang"].to_pylist()
+        v = np.asarray(t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        out = np.zeros(t.num_rows, dtype=np.float64)
+        for i, lg in enumerate(langs):
+            vals, below, n = m[lg]
+            out[i] = below[np.searchsorted(vals, v[i])] / (n - 1) if n > 1 else 0.0
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "pr": pa.array(out, pa.float64())})
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+Q65_SQL = """
+SELECT doc_id, lang,
+       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+FROM documents
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1851,4 +1960,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q60_cms_heavy_hitters": (q60_cms_heavy_hitters, _q60_sql()),
     "q61_grouped_zscore": (q61_grouped_zscore, Q61_SQL),
     "q62_repetition_score": (q62_repetition_score, Q62_SQL),
+    "q64_sliding_window": (q64_sliding_window, Q64_SQL),
+    "q65_percentile_rank": (q65_percentile_rank, Q65_SQL),
 }

@@ -162,6 +162,97 @@ def q25_ann_ivf(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+def q66_minhash_bands(sf_dir: str):
+    """The MinHash-LSH exchange keys themselves, driver-verified: per doc,
+    the 16 (band, bucket) rows that stages/textdedup.py ships through the
+    hash shuffle (128-perm signature → 16 bands × 8 rows, FNV-fold per
+    band). Everything is integer hashing (FNV-1a shingles → 2-universal
+    min-hash → FNV fold), so the SQL mirror reproduces the buckets
+    bit-exactly — a direct oracle on the near-dup machinery that q20/q22
+    only exercise through their final pair sets."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textdedup.minhash_band_rows, batch_format="pyarrow")
+
+
+def _q66_sql() -> str:
+    from ..fixtures.gen import hash_u64
+    from .relational import np as _np  # reuse numpy import
+    from .sqlmirror import FNV_OFFSET, FNV_PRIME, SM_MOD, mulmod_sql
+
+    n_perm, n_bands, rows = textdedup.N_PERM, textdedup.N_BANDS, textdedup.ROWS_PER_BAND
+    a = (hash_u64(_np.arange(n_perm), 901) | _np.uint64(1)).tolist()
+    b = hash_u64(_np.arange(n_perm), 902).tolist()
+    perm_vals = ", ".join(
+        f"({j}, CAST({a[j]} AS UBIGINT), CAST({b[j]} AS UBIGINT))" for j in range(n_perm)
+    )
+
+    # (h * a + b) mod 2^64 with BOTH factors as columns: multiplier split
+    # into 32-bit limbs so every HUGEINT intermediate stays < 2^96
+    mul = ("(CAST(h AS HUGEINT) * CAST(a & 4294967295 AS HUGEINT) % {m}"
+           " + ((CAST(h AS HUGEINT) * CAST(a >> 32 AS HUGEINT)) % 4294967296)"
+           " * 4294967296) % {m}").format(m=SM_MOD)
+    hab = f"CAST(({mul} + CAST(b AS HUGEINT)) % {SM_MOD} AS UBIGINT)"
+
+    # band fold: bucket = s0; for r in 1..7: bucket = (bucket * FNV_PRIME) ^ s_r
+    fold = "s0"
+    for r in range(1, rows):
+        fold = f"xor({mulmod_sql(fold, FNV_PRIME)}, s{r})"
+    s_cols = ", ".join(
+        f"MAX(CASE WHEN j % {rows} = {r} THEN sig END) AS s{r}" for r in range(rows)
+    )
+
+    # empty docs (no shingles): sig_j = 2^64-1 for all j → one constant bucket
+    f_empty = (1 << 64) - 1
+    for _ in range(1, rows):
+        f_empty = ((f_empty * FNV_PRIME) % SM_MOD) ^ ((1 << 64) - 1)
+
+    signed = ("CAST(CASE WHEN bu >= 9223372036854775808"
+              f" THEN CAST(bu AS HUGEINT) - {SM_MOD}"
+              " ELSE CAST(bu AS HUGEINT) END AS BIGINT)")
+    empty_buckets = ", ".join(
+        f"({i}, {f_empty if f_empty < (1 << 63) else f_empty - SM_MOD})"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(1, len(toks) - 1),
+                             i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END)) AS s
+  FROM t WHERE len(toks) > 0
+),
+shd AS (SELECT DISTINCT s FROM sh0),
+fnv(s, i, h) AS (
+  SELECT s, 0, CAST({FNV_OFFSET} AS UBIGINT) FROM shd
+  UNION ALL
+  SELECT s, i + 1,
+         {mulmod_sql("xor(h, CAST(ascii(substr(s, i + 1, 1)) AS UBIGINT))", FNV_PRIME)}
+  FROM fnv WHERE i < LENGTH(s)
+),
+sh AS (SELECT s, h FROM fnv WHERE i = LENGTH(s)),
+dh AS (SELECT DISTINCT sh0.doc_id, sh.h FROM sh0 JOIN sh USING (s)),
+perm(j, a, b) AS (VALUES {perm_vals}),
+m AS (
+  SELECT dh.doc_id, p.j, MIN({hab}) AS sig
+  FROM dh CROSS JOIN perm p GROUP BY dh.doc_id, p.j
+),
+bs AS (
+  SELECT doc_id, CAST(j // {rows} AS INTEGER) AS band, {s_cols}
+  FROM m GROUP BY doc_id, j // {rows}
+),
+bu_cte AS (SELECT doc_id, band, {fold} AS bu FROM bs)
+SELECT doc_id, band, {signed} AS bucket FROM bu_cte
+UNION ALL
+SELECT t.doc_id, CAST(eb.band AS INTEGER) AS band, CAST(eb.bkt AS BIGINT) AS bucket
+FROM t CROSS JOIN (VALUES {empty_buckets}) AS eb(band, bkt)
+WHERE len(t.toks) = 0
+"""
+
+
 def q26_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -833,4 +924,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q52_embedding_all_nn": (q52_embedding_all_nn, Q52_SQL),
     "q54_cosine_pair_join": (q54_cosine_pair_join, Q54_SQL),
     "q55_tfidf_top_terms": (q55_tfidf_top_terms, Q55_SQL),
+    "q66_minhash_bands": (q66_minhash_bands, _q66_sql()),
 }
