@@ -101,19 +101,29 @@ def rolling_fingerprints(text: str, window: int = 64) -> np.ndarray:
         # vectorized windowed polynomial hash mod 2^64: BASE is odd, hence
         # invertible; H(i) = BASE^(i+w-1) * (Q(i+w) - Q(i)) with
         # Q(k) = Σ_{j<k} b[j]·inv^j — all cumulative products/sums.
-        inv = np.uint64(pow(int(_FP_BASE), -1, 1 << 64))
-        invpow = np.empty(n, dtype=np.uint64)
-        invpow[0] = np.uint64(1)
-        for i in range(1, n):
-            invpow[i] = invpow[i - 1] * inv
+        invpow, basepow = _fp_powers(n)
         q = np.concatenate([[np.uint64(0)], np.cumsum(b * invpow, dtype=np.uint64)])
-        basepow = np.empty(n, dtype=np.uint64)
-        basepow[0] = np.uint64(1)
-        for i in range(1, n):
-            basepow[i] = basepow[i - 1] * _FP_BASE
         i = np.arange(n - window + 1)
         out = basepow[i + window - 1] * (q[i + window] - q[i])
     return out
+
+
+_FP_INV = np.uint64(pow(int(_FP_BASE), -1, 1 << 64))
+_FP_POW: tuple[np.ndarray, np.ndarray] = (np.ones(1, np.uint64), np.ones(1, np.uint64))
+
+
+def _fp_powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(inv^i, BASE^i) for i < n — grown once per worker (uint64 cumprod
+    wraps mod 2^64 exactly like the sequential product), sliced per doc."""
+    global _FP_POW
+    if len(_FP_POW[0]) < n:
+        m = max(n, 2 * len(_FP_POW[0]))
+        with np.errstate(over="ignore"):
+            _FP_POW = (
+                np.concatenate([[np.uint64(1)], np.cumprod(np.full(m - 1, _FP_INV, np.uint64))]),
+                np.concatenate([[np.uint64(1)], np.cumprod(np.full(m - 1, _FP_BASE, np.uint64))]),
+            )
+    return _FP_POW[0][:n], _FP_POW[1][:n]
 
 
 def doc_fingerprint(text: str, window: int = 64) -> int:
