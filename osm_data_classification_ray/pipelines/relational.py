@@ -1923,6 +1923,102 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q67 — hierarchical rollup (GROUPING SETS): lang × source subtotals +
+# lang subtotals + grand total in ONE pass. Only the FINEST level shuffles
+# (two-level partial groupby); the coarser levels derive from it on the
+# driver — the finest-level table is ≤ |langs|×|sources| rows, so the
+# rollup costs one exchange regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+def q67_rollup(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    pre = ds.map_batches(
+        lambda t: pa.table({"lang": t["lang"], "source": t["source"],
+                            "c": pc.cast(t["n_chars"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    g2 = pre.groupby(["lang", "source"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_docs"), Sum("c", alias_name="sum_chars"))
+    fine = pa.concat_tables([x for x in ray.get(g2.to_arrow_refs()) if x.num_rows])
+    df = fine.to_pandas()
+    by_lang = df.groupby("lang", sort=True, as_index=False)[["n_docs", "sum_chars"]].sum()
+    by_lang["source"] = None
+    total = {"lang": None, "source": None,
+             "n_docs": int(df["n_docs"].sum()), "sum_chars": int(df["sum_chars"].sum())}
+    import pandas as pd
+
+    out = pd.concat([df, by_lang, pd.DataFrame([total])], ignore_index=True)
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "source": pa.array(out["source"].tolist(), pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64"), pa.int64()),
+        "sum_chars": pa.array(out["sum_chars"].astype("int64"), pa.int64()),
+    })
+
+
+Q67_SQL = """
+SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q68 — deterministic train/val/test split assignment + per-split stats:
+# split = pure function of doc_id through the counter-based splitmix64
+# (stream 777; integer threshold cuts at 80%/90% of 2^64), so the split is
+# stable across runs, machines, and engines — the property a training-data
+# pipeline needs for resumable sharding. One narrow exchange of per-batch
+# partial stats.
+# ---------------------------------------------------------------------------
+
+_SPLIT_STREAM = 777
+_TRAIN_BOUND = int(0.8 * (1 << 64))
+_VAL_BOUND = int(0.9 * (1 << 64))
+
+
+def split_assign(doc_ids: np.ndarray) -> np.ndarray:
+    """doc_id → 'train' | 'val' | 'test' (vectorized, engine-wide rule)."""
+    from ..fixtures.gen import hash_u64
+
+    hv = hash_u64(doc_ids.astype(np.uint64), _SPLIT_STREAM)
+    return np.where(hv < np.uint64(_TRAIN_BOUND), "train",
+                    np.where(hv < np.uint64(_VAL_BOUND), "val", "test"))
+
+
+def q68_split_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"split": pa.array(split_assign(ids), pa.string()),
+                         "c": pc.cast(t["n_chars"], pa.int64())})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("split", num_partitions=default_partitions())
+            .aggregate(Count(alias_name="n_docs"), Sum("c", alias_name="sum_chars")))
+
+
+def _q68_sql() -> str:
+    from .sqlmirror import sm64_steps, mulmod_sql, SM_PRIME, sm64_base
+
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS UBIGINT) AS id, n_chars FROM documents),
+{sm64_steps('h', 'd', 'id, n_chars',
+            f"xor({mulmod_sql('id', SM_PRIME)}, CAST({sm64_base(_SPLIT_STREAM)} AS UBIGINT))")}
+SELECT CASE WHEN hv < {_TRAIN_BOUND} THEN 'train'
+            WHEN hv < {_VAL_BOUND} THEN 'val' ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs, SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+FROM hf GROUP BY 1
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -1962,4 +2058,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q62_repetition_score": (q62_repetition_score, Q62_SQL),
     "q64_sliding_window": (q64_sliding_window, Q64_SQL),
     "q65_percentile_rank": (q65_percentile_rank, Q65_SQL),
+    "q67_rollup": (q67_rollup, Q67_SQL),
+    "q68_split_stats": (q68_split_stats, _q68_sql()),
 }

@@ -253,6 +253,78 @@ WHERE len(t.toks) = 0
 """
 
 
+def q69_decontaminate(sf_dir: str):
+    """Train/test decontamination — the split-hygiene operator a training
+    corpus needs: flag every train-split document sharing a word-3-shingle
+    with any test-split document (split = the q68 deterministic hash rule).
+    Fully distributed: train emits (doc_id, shingle-hash) rows, test emits
+    its distinct shingle hashes (two-level), the overlap is a hash JOIN on
+    the shingle key — no broadcast assumption, so a 10%-of-corpus test set
+    scales like any other join side. Matching is on 64-bit FNV shingle
+    hashes (collision odds ~n²/2⁶⁵); the SQL oracle matches on the shingle
+    STRINGS — agreement also certifies hash-collision-freeness on the
+    fixture corpus."""
+    from ray.data.aggregate import Count
+
+    from ..functions.strhash import word_shingle_hashes
+    from ..runtime import use_hash_shuffle
+    from .relational import split_assign
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_rows(t: pa.Table, want: str) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mask = split_assign(ids) == want
+        sel = np.nonzero(mask)[0]
+        texts = t["text"].to_pylist()
+        sh = word_shingle_hashes([texts[i] for i in sel], 3)
+        lens = np.fromiter((len(s) for s in sh), dtype=np.int64, count=len(sh))
+        vals = np.concatenate(sh) if sh and lens.sum() else np.zeros(0, np.uint64)
+        return pa.table({"doc_id": pa.array(np.repeat(ids[sel], lens), pa.int64()),
+                         "sh": pa.array(vals.view(np.int64), pa.int64())})
+
+    train_sh = ds.map_batches(lambda t: shingle_rows(t, "train"), batch_format="pyarrow")
+    test_sh = (ds.map_batches(lambda t: shingle_rows(t, "test"), batch_format="pyarrow")
+               .map_batches(lambda t: t.select(["sh"]), batch_format="pyarrow")
+               .groupby("sh", num_partitions=default_partitions()).count()
+               .map_batches(lambda t: t.select(["sh"]), batch_format="pyarrow"))
+    hits = train_sh.join(test_sh, join_type="inner",
+                         num_partitions=default_partitions(), on=("sh",))
+    return hits.groupby("doc_id", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_shared"))
+
+
+def _q69_sql() -> str:
+    from .relational import _TRAIN_BOUND, _VAL_BOUND, _SPLIT_STREAM
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    return f"""
+WITH d AS (SELECT doc_id, text, CAST(doc_id AS UBIGINT) AS id FROM documents),
+{sm64_steps('h', 'd', 'doc_id, text',
+            f"xor({mulmod_sql('id', SM_PRIME)}, CAST({sm64_base(_SPLIT_STREAM)} AS UBIGINT))")},
+lab AS (
+  SELECT doc_id, text,
+         CASE WHEN hv < {_TRAIN_BOUND} THEN 'train'
+              WHEN hv < {_VAL_BOUND} THEN 'val' ELSE 'test' END AS split
+  FROM hf
+),
+t AS (SELECT doc_id, split, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM lab),
+sh AS (
+  SELECT doc_id, split, UNNEST(list_distinct(
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(1, len(toks) - 1),
+                             i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END)) AS s
+  FROM t WHERE len(toks) > 0
+),
+test_s AS (SELECT DISTINCT s FROM sh WHERE split = 'test')
+SELECT sh.doc_id, COUNT(*)::BIGINT AS n_shared
+FROM sh JOIN test_s USING (s)
+WHERE sh.split = 'train'
+GROUP BY sh.doc_id
+"""
+
+
 def q26_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -925,4 +997,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q54_cosine_pair_join": (q54_cosine_pair_join, Q54_SQL),
     "q55_tfidf_top_terms": (q55_tfidf_top_terms, Q55_SQL),
     "q66_minhash_bands": (q66_minhash_bands, _q66_sql()),
+    "q69_decontaminate": (q69_decontaminate, _q69_sql()),
 }
