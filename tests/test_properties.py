@@ -66,3 +66,32 @@ def test_pip_center_inside_far_outside(cy, cx, r, nv, seed):
     poly = PolygonEdges([ring])
     inside = points_in_polygon(np.array([cy, cy + 3 * r]), np.array([cx, cx + 3 * r]), poly)
     assert inside.tolist() == [True, False]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000)),  # (user, ts seconds)
+        min_size=1, max_size=200,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_sliding_window_composite_key_vs_bruteforce(rows):
+    """q64's one-searchsorted-for-all-users composite key must equal the
+    per-row brute-force RANGE window (peers inclusive) for any user/ts mix,
+    including duplicate timestamps."""
+    win = 3600
+    uid = np.array([u for u, _ in rows], dtype=np.int64)
+    ts = np.array([t for _, t in rows], dtype=np.int64)
+    order = np.lexsort((ts, uid))
+    uid, ts = uid[order], ts[order]
+    urank = np.cumsum(np.concatenate([[0], (uid[1:] != uid[:-1]).astype(np.int64)]))
+    t0 = ts - ts.min()
+    stride = int(t0.max()) + 2 * win + 1
+    key = urank * stride + t0
+    got = (np.searchsorted(key, key, side="right")
+           - np.searchsorted(key, key - win, side="left"))
+    want = np.array([
+        int(np.sum((uid == uid[i]) & (ts >= ts[i] - win) & (ts <= ts[i])))
+        for i in range(len(uid))
+    ])
+    assert np.array_equal(got, want)
