@@ -474,6 +474,76 @@ FROM win GROUP BY doc_id
 """
 
 
+def q70_substring_dup(sf_dir: str):
+    """ExactSubstr-style duplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): doc pairs sharing at
+    least one exact 64-char window, with the count of shared distinct
+    windows. Operator domain is the 64-bit Rabin-Karp window fingerprint
+    (the q28 kernel) — both engines hash identically, so collisions (odds
+    ~n²/2⁶⁵) cannot diverge the comparison. Shape = the LSH pipeline's:
+    (window-hash, doc_id) rows → hash-keyed repartition → per-group pair
+    emission (streamed, never truncated) → pair-keyed count. At corpus
+    scale this replaces a suffix array with two bounded exchanges."""
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+    from ..stages.textdedup import bucket_pairs_block
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        fps = [np.unique(textstats.rolling_fingerprints(x or "", 64))
+               for x in t["text"].to_pylist()]
+        lens = np.fromiter((len(f) for f in fps), dtype=np.int64, count=len(fps))
+        vals = np.concatenate(fps) if fps and lens.sum() else np.zeros(0, np.uint64)
+        return pa.table({
+            "band": pa.array(np.zeros(int(lens.sum()), np.int32), pa.int32()),
+            "bucket": pa.array(vals.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+        })
+
+    rows = ds.map_batches(windows, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["band", "bucket"], sort=True)
+    pairs = rows.map_batches(bucket_pairs_block, batch_format="pyarrow", batch_size=None)
+    return pairs.groupby(["doc_a", "doc_b"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_shared"))
+
+
+# shared-window pair mirror: Q28's window-hash CTE (closed-form Rabin-Karp
+# in HUGEINT mod 2^64), distinct (doc, h), self-join on h
+Q70_SQL = """
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (p * 1099511628211) % 18446744073709551616 FROM pw WHERE k < 63
+),
+d AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         LEAST(64, GREATEST(LENGTH(text), 1)) AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, text, w, UNNEST(range(1, n - w + 2)) AS i FROM d
+),
+win AS (
+  SELECT p.doc_id, p.i,
+         SUM(CAST(ascii(substr(p.text, p.i + t.t, 1)) AS HUGEINT) * pw.p)
+           % 18446744073709551616 AS h
+  FROM pos p
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS t) t
+  JOIN pw ON pw.k = p.w - 1 - t.t
+  WHERE t.t < p.w
+  GROUP BY p.doc_id, p.i
+),
+wd AS (SELECT DISTINCT doc_id, h FROM win)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+FROM wd a JOIN wd b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 # SimHash in SQL: FNV-1a per distinct token by recursive CTE (HUGEINT
 # mod-2^64), bit votes over each doc's UNIQUE token-hash set, then ALL pairs
 # at hamming <= 3. Equivalence to the Ray banded pipeline is exact by
@@ -998,4 +1068,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q55_tfidf_top_terms": (q55_tfidf_top_terms, Q55_SQL),
     "q66_minhash_bands": (q66_minhash_bands, _q66_sql()),
     "q69_decontaminate": (q69_decontaminate, _q69_sql()),
+    "q70_substring_dup": (q70_substring_dup, Q70_SQL),
 }
