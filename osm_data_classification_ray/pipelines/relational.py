@@ -1627,8 +1627,6 @@ def _cms_positions(tok_hashes: np.ndarray) -> list[np.ndarray]:
 
 
 def q60_cms_heavy_hitters(sf_dir: str):
-    import ray
-
     from ..functions.strhash import fnv1a_arrow, fnv1a_list
 
     ds = _read(sf_dir, "documents", ["text"])
@@ -1783,9 +1781,9 @@ def q62_repetition_score(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         uniq = word_shingle_hashes(texts, k=3)
-        tot = np.fromiter(
-            (0 if not (s or "").split() else max(len((s or "").split()) - 2, 1)
-             for s in texts), dtype=np.int64, count=len(texts))
+        n_toks = [len((s or "").split()) for s in texts]  # one split per doc
+        tot = np.fromiter((0 if n == 0 else max(n - 2, 1) for n in n_toks),
+                          dtype=np.int64, count=len(texts))
         dst = np.fromiter((len(u) for u in uniq), dtype=np.int64, count=len(texts))
         rep = np.where(tot > 0,
                        np.round((tot - dst) / np.maximum(tot, 1), 6), 0.0)
@@ -1796,7 +1794,9 @@ def q62_repetition_score(sf_dir: str):
 
 Q62_SQL = """
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  -- COALESCE: Ray scores NULL text 0.0 (empty token list), so NULL docs
+  -- must flow through the nt = 0 branch here rather than yield NULL
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
   FROM documents
 ), g AS (
   SELECT doc_id, len(toks) AS nt,
@@ -1847,10 +1847,19 @@ def q64_sliding_window(sf_dir: str):
         urank = np.cumsum(np.concatenate([[0], (uid[1:] != uid[:-1]).astype(np.int64)]))
         t0 = ts - ts.min()
         stride = int(t0.max()) + 2 * _WINDOW_US + 1
-        assert urank[-1] < (1 << 62) // max(stride, 1), "composite window key overflow"
-        key = urank * stride + t0
-        n_1h = (np.searchsorted(key, key, side="right")
-                - np.searchsorted(key, key - _WINDOW_US, side="left"))
+        if int(urank[-1]) < (1 << 62) // max(stride, 1):
+            key = urank * stride + t0
+            n_1h = (np.searchsorted(key, key, side="right")
+                    - np.searchsorted(key, key - _WINDOW_US, side="left"))
+        else:
+            # span × user-count too wide for one int64 key: fall back to a
+            # per-user-segment searchsorted (still C per segment, exact)
+            n_1h = np.empty(len(uid), dtype=np.int64)
+            bounds = np.concatenate([[0], np.nonzero(uid[1:] != uid[:-1])[0] + 1, [len(uid)]])
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                seg = ts[s0:s1]
+                n_1h[s0:s1] = (np.searchsorted(seg, seg, side="right")
+                               - np.searchsorted(seg, seg - _WINDOW_US, side="left"))
         return pa.table({"event_id": block["event_id"],
                          "n_1h": pa.array(n_1h.astype(np.int64), pa.int64())})
 
@@ -1904,12 +1913,14 @@ def q65_percentile_rank(sf_dir: str):
 
     def rank(t: pa.Table, _ref=cdf_ref) -> pa.Table:
         m = ray.get(_ref)
-        langs = t["lang"].to_pylist()
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
         v = np.asarray(t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False))
         out = np.zeros(t.num_rows, dtype=np.float64)
-        for i, lg in enumerate(langs):
+        for lg in np.unique(langs):  # one vectorized searchsorted per lang
+            mask = langs == lg
             vals, below, n = m[lg]
-            out[i] = below[np.searchsorted(vals, v[i])] / (n - 1) if n > 1 else 0.0
+            if n > 1:
+                out[mask] = below[np.searchsorted(vals, v[mask])] / (n - 1)
         return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
                          "pr": pa.array(out, pa.float64())})
 

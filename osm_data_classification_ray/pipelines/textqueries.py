@@ -100,21 +100,21 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM s WHERE rank <= 5
 """
 
 
-_CLONE_OFF = 1_000_000
-
-
 def q24_embedding_near_dup(sf_dir: str):
     """Embedding near-dup via hyperplane LSH + exact cosine verify, over the
-    driver embeddings augmented with scaled clones (vec_id + 1e6,
+    driver embeddings augmented with scaled clones (vec_id + max(vec_id)+1,
     embedding × 2 — cosine(v, 2v) = 1 exactly; ×2 is an exact float scale,
     so the normalized rows are bit-identical and every planted pair lands
     in the same bucket in EVERY table: detection probability 1, which is
     what makes the exact-SQL oracle valid for a probabilistic index).
-    Organic pairs max out at cosine ≈ 0.51 on the driver fixtures
-    (measured at sf0.01), far under the 0.9 threshold, so the qualifying
-    set is exactly the clone pairs. Pairs-only output (q23 oracle policy:
-    raw float sims differ across engines at ulp level)."""
+    The clone-id offset is computed from the data (one cheap max pass,
+    same expression in SQL) so clone ids can never collide with organic
+    ids at any table size. Organic pairs max out at cosine ≈ 0.51 on the
+    driver fixtures (measured at sf0.01), far under the 0.9 threshold, so
+    the qualifying set is exactly the clone pairs. Pairs-only output (q23
+    oracle policy: raw float sims differ across engines at ulp level)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _CLONE_OFF = int(ds.max("vec_id")) + 1
 
     def plant(t: pa.Table) -> pa.Table:
         emb = t["embedding"]
@@ -134,11 +134,11 @@ def q24_embedding_near_dup(sf_dir: str):
     return out.select(["vec_a", "vec_b"])
 
 
-Q24_SQL = f"""
+Q24_SQL = """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + {_CLONE_OFF} AS vec_id,
+  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
          list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
   FROM embeddings
 )
@@ -176,12 +176,11 @@ def q66_minhash_bands(sf_dir: str):
 
 def _q66_sql() -> str:
     from ..fixtures.gen import hash_u64
-    from .relational import np as _np  # reuse numpy import
     from .sqlmirror import FNV_OFFSET, FNV_PRIME, SM_MOD, mulmod_sql
 
     n_perm, n_bands, rows = textdedup.N_PERM, textdedup.N_BANDS, textdedup.ROWS_PER_BAND
-    a = (hash_u64(_np.arange(n_perm), 901) | _np.uint64(1)).tolist()
-    b = hash_u64(_np.arange(n_perm), 902).tolist()
+    a = (hash_u64(np.arange(n_perm), 901) | np.uint64(1)).tolist()
+    b = hash_u64(np.arange(n_perm), 902).tolist()
     perm_vals = ", ".join(
         f"({j}, CAST({a[j]} AS UBIGINT), CAST({b[j]} AS UBIGINT))" for j in range(n_perm)
     )
@@ -215,7 +214,10 @@ def _q66_sql() -> str:
     )
     return f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  -- COALESCE: the Ray kernel hashes NULL text like '' (empty shingle set
+  -- -> the constant all-0xFF signature), so NULL docs must take the
+  -- empty-doc branch here too, not vanish
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
   FROM documents
 ),
 sh0 AS (
