@@ -1536,8 +1536,9 @@ def q59_pack_sequences(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     def with_tokens(t: pa.Table) -> pa.Table:
-        n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
-        spaces = pc.count_substring(t["text"], pattern=" ").cast(pa.int64())
+        # fill_null: NULL text packs like "" (0 tokens) on both engines
+        n_chars = pc.fill_null(pc.utf8_length(t["text"]).cast(pa.int64()), 0)
+        spaces = pc.fill_null(pc.count_substring(t["text"], pattern=" ").cast(pa.int64()), 0)
         n_tokens = pc.if_else(pc.equal(n_chars, 0), pa.scalar(0, pa.int64()),
                               pc.add(spaces, pa.scalar(1, pa.int64())))
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -1587,7 +1588,7 @@ def q59_pack_sequences(sf_dir: str):
 Q59_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang,
-         CASE WHEN LENGTH(text) = 0 THEN 0
+         CASE WHEN LENGTH(COALESCE(text, '')) = 0 THEN 0
               ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
          END::BIGINT AS n_tokens
   FROM documents

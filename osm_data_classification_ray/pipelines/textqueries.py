@@ -33,7 +33,7 @@ def q19_bpe_tokens(sf_dir: str):
 
 
 Q19_SQL = rf"""
-SELECT doc_id, LENGTH(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS n_bpe_tokens
+SELECT doc_id, LENGTH(regexp_extract_all(COALESCE(text, ''), '{_BPE_SQL_RE}')) AS n_bpe_tokens
 FROM documents
 """
 
@@ -49,7 +49,7 @@ def q20_minhash_near_dup(sf_dir: str):
 # brute-force == LSH output at sf0.01/sf0.001); at lower similarities the
 # LSH is intentionally probabilistic and the check would be rows-only.
 Q20_SQL = """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH tok AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents),
 sh AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -354,7 +354,8 @@ def _sql_list(words) -> str:
 # first-lang-wins ties in frozen order en,de,fr,es; confidence = max hits/nt.
 Q26_SQL = f"""
 WITH t AS (
-  SELECT doc_id, list_transform(string_split(text, ' '), x -> lower(x)) AS toks
+  -- COALESCE: NULL text classifies like '' (('und', 0.0)) on both engines
+  SELECT doc_id, list_transform(string_split(COALESCE(text, ''), ' '), x -> lower(x)) AS toks
   FROM documents
 ),
 h AS (
@@ -396,6 +397,8 @@ def q27_quality(sf_dir: str):
 # order (a*b*c*d, left-assoc) so the doubles match bitwise.
 Q27_SQL = f"""
 WITH m AS (
+  -- empty/NULL docs take the all-zero branch below (quality_one('') is
+  -- all zeros, incl. n_tokens — string_split('') would say 1 token)
   SELECT doc_id,
          LENGTH(text) AS n,
          len(string_split(text, ' ')) AS nt,
@@ -405,7 +408,7 @@ WITH m AS (
          LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS pcc,
          len(list_filter(list_transform(string_split(text, ' '), x -> lower(x)),
              x -> list_contains({_sql_list(sorted(textstats.STOPWORDS['en']))}, x))) AS stc
-  FROM documents
+  FROM documents WHERE COALESCE(text, '') <> ''
 ),
 r AS (
   SELECT doc_id,
@@ -424,6 +427,9 @@ SELECT doc_id, n_tokens, mean_token_len, upper_ratio, digit_ratio, punct_ratio,
        * (1.0 - LEAST(upper_ratio * 2.0, 0.5))
        * (1.0 - LEAST(digit_ratio * 2.0, 0.5)) AS quality_score
 FROM r
+UNION ALL
+SELECT doc_id, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+FROM documents WHERE COALESCE(text, '') = ''
 """
 
 
@@ -454,8 +460,8 @@ WITH RECURSIVE pw(k, p) AS (
   SELECT k + 1, (p * 1099511628211) % 18446744073709551616 FROM pw WHERE k < 63
 ),
 d AS (
-  SELECT doc_id, text, LENGTH(text) AS n,
-         LEAST(64, GREATEST(LENGTH(text), 1)) AS w
+  SELECT doc_id, COALESCE(text, '') AS text, LENGTH(COALESCE(text, '')) AS n,
+         LEAST(64, GREATEST(LENGTH(COALESCE(text, '')), 1)) AS w
   FROM documents
 ),
 pos AS (
@@ -470,9 +476,14 @@ win AS (
   JOIN pw ON pw.k = p.w - 1 - t.t
   WHERE t.t < p.w
   GROUP BY p.doc_id, p.i
+),
+agg AS (
+  SELECT doc_id, lower(lpad(hex(CAST(MIN(h) AS UBIGINT)), 16, '0')) AS fp
+  FROM win GROUP BY doc_id
 )
-SELECT doc_id, lower(lpad(hex(CAST(MIN(h) AS UBIGINT)), 16, '0')) AS min_rolling_fp
-FROM win GROUP BY doc_id
+-- empty/NULL docs have no windows: doc_fingerprint('') = 0 on the Ray side
+SELECT d.doc_id, COALESCE(agg.fp, '0000000000000000') AS min_rolling_fp
+FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -554,7 +565,7 @@ GROUP BY a.doc_id, b.doc_id
 # makes the outputs equal sets.
 Q21_SQL = """
 WITH RECURSIVE toks AS (
-  SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  SELECT DISTINCT UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents
 ),
 fnv(tok, j, acc) AS (
   SELECT tok, 0, CAST(1469598103934665603 AS UBIGINT) FROM toks
@@ -566,7 +577,7 @@ fnv(tok, j, acc) AS (
 ),
 tokh AS (SELECT tok, acc AS h FROM fnv WHERE j = LENGTH(tok)),
 doctok AS (
-  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  SELECT DISTINCT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents
 ),
 dochash AS (SELECT DISTINCT d.doc_id, th.h FROM doctok d JOIN tokh th USING (tok)),
 bits AS (
@@ -594,9 +605,14 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 # detection probability is ~1.
 Q22_SQL = """
 WITH sh AS (
+  -- <5-char (incl. NULL/empty) docs: Python pads to one whole-text NUL-padded
+  -- shingle; two such docs share it iff their texts are equal, mirrored by a
+  -- marker string whose length (>= 8) can never equal a real 5-gram
   SELECT doc_id,
-         list_distinct(list_transform(range(1, LENGTH(text) - 3),
-                                      i -> substr(text, i, 5))) AS s
+         CASE WHEN LENGTH(COALESCE(text, '')) < 5
+              THEN ['PADDED::' || COALESCE(text, '')]
+              ELSE list_distinct(list_transform(range(1, LENGTH(text) - 3),
+                                                i -> substr(text, i, 5))) END AS s
   FROM documents
 ),
 p AS (
@@ -685,7 +701,7 @@ def q44_near_dup_groups(sf_dir: str):
 # transitive closure by recursive CTE over the exact shingle-Jaccard pair
 # graph (valid at this corpus's similarity profile — see Q20 note)
 Q44_SQL = """
-WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents),
 sh AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -741,7 +757,7 @@ def _q39_sql() -> str:
     est = f"({alpha_sql} * {M} * {M}) / s"
     vexpr = mulmod_sql("hv", 1 << P)  # hv << P, wrap-safe
     return f"""
-WITH RECURSIVE dt AS (SELECT DISTINCT lang, text FROM documents),
+WITH RECURSIVE dt AS (SELECT DISTINCT lang, COALESCE(text, '') AS text FROM documents),
 f AS (
   SELECT lang, text, 0 AS i, CAST({FNV_OFFSET} AS UBIGINT) AS h FROM dt
   UNION ALL
@@ -989,7 +1005,7 @@ def q47_clean_corpus(sf_dir: str):
 # Composite oracle: Q44's pair graph + Q27's quality formula + sha dedup,
 # with reps re-anchored to the kept set exactly like the Ray pipeline.
 Q47_SQL = """
-WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents),
 shg AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
