@@ -327,6 +327,119 @@ GROUP BY sh.doc_id
 """
 
 
+_Q71_W, _Q71_S = 32, 24  # chunk window / stride in tokens (8-token overlap)
+
+
+def q71_chunk_docs(sf_dir: str):
+    """Document chunking — the context-window primitive of an embedding /
+    pretraining pipeline: split each doc into 32-token chunks with stride
+    24 (8-token overlap), emitting (doc_id, chunk_id, n_tok, chunk).
+    Stateless flat map (rows out ≈ rows in × tokens/stride); chunk text is
+    exact so the driver hash checks the chunk boundaries byte-for-byte."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_id, out_ci, out_n, out_txt = [], [], [], []
+        for did, x in zip(ids, t["text"].to_pylist()):
+            toks = (x or "").split()
+            for ci, st in enumerate(range(0, len(toks), _Q71_S)):
+                chunk = toks[st:st + _Q71_W]
+                out_id.append(did)
+                out_ci.append(ci)
+                out_n.append(len(chunk))
+                out_txt.append(" ".join(chunk))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "chunk_id": pa.array(out_ci, pa.int64()),
+                         "n_tok": pa.array(out_n, pa.int64()),
+                         "chunk": pa.array(out_txt, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q71_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+st AS (SELECT doc_id, toks, UNNEST(range(0, len(toks), {_Q71_S})) AS s FROM t)
+SELECT doc_id, (s // {_Q71_S})::BIGINT AS chunk_id,
+       (LEAST(s + {_Q71_W}, len(toks)) - s)::BIGINT AS n_tok,
+       array_to_string(toks[s + 1 : LEAST(s + {_Q71_W}, len(toks))], ' ') AS chunk
+FROM st
+"""
+
+
+_Q72_VOCAB = 4096
+
+
+def q72_numericalize(sf_dir: str):
+    """Tokenize + numericalize: global frequency-ranked vocabulary (top-4096
+    tokens; rank order = count DESC, token ASC — deterministic), then every
+    doc exploded to (doc_id, pos, token_id) with out-of-vocab → id 0. Two
+    stages: a two-level token-count aggregate (narrow (token, count)
+    exchange), then the bounded vocab broadcast into a stateless map — the
+    scale contract is the FIXED vocab size, not the corpus's distinct-token
+    count (only top-K ever reaches the driver-side rank)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(Sum("n", alias_name="n"))
+    vt = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs()) if x.num_rows])
+    order = pc.sort_indices(vt, sort_keys=[("n", "descending"), ("tok", "ascending")])
+    vt = vt.take(order).slice(0, _Q72_VOCAB)
+    vocab = {t: i + 1 for i, t in enumerate(vt["tok"].to_pylist())}
+    v_ref = ray.put(vocab)
+
+    def numer(t: pa.Table, _ref=v_ref) -> pa.Table:
+        v = ray.get(_ref)
+        out_id, out_pos, out_tid = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for pos, tok in enumerate((x or "").split(), 1):
+                out_id.append(did)
+                out_pos.append(pos)
+                out_tid.append(v.get(tok, 0))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "pos": pa.array(out_pos, pa.int64()),
+                         "token_id": pa.array(out_tid, pa.int64())})
+
+    return ds.map_batches(numer, batch_format="pyarrow")
+
+
+Q72_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vc AS (SELECT UNNEST(toks) AS tok FROM t),
+cnt AS (SELECT tok, COUNT(*) AS n FROM vc GROUP BY tok),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS tid
+  FROM cnt QUALIFY tid <= {_Q72_VOCAB}
+),
+ex AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) + 1),
+                          i -> struct_pack(pos := i, tok := toks[i]))) AS s
+    FROM t
+  ) u
+)
+SELECT ex.doc_id, CAST(ex.pos AS BIGINT) AS pos, COALESCE(v.tid, 0)::BIGINT AS token_id
+FROM ex LEFT JOIN vocab v USING (tok)
+"""
+
+
 def q26_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1087,4 +1200,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q66_minhash_bands": (q66_minhash_bands, _q66_sql()),
     "q69_decontaminate": (q69_decontaminate, _q69_sql()),
     "q70_substring_dup": (q70_substring_dup, Q70_SQL),
+    "q71_chunk_docs": (q71_chunk_docs, Q71_SQL),
+    "q72_numericalize": (q72_numericalize, Q72_SQL),
 }
