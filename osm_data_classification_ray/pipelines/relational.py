@@ -166,15 +166,19 @@ def q03_top_revenue_orders(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    joined = li.map_batches(prep, batch_format="pyarrow").join(
+    # aggregate revenue per orderkey BEFORE the join: the join then moves
+    # one row per order instead of one per lineitem (~4x fewer rows through
+    # the exchange), and the post-join groupby on (key, date) disappears —
+    # o_orderdate is functionally dependent on the join key
+    rev = li.map_batches(prep, batch_format="pyarrow").groupby(
+        "l_orderkey", num_partitions=default_partitions()
+    ).aggregate(Sum("rev_e4", alias_name="rev_e4_sum"))
+    agg = rev.join(
         orders,
         join_type="inner",
         num_partitions=default_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
-    )
-    agg = joined.groupby(["l_orderkey", "o_orderdate"], num_partitions=default_partitions()).aggregate(
-        Sum("rev_e4", alias_name="rev_e4_sum")
     )
 
     def finish(t: pa.Table) -> pa.Table:
