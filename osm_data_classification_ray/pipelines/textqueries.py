@@ -757,6 +757,68 @@ def q29_media_features(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q73_frame_sample_stats(sf_dir: str):
+    """Video → frame fan-out, driver-verified: synth media rows → the
+    sample_frames stage (4 evenly-spaced byte-window "frames" per video) →
+    per-frame integer stats (length + byte checksum). The SQL mirror
+    recomputes the window offsets AND the payload bytes from the splitmix
+    stream, so the oracle checks the fan-out shape, the frame timestamps,
+    and the exact bytes each frame window covers."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(multimodal.synth_media_batch, batch_format="pyarrow")
+    frames = media.map_batches(multimodal.sample_frames, batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        pl = t["frame_payload"].to_pylist()
+        cs = [int(np.frombuffer(p, dtype=np.uint8).sum()) if p else 0 for p in pl]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "frame": t["frame"].cast(pa.int64()),
+            "ts_ms": t["ts_ms"].cast(pa.int64()),
+            "frame_len": pa.array([len(p) for p in pl], pa.int64()),
+            "checksum": pa.array(cs, pa.int64()),
+        })
+
+    return frames.map_batches(stats, batch_format="pyarrow")
+
+
+def _q73_sql() -> str:
+    """Frame windows in SQL: payload word w of doc d is hash_u64(w, 922 +
+    d%1024); frame f covers words [f*160, f*160+32) (offsets 0/1280/2560/
+    3840 × 256 bytes); ts_ms = f*duration//3 with duration from the 921
+    metadata hash — all integer, bit-exact."""
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    byte_sum = " + ".join(f"CAST((hv >> {8 * k}) & 255 AS BIGINT)" for k in range(8))
+    base_in = f"CAST({(42 * SM_PRIME) % (1 << 64)} + 922 + sid AS UBIGINT)"
+    return f"""
+WITH sw AS (
+  SELECT sid, wi FROM (SELECT UNNEST(RANGE(0, 1024)) AS sid)
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 512)) AS wi)
+),
+{sm64_steps('bs', 'sw', 'sid, wi', base_in)},
+{sm64_steps('hw', 'bsf', 'sid, wi', f"xor({mulmod_sql('CAST(wi AS UBIGINT)', SM_PRIME)}, hv)")},
+wsum AS (SELECT sid, wi, {byte_sum} AS s1 FROM hwf),
+fr AS (SELECT UNNEST(RANGE(0, 4)) AS f),
+fwin AS (
+  SELECT w.sid, fr.f, SUM(w.s1) AS cksum
+  FROM wsum w JOIN fr ON w.wi >= fr.f * 160 AND w.wi < fr.f * 160 + 32
+  GROUP BY w.sid, fr.f
+),
+d AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS du FROM documents),
+{sm64_steps('mt', 'd', 'doc_id', f"xor({mulmod_sql('du', SM_PRIME)}, CAST({sm64_base(921)} AS UBIGINT))")},
+vids AS (
+  SELECT doc_id, CAST((hv >> 32) % 600000 AS BIGINT) AS dur
+  FROM mtf WHERE hv % 3 = 2
+)
+SELECT v.doc_id, CAST(fw.f AS BIGINT) AS frame,
+       (CAST(fw.f AS BIGINT) * v.dur) // 3 AS ts_ms,
+       CAST(256 AS BIGINT) AS frame_len,
+       CAST(fw.cksum AS BIGINT) AS checksum
+FROM vids v JOIN fwin fw ON fw.sid = v.doc_id % 1024
+"""
+
+
 def _q29_sql() -> str:
     """DuckDB mirror of the synth-media feature pipeline: payload words are
     hash_u64(0..511, 922 + doc_id%1024), features are byte statistics of
@@ -1202,4 +1264,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q70_substring_dup": (q70_substring_dup, Q70_SQL),
     "q71_chunk_docs": (q71_chunk_docs, Q71_SQL),
     "q72_numericalize": (q72_numericalize, Q72_SQL),
+    "q73_frame_sample_stats": (q73_frame_sample_stats, _q73_sql()),
 }
