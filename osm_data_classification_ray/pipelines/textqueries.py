@@ -440,6 +440,73 @@ FROM ex LEFT JOIN vocab v USING (tok)
 """
 
 
+_Q74_K = 8          # projected dimensions
+_Q74_SCALE = 1_000_000
+_Q74_STREAM = 941
+
+
+def q74_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss-style dimensionality reduction, made hash-exact:
+    embeddings are quantized to integers by the explicit rule
+    floor(x·1e6 + 0.5) (identical IEEE double ops in numpy and DuckDB — no
+    engine-dependent rounding mode), then projected onto 8 frozen ±1
+    hyperplanes (signs from the counter-based hash, stream 941). All
+    arithmetic after quantization is int64, so the projections compare
+    bit-for-bit. Stateless map over zero-copy Arrow; the sign matrix is a
+    64×8 constant baked per worker."""
+    from ..fixtures.gen import hash_u64
+    from ..functions.arrays import list_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim_probe = ds.limit(1).to_pandas()
+    dim = len(dim_probe["embedding"][0])
+    bits = hash_u64(np.arange(_Q74_K * dim), _Q74_STREAM) & np.uint64(1)
+    signs = (bits.astype(np.int64) * 2 - 1).reshape(_Q74_K, dim)  # (K, dim) of ±1
+
+    def project(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"]).astype(np.float64)
+        q = np.floor(X * _Q74_SCALE + 0.5).astype(np.int64)
+        proj = q @ signs.T  # (n, K) int64
+        cols = {"vec_id": t["vec_id"]}
+        for k in range(_Q74_K):
+            cols[f"proj_{k}"] = pa.array(proj[:, k], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q74_sql() -> str:
+    from ..fixtures.gen import hash_u64
+
+    bits = hash_u64(np.arange(_Q74_K * 64), _Q74_STREAM) & np.uint64(1)
+    signs = (bits.astype(np.int64) * 2 - 1).reshape(_Q74_K, 64)
+    sign_vals = ", ".join(
+        f"({k}, {j}, {int(signs[k, j])})" for k in range(_Q74_K) for j in range(64)
+    )
+    proj_cols = ", ".join(
+        f"SUM(CASE WHEN s.k = {k} THEN s.sgn * e.qv ELSE 0 END)::BIGINT AS proj_{k}"
+        for k in range(_Q74_K)
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id, u.s.pos AS pos, u.s.x AS x FROM (
+    SELECT vec_id, UNNEST(list_transform(range(1, len(embedding) + 1),
+                          i -> struct_pack(pos := i, x := embedding[i]))) AS s
+    FROM embeddings
+  ) u
+),
+q AS (
+  SELECT vec_id, pos - 1 AS j,
+         CAST(FLOOR(CAST(x AS DOUBLE) * {_Q74_SCALE} + 0.5) AS BIGINT) AS qv
+  FROM ex
+),
+sg(k, j, sgn) AS (VALUES {sign_vals})
+SELECT e.vec_id, {proj_cols}
+FROM q e JOIN sg s ON s.j = e.j
+GROUP BY e.vec_id
+"""
+
+
 def q26_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1265,4 +1332,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q71_chunk_docs": (q71_chunk_docs, Q71_SQL),
     "q72_numericalize": (q72_numericalize, Q72_SQL),
     "q73_frame_sample_stats": (q73_frame_sample_stats, _q73_sql()),
+    "q74_random_projection": (q74_random_projection, _q74_sql()),
 }
