@@ -2035,6 +2035,117 @@ FROM hf GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q75 — running distinct users per day WITHOUT a windowed COUNT(DISTINCT):
+# each user contributes only at their FIRST-seen day (groupby(user).min —
+# one narrow exchange), the per-day first-seen histogram is tiny (bounded
+# by #days), and the cumulative sum runs on the driver. The classic
+# streaming-analytics rewrite of an O(n·days) distinct window.
+# ---------------------------------------------------------------------------
+
+def q75_running_distinct(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                       pa.scalar(86_400_000_000, pa.int64()))), pa.int64())
+        return pa.table({"user_id": t["user_id"], "day": d})
+
+    first = (ds.map_batches(day, batch_format="pyarrow")
+             .groupby("user_id", num_partitions=default_partitions())
+             .aggregate(Min("day", alias_name="first_day")))
+    ft = pa.concat_tables([x for x in ray.get(first.to_arrow_refs()) if x.num_rows])
+    import pandas as pd
+
+    hist = (ft.to_pandas().groupby("first_day", sort=True).size()
+            .reset_index(name="n"))
+    hist["cum_users"] = hist["n"].cumsum()
+    return pa.table({"day": pa.array(hist["first_day"].astype("int64"), pa.int64()),
+                     "cum_users": pa.array(hist["cum_users"].astype("int64"), pa.int64())})
+
+
+Q75_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS first_day
+  FROM events GROUP BY user_id
+),
+h AS (SELECT first_day AS day, COUNT(*)::BIGINT AS n FROM f GROUP BY 1)
+SELECT day, SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# q76 — sequence-pattern funnel: users who 'click' and then 'purchase'
+# within one hour, with the count of qualifying click→purchase pairs per
+# user. One user-keyed exchange; inside a block each user segment answers
+# the pattern with a vectorized searchsorted of purchase times against
+# click windows (no per-event Python loop, no self-join blow-up).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_A, _FUNNEL_B = "click", "purchase"
+
+
+def q76_funnel(sf_dir: str):
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([_FUNNEL_A, _FUNNEL_B], pa.string()))
+        return t.filter(keep)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.repartition(default_partitions(), keys=["user_id"], sort=True)
+
+    def funnel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        idx = pc.sort_indices(block, sort_keys=[("user_id", "ascending"), ("ts", "ascending")])
+        block = block.take(idx)
+        uid = np.asarray(block["user_id"].to_numpy(zero_copy_only=False))
+        ts = np.asarray(block["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        is_b = np.asarray(pc.equal(block["event_type"], pa.scalar(_FUNNEL_B)).to_numpy(
+            zero_copy_only=False))
+        out_u, out_n = [], []
+        bounds = np.concatenate([[0], np.nonzero(uid[1:] != uid[:-1])[0] + 1, [len(uid)]])
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg_ts, seg_b = ts[s0:s1], is_b[s0:s1]
+            bt = seg_ts[seg_b]
+            if not len(bt):
+                continue
+            at = seg_ts[~seg_b]
+            if not len(at):
+                continue
+            # per click: purchases in (t_click, t_click + 1h]
+            n = (np.searchsorted(bt, at + _WINDOW_US, side="right")
+                 - np.searchsorted(bt, at, side="right")).sum()
+            if n > 0:
+                out_u.append(int(uid[s0]))
+                out_n.append(int(n))
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "n_pairs": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(funnel, batch_format="pyarrow", batch_size=None)
+
+
+Q76_SQL = f"""
+SELECT a.user_id, COUNT(*)::BIGINT AS n_pairs
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = '{_FUNNEL_A}' AND b.event_type = '{_FUNNEL_B}'
+GROUP BY a.user_id
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -2076,4 +2187,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q65_percentile_rank": (q65_percentile_rank, Q65_SQL),
     "q67_rollup": (q67_rollup, Q67_SQL),
     "q68_split_stats": (q68_split_stats, _q68_sql()),
+    "q75_running_distinct": (q75_running_distinct, Q75_SQL),
+    "q76_funnel": (q76_funnel, Q76_SQL),
 }
