@@ -33,11 +33,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     use_hash_shuffle()  # before dataset creation: strategy is captured then
     # single-file inputs arrive as one block; ask the reader to split so
     # downstream map_batches parallelize (no-op for already-small tables)
-    return rd.read_parquet(
+    ds = rd.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"),
         columns=columns,
         override_num_blocks=default_partitions(),
     )
+    # strip the pandas metadata parquet embeds: its dict payload defeats
+    # Ray's schema hashing (per-block "Failed to hash the schemas" +
+    # disabled schema dedup in the hash-shuffle aggregators)
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 def _cents(col) -> pc.Expression | pa.Array:
