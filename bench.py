@@ -137,11 +137,14 @@ def run_headline(out_root: str) -> dict:
 
 def run_relational() -> dict[str, float]:
     from osm_data_classification_ray.pipelines.relational import RELATIONAL_QUERIES
+    from osm_data_classification_ray.pipelines.textqueries import TEXT_QUERIES
 
+    qs = {**RELATIONAL_QUERIES, **TEXT_QUERIES}
     out = {}
     for name in ["q01_pricing_summary", "q03_top_revenue_orders", "q06_customer_order_counts",
-                 "q11_events_rollup", "q12_event_chains", "q13_dedup_docs"]:
-        fn, _ = RELATIONAL_QUERIES[name]
+                 "q11_events_rollup", "q12_event_chains", "q13_dedup_docs",
+                 "q20_minhash_near_dup", "q23_embedding_topk"]:
+        fn, _ = qs[name]
         t0 = time.monotonic()
         res = fn(SF_DIR)
         if hasattr(res, "count"):
