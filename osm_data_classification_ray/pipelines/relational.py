@@ -2151,6 +2151,102 @@ GROUP BY a.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q77 — cross-language vocabulary overlap: exact token-set Jaccard for every
+# lang pair, computed WITHOUT materializing any vocabulary set. One
+# (token)-keyed exchange of distinct (lang, token) rows; each colocated
+# token block emits its lang-pair co-occurrence counts (≤ C(5,2) rows per
+# token, combined per block); the final |A∩B| / (|A|+|B|−|A∩B|) is one
+# integer division per pair. Corpus-comparison shape: at 100 TB the only
+# large structure is the token exchange, never a driver-side set.
+# ---------------------------------------------------------------------------
+
+def q77_vocab_overlap(sf_dir: str):
+    import itertools
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def lang_tokens(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern(pc.coalesce(t["text"], pa.scalar("", pa.string())),
+                                pattern=" ")
+        flat = pc.list_flatten(toks)
+        langs = pa.array(np.repeat(t["lang"].to_pylist(),
+                                   pc.list_value_length(toks).to_numpy(zero_copy_only=False)))
+        df = pd.DataFrame({"lang": langs.to_pylist(), "tok": flat.to_pylist()})
+        df = df[df["tok"] != ""].drop_duplicates()  # per-block combiner
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lt = ds.map_batches(lang_tokens, batch_format="pyarrow")
+    # global distinct (lang, token) via keyed repartition + per-block dedup
+    lt = lt.repartition(default_partitions(), keys=["tok"], sort=True)
+    lt = lt.map_batches(lambda t: pa.Table.from_pandas(
+        t.to_pandas().drop_duplicates(), preserve_index=False),
+        batch_format="pyarrow", batch_size=None)
+
+    def pair_counts(block: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = block.to_pandas()
+        rows: dict[tuple, int] = {}
+        for _, g in df.groupby("tok", sort=False):
+            ls = sorted(g["lang"])
+            for a, b in itertools.combinations(ls, 2):
+                rows[(a, b)] = rows.get((a, b), 0) + 1
+            for a in ls:
+                rows[(a, a)] = rows.get((a, a), 0) + 1  # |A| on the diagonal
+        return pa.table({"lang_a": pa.array([k[0] for k in rows], pa.string()),
+                         "lang_b": pa.array([k[1] for k in rows], pa.string()),
+                         "n": pa.array(list(rows.values()), pa.int64())})
+
+    agg = lt.map_batches(pair_counts, batch_format="pyarrow", batch_size=None).groupby(
+        ["lang_a", "lang_b"], num_partitions=default_partitions()
+    ).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs()) if x.num_rows])
+    sizes = {a: int(n) for a, b, n in zip(t["lang_a"].to_pylist(), t["lang_b"].to_pylist(),
+                                          t["n"].to_pylist()) if a == b}
+    out_a, out_b, out_i, out_j = [], [], [], []
+    for a, b, n in sorted(zip(t["lang_a"].to_pylist(), t["lang_b"].to_pylist(),
+                              t["n"].to_pylist())):
+        if a == b:
+            continue
+        inter = int(n)
+        union = sizes[a] + sizes[b] - inter
+        out_a.append(a)
+        out_b.append(b)
+        out_i.append(inter)
+        out_j.append(round(inter / union, 6))
+    return pa.table({"lang_a": pa.array(out_a, pa.string()),
+                     "lang_b": pa.array(out_b, pa.string()),
+                     "n_common": pa.array(out_i, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+Q77_SQL = """
+WITH lt AS (
+  SELECT DISTINCT lang, tok FROM (
+    SELECT lang, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+sz AS (SELECT lang, COUNT(*)::BIGINT AS n FROM lt GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*)::BIGINT AS n_common
+  FROM lt a JOIN lt b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b, i.n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM inter i JOIN sz sa ON sa.lang = i.lang_a JOIN sz sb ON sb.lang = i.lang_b
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -2194,4 +2290,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q68_split_stats": (q68_split_stats, _q68_sql()),
     "q75_running_distinct": (q75_running_distinct, Q75_SQL),
     "q76_funnel": (q76_funnel, Q76_SQL),
+    "q77_vocab_overlap": (q77_vocab_overlap, Q77_SQL),
 }
