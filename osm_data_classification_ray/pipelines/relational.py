@@ -2062,11 +2062,24 @@ def q75_running_distinct(sf_dir: str):
     first = (ds.map_batches(day, batch_format="pyarrow")
              .groupby("user_id", num_partitions=default_partitions())
              .aggregate(Min("day", alias_name="first_day")))
-    ft = pa.concat_tables([x for x in ray.get(first.to_arrow_refs()) if x.num_rows])
+
+    # fold per-user rows into per-day counts BEFORE leaving the cluster:
+    # the driver sees a #days-sized histogram, never the user table
+    def day_hist(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = t.to_pandas().groupby("first_day", sort=True).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist_ds = (first.map_batches(day_hist, batch_format="pyarrow", batch_size=None)
+               .groupby("first_day", num_partitions=default_partitions())
+               .aggregate(Sum("n", alias_name="n")))
+    ht = pa.concat_tables([x for x in ray.get(hist_ds.to_arrow_refs()) if x.num_rows])
     import pandas as pd
 
-    hist = (ft.to_pandas().groupby("first_day", sort=True).size()
-            .reset_index(name="n"))
+    hist = ht.to_pandas().sort_values("first_day")
     hist["cum_users"] = hist["n"].cumsum()
     return pa.table({"day": pa.array(hist["first_day"].astype("int64"), pa.int64()),
                      "cum_users": pa.array(hist["cum_users"].astype("int64"), pa.int64())})

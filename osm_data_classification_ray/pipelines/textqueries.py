@@ -396,7 +396,16 @@ def q72_numericalize(sf_dir: str):
 
     agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
         "tok", num_partitions=default_partitions()).aggregate(Sum("n", alias_name="n"))
-    vt = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs()) if x.num_rows])
+
+    # per-block top-K partial (counts are already global post-groupby, so
+    # block-local top-K → driver merge is EXACT): the driver sees at most
+    # K × num_partitions rows, never the corpus's distinct-token table
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("tok", "ascending")])
+        return t.take(order).slice(0, _Q72_VOCAB)
+
+    parts = agg.map_batches(topk_block, batch_format="pyarrow", batch_size=None)
+    vt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs()) if x.num_rows])
     order = pc.sort_indices(vt, sort_keys=[("n", "descending"), ("tok", "ascending")])
     vt = vt.take(order).slice(0, _Q72_VOCAB)
     vocab = {t: i + 1 for i, t in enumerate(vt["tok"].to_pylist())}
