@@ -2260,6 +2260,79 @@ FROM inter i JOIN sz sa ON sa.lang = i.lang_a JOIN sz sb ON sb.lang = i.lang_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q78 — top-20 co-occurring token pairs (corpus collocation statistics):
+# per doc the DISTINCT token set, all within-doc pairs (a < b) combined
+# per block, pair-keyed exchange of (pair, partial count), then per-block
+# top-k partials → exact driver merge (the q72 pattern: the driver sees
+# K × num_partitions rows, never the pair table).
+# ---------------------------------------------------------------------------
+
+_Q78_K = 20
+
+
+def q78_cooccurrence(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        # block-local integer coding so pair counting is one np.unique over
+        # encoded (a*V + b) pairs — no Python inner loop over pairs
+        per_doc = [np.array(sorted(set((x or "").split())), dtype=object)
+                   for x in t["text"].to_pylist()]
+        all_toks = (np.concatenate([d for d in per_doc if len(d)])
+                    if any(len(d) for d in per_doc) else np.array([], dtype=object))
+        vocab, inv = np.unique(all_toks, return_inverse=True)
+        V = len(vocab)
+        codes, off = [], 0
+        for d in per_doc:
+            k = len(d)
+            if k >= 2:
+                c = np.sort(inv[off:off + k])  # unique per doc already
+                i, j = np.triu_indices(k, 1)
+                codes.append(c[i].astype(np.int64) * V + c[j])
+            off += k
+        if not codes:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.concatenate(codes), return_counts=True)
+        return pa.table({"tok_a": pa.array(vocab[uniq // V], pa.string()),
+                         "tok_b": pa.array(vocab[uniq % V], pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(pair_rows, batch_format="pyarrow").groupby(
+        ["tok_a", "tok_b"], num_partitions=default_partitions()
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("tok_a", "ascending"),
+                                              ("tok_b", "ascending")])
+        return t.take(order).slice(0, _Q78_K)
+
+    parts = agg.map_batches(topk_block, batch_format="pyarrow", batch_size=None)
+    vt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs()) if x.num_rows])
+    order = pc.sort_indices(vt, sort_keys=[("n", "descending"), ("tok_a", "ascending"),
+                                           ("tok_b", "ascending")])
+    return vt.take(order).slice(0, _Q78_K)
+
+
+Q78_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*)::BIGINT AS n
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+GROUP BY a.tok, b.tok
+ORDER BY n DESC, tok_a ASC, tok_b ASC
+LIMIT {_Q78_K}
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -2304,4 +2377,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q75_running_distinct": (q75_running_distinct, Q75_SQL),
     "q76_funnel": (q76_funnel, Q76_SQL),
     "q77_vocab_overlap": (q77_vocab_overlap, Q77_SQL),
+    "q78_cooccurrence": (q78_cooccurrence, Q78_SQL),
 }
