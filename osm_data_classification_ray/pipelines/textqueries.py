@@ -516,6 +516,72 @@ GROUP BY e.vec_id
 """
 
 
+def q79_label_prototypes(sf_dir: str):
+    """Class prototypes: the per-label mean embedding (nearest-class-mean /
+    classifier-init primitive), made hash-exact by the q74 quantization
+    rule (floor(x·1e6 + 0.5) → int64) so per-label per-dim sums are exact
+    integers and the mean is ONE division. Two-level: each block folds its
+    rows into a (labels × dim) partial-sum matrix (nothing per-row leaves
+    the worker), the driver combines #blocks tiny matrices. Output
+    exploded as (label, pos, mean_q) for the column-sorted driver hash."""
+    import ray
+
+    from ..functions.arrays import list_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"]).astype(np.float64)
+        q = np.floor(X * _Q74_SCALE + 0.5).astype(np.int64)
+        labels = np.asarray(t["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uniq = np.unique(labels)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        cnts = np.zeros(len(uniq), dtype=np.int64)
+        for li, lab in enumerate(uniq):  # per distinct label, vectorized over rows
+            m = labels == lab
+            sums[li] = q[m].sum(axis=0)
+            cnts[li] = int(m.sum())
+        dim = q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "pos": pa.array(np.tile(np.arange(1, dim + 1), len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "c": pa.array(np.repeat(cnts, dim), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    refs = [x for x in __import__("ray").get(parts.to_arrow_refs()) if x.num_rows]
+    t = pa.concat_tables(refs)
+    import pandas as pd
+
+    df = t.to_pandas().groupby(["label", "pos"], sort=True, as_index=False)[["s", "c"]].sum()
+    # explicit half-up at 6 decimals (floor(x·1e6 + 0.5)/1e6): identical
+    # IEEE ops in both engines — ROUND would differ on half-way ties
+    # whenever the label count doesn't divide 10^6 (np half-even vs SQL
+    # half-away)
+    ratio = df["s"].to_numpy(np.float64) / df["c"].to_numpy(np.float64)
+    mean_q = np.floor(ratio * 1e6 + 0.5) / 1e6
+    return pa.table({"label": pa.array(df["label"].astype("int64"), pa.int64()),
+                     "pos": pa.array(df["pos"].astype("int64"), pa.int64()),
+                     "mean_q": pa.array(mean_q, pa.float64())})
+
+
+Q79_SQL = f"""
+WITH ex AS (
+  SELECT label, u.s.pos AS pos,
+         CAST(FLOOR(CAST(u.s.x AS DOUBLE) * {_Q74_SCALE} + 0.5) AS BIGINT) AS qv
+  FROM (
+    SELECT label, UNNEST(list_transform(range(1, len(embedding) + 1),
+                         i -> struct_pack(pos := i, x := embedding[i]))) AS s
+    FROM embeddings
+  ) u
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_q
+FROM ex GROUP BY label, pos
+"""
+
+
 def q26_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1342,4 +1408,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q72_numericalize": (q72_numericalize, Q72_SQL),
     "q73_frame_sample_stats": (q73_frame_sample_stats, _q73_sql()),
     "q74_random_projection": (q74_random_projection, _q74_sql()),
+    "q79_label_prototypes": (q79_label_prototypes, Q79_SQL),
 }
