@@ -2333,6 +2333,100 @@ LIMIT {_Q78_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q80 — dataset-card balance report: split × lang counts with the
+# within-split fraction (the table a training-data release publishes).
+# One two-level exchange; fraction = one integer division (the per-split
+# totals derive from the same tiny aggregate on both engines).
+# ---------------------------------------------------------------------------
+
+def q80_split_balance(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"split": pa.array(split_assign(ids), pa.string()),
+                         "lang": t["lang"]})
+
+    agg = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby(["split", "lang"], num_partitions=default_partitions())
+           .aggregate(Count(alias_name="n")))
+    t = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs()) if x.num_rows])
+    df = t.to_pandas()
+    totals = df.groupby("split")["n"].transform("sum")
+    # explicit half-up at 6 decimals (identical IEEE ops both engines) —
+    # ROUND would tie-diverge when a split total is 2·10^6·k with odd n
+    ratio = df["n"].to_numpy(np.float64) / totals.to_numpy(np.float64)
+    frac = np.floor(ratio * 1e6 + 0.5) / 1e6
+    return pa.table({"split": pa.array(df["split"], pa.string()),
+                     "lang": pa.array(df["lang"], pa.string()),
+                     "n": pa.array(df["n"].astype("int64"), pa.int64()),
+                     "frac": pa.array(frac, pa.float64())})
+
+
+def _q80_sql() -> str:
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS UBIGINT) AS id, lang FROM documents),
+{sm64_steps('h', 'd', 'id, lang',
+            f"xor({mulmod_sql('id', SM_PRIME)}, CAST({sm64_base(_SPLIT_STREAM)} AS UBIGINT))")},
+lab AS (
+  SELECT CASE WHEN hv < {_TRAIN_BOUND} THEN 'train'
+              WHEN hv < {_VAL_BOUND} THEN 'val' ELSE 'test' END AS split, lang
+  FROM hf
+),
+g AS (SELECT split, lang, COUNT(*)::BIGINT AS n FROM lab GROUP BY split, lang)
+SELECT split, lang, n,
+       FLOOR(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY split) * 1000000 + 0.5)
+         / 1000000 AS frac
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q81 — log2-bucketed document-length histogram (the corpus length profile):
+# bucket = bit-length of n_chars (integer-exact on both engines — Ray uses
+# a searchsorted over exact power-of-2 boundaries, SQL the binary-string
+# length; no float log anywhere). Two-level: per-batch bucket counts →
+# one tiny (≤ 64-row) exchange.
+# ---------------------------------------------------------------------------
+
+_Q81_POWERS = (np.int64(1) << np.arange(63)).astype(np.int64)
+
+
+def q81_length_histogram(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = np.asarray(pc.fill_null(pc.cast(t["n_chars"], pa.int64()), 0)
+                       .to_numpy(zero_copy_only=False))
+        bucket = np.searchsorted(_Q81_POWERS, n, side="right")  # = bit_length, 0 for n=0
+        uniq, cnt = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq.astype(np.int64), pa.int64()),
+                         "n_docs": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket", num_partitions=default_partitions())
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+Q81_SQL = """
+WITH b AS (
+  SELECT CASE WHEN COALESCE(n_chars, 0) <= 0 THEN 0
+              ELSE LENGTH(bin(CAST(n_chars AS BIGINT))) END AS bucket
+  FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*)::BIGINT AS n_docs
+FROM b GROUP BY bucket
+"""
+
+
 #: name → (ray_callable, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
@@ -2378,4 +2472,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q76_funnel": (q76_funnel, Q76_SQL),
     "q77_vocab_overlap": (q77_vocab_overlap, Q77_SQL),
     "q78_cooccurrence": (q78_cooccurrence, Q78_SQL),
+    "q80_split_balance": (q80_split_balance, _q80_sql()),
+    "q81_length_histogram": (q81_length_histogram, Q81_SQL),
 }
