@@ -14,6 +14,7 @@ compares after sorting columns by name).
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1516,7 +1517,7 @@ def q58_bloom_semi_join(sf_dir: str):
 
 Q58_SQL = f"""
 SELECT l_returnflag, COUNT(*)::BIGINT AS n_items,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > {_Q58_PRICE})
 GROUP BY l_returnflag
@@ -1983,7 +1984,7 @@ def q67_rollup(sf_dir: str):
 
 Q67_SQL = """
 SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
-       SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP(lang, source)
 """
 
@@ -2035,7 +2036,7 @@ WITH d AS (SELECT CAST(doc_id AS UBIGINT) AS id, n_chars FROM documents),
             f"xor({mulmod_sql('id', SM_PRIME)}, CAST({sm64_base(_SPLIT_STREAM)} AS UBIGINT))")}
 SELECT CASE WHEN hv < {_TRAIN_BOUND} THEN 'train'
             WHEN hv < {_VAL_BOUND} THEN 'val' ELSE 'test' END AS split,
-       COUNT(*)::BIGINT AS n_docs, SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+       COUNT(*)::BIGINT AS n_docs, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
 FROM hf GROUP BY 1
 """
 
@@ -2235,7 +2236,9 @@ def q77_vocab_overlap(sf_dir: str):
         out_a.append(a)
         out_b.append(b)
         out_i.append(inter)
-        out_j.append(round(inter / union, 6))
+        # explicit half-up rule shared with the oracle (Python round() is
+        # half-even, DuckDB ROUND half-away — a rational tie would diverge)
+        out_j.append(math.floor(inter / union * 1e6 + 0.5) / 1e6)
     return pa.table({"lang_a": pa.array(out_a, pa.string()),
                      "lang_b": pa.array(out_b, pa.string()),
                      "n_common": pa.array(out_i, pa.int64()),
@@ -2255,7 +2258,7 @@ inter AS (
   GROUP BY a.lang, b.lang
 )
 SELECT i.lang_a, i.lang_b, i.n_common,
-       ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+       FLOOR(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM inter i JOIN sz sa ON sa.lang = i.lang_a JOIN sz sb ON sb.lang = i.lang_b
 """
 

@@ -485,19 +485,28 @@ def q74_random_projection(sf_dir: str):
 
 
 def _q74_sql() -> str:
-    from ..fixtures.gen import hash_u64
+    """Sign matrix derived IN SQL from the actual embedding dim (the Ray
+    kernel indexes sign[k, j] = hash_u64(k*dim + j), so the mirror must use
+    the same dim — a hardcoded width would silently diverge if the fixture
+    dim ever changed)."""
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
 
-    bits = hash_u64(np.arange(_Q74_K * 64), _Q74_STREAM) & np.uint64(1)
-    signs = (bits.astype(np.int64) * 2 - 1).reshape(_Q74_K, 64)
-    sign_vals = ", ".join(
-        f"({k}, {j}, {int(signs[k, j])})" for k in range(_Q74_K) for j in range(64)
-    )
     proj_cols = ", ".join(
         f"SUM(CASE WHEN s.k = {k} THEN s.sgn * e.qv ELSE 0 END)::BIGINT AS proj_{k}"
         for k in range(_Q74_K)
     )
     return f"""
-WITH ex AS (
+WITH dimt AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+idx AS (SELECT CAST(UNNEST(range(0, {_Q74_K} * (SELECT dim FROM dimt))) AS UBIGINT) AS i),
+{sm64_steps('sgh', 'idx', 'i',
+            f"xor({mulmod_sql('i', SM_PRIME)}, CAST({sm64_base(_Q74_STREAM)} AS UBIGINT))")},
+sg AS (
+  SELECT CAST(i // (SELECT dim FROM dimt) AS BIGINT) AS k,
+         CAST(i % (SELECT dim FROM dimt) AS BIGINT) AS j,
+         CAST((hv & 1) * 2 AS BIGINT) - 1 AS sgn
+  FROM sghf
+),
+ex AS (
   SELECT vec_id, u.s.pos AS pos, u.s.x AS x FROM (
     SELECT vec_id, UNNEST(list_transform(range(1, len(embedding) + 1),
                           i -> struct_pack(pos := i, x := embedding[i]))) AS s
@@ -508,8 +517,7 @@ q AS (
   SELECT vec_id, pos - 1 AS j,
          CAST(FLOOR(CAST(x AS DOUBLE) * {_Q74_SCALE} + 0.5) AS BIGINT) AS qv
   FROM ex
-),
-sg(k, j, sgn) AS (VALUES {sign_vals})
+)
 SELECT e.vec_id, {proj_cols}
 FROM q e JOIN sg s ON s.j = e.j
 GROUP BY e.vec_id
