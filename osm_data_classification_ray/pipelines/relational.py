@@ -55,6 +55,25 @@ def _micros(col) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(1_000_000.0))), pa.int64())
 
 
+def _topk_table(ds, k: int, by: list[str], ascending: list[bool]) -> pa.Table:
+    """Global top-k WITHOUT a global sort exchange (T2 at scale): every block
+    keeps its own top-k (any global top-k row is top-k within its block), the
+    driver merges the bounded blocks×k partials. A stable per-block sort
+    preserves the exact multi-key tie-break the oracle's ORDER BY specifies."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # q01 — pricing summary (A1/A3 style wide aggregate; TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -197,7 +216,7 @@ def q03_top_revenue_orders(sf_dir: str):
         )
 
     out = agg.map_batches(finish, batch_format="pyarrow")
-    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    return _topk_table(out, 10, ["revenue", "o_orderkey"], [False, True])
 
 
 Q03_SQL = """
@@ -427,7 +446,7 @@ def q07_semi_join(sf_dir: str):
 
 
 Q07_SQL = """
-SELECT c_nationkey, COUNT(*) AS n_active_customers
+SELECT c_nationkey::BIGINT AS c_nationkey, COUNT(*) AS n_active_customers
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
 GROUP BY c_nationkey
@@ -480,7 +499,7 @@ GROUP BY c_mktsegment
 
 def q09_top_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return _topk_table(ds, 10, ["o_totalprice", "o_orderkey"], [False, True])
 
 
 Q09_SQL = """

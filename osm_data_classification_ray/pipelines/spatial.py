@@ -55,8 +55,11 @@ class EngineConfig:
     #: (≈ corpus / num_partitions) fits a worker heap.
     dedup_mode: str = "shuffle"
     #: superseded-key count above which run_pages switches from the
-    #: broadcast anti-filter to a (url, warc_ts, sha) hash join
-    superseded_broadcast_limit: int = 5_000_000
+    #: broadcast anti-filter to a (url, warc_ts, sha) hash join. The
+    #: broadcast ships ONE Arrow table (~100 B/key → ~100 MB at the limit,
+    #: in object-store buffers, zero-copy per worker); the join fallback
+    #: exists for extreme duplicate rates beyond that
+    superseded_broadcast_limit: int = 1_000_000
     #: "materialized" (default) = pages is its own wide parquet table — the
     #: SURVEY §2.2 user-facing artifact, text duplicated from ``extracted``.
     #: "view" = the stage persists ONLY the superseded-key sidecar (bounded
@@ -374,21 +377,31 @@ def _pad_flags(t: pa.Table) -> pa.Table:
 #: init-once state without paying an actor-pool ramp-up
 _SUP_STATE_CACHE: dict[str, tuple] = {}
 
+_EMPTY_SUP = pa.table({"url": pa.array([], pa.string()),
+                       "warc_ts": pa.array([], pa.int64()),
+                       "text_sha256": pa.array([], pa.string())})
+
 
 def _sup_state(sup_ref):
+    """Worker-side view of the superseded-key broadcast: the shipped object
+    is an ARROW TABLE (url, warc_ts, text_sha256) — string data stays in
+    Arrow buffers, never a driver/worker-side Python tuple heap. Cached per
+    worker as (table sorted by key hash, sorted hash array, ts numpy)."""
     import ray
 
     key = sup_ref.hex() if hasattr(sup_ref, "hex") else str(id(sup_ref))
     st = _SUP_STATE_CACHE.get(key)
     if st is None:
         from ..fixtures.gen import hash_u64
-        from ..functions.strhash import fnv1a_list
+        from ..functions.strhash import fnv1a_arrow
 
-        sup_keys = ray.get(sup_ref) if not isinstance(sup_ref, list) else sup_ref
-        urls = [k[0] for k in sup_keys]
-        ts = np.array([k[1] for k in sup_keys], dtype=np.int64)
-        h = np.sort(hash_u64(fnv1a_list(urls) ^ ts.view(np.uint64), 963))
-        st = (set(sup_keys), h)
+        sup_t = ray.get(sup_ref) if not isinstance(sup_ref, pa.Table) else sup_ref
+        ts = np.asarray(sup_t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        h = hash_u64(fnv1a_arrow(sup_t["url"]) ^ ts.view(np.uint64), 963)
+        order = np.argsort(h, kind="stable")
+        sup_sorted = sup_t.take(pa.array(order)).combine_chunks()
+        st = (sup_sorted, h[order], ts[order])
         _SUP_STATE_CACHE.clear()
         _SUP_STATE_CACHE[key] = st
     return st
@@ -396,31 +409,36 @@ def _sup_state(sup_ref):
 
 def _latest_filter(t: pa.Table, sup_ref) -> pa.Table:
     """Drops superseded captures from the wide extracted stage. The
-    superseded-key set (non-latest captures — bounded by the DUPLICATE
-    count, not the corpus) is one broadcast object cached per worker;
-    membership is a vectorized (url, ts) hash prefilter + exact tuple
-    confirmation for the (rare) hash hits, so the hot path stays numpy."""
+    superseded-key table (non-latest captures — bounded by the DUPLICATE
+    count, not the corpus) is one broadcast Arrow object cached per worker;
+    membership is a vectorized (url, ts) hash prefilter + exact
+    (url, ts, sha) confirmation against the sorted key table for the (rare)
+    hash hits, so the hot path stays numpy and no Python set is built."""
     from ..fixtures.gen import hash_u64
     from ..functions.strhash import fnv1a_arrow
 
-    sup_set, sup_hash = _sup_state(sup_ref)
+    sup_t, sup_hash, sup_ts = _sup_state(sup_ref)
     if t.num_rows == 0 or len(sup_hash) == 0:
         return t
     ts = np.asarray(t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
                     dtype=np.int64)
     h = hash_u64(fnv1a_arrow(t["url"]) ^ ts.view(np.uint64), 963)
-    pos = np.searchsorted(sup_hash, h)
-    pos = np.clip(pos, 0, len(sup_hash) - 1)
-    maybe = sup_hash[pos] == h
+    lo = np.searchsorted(sup_hash, h, side="left")
+    hi = np.searchsorted(sup_hash, h, side="right")
+    maybe = hi > lo
     if not maybe.any():
         return t
     drop = np.zeros(t.num_rows, dtype=bool)
     idxs = np.nonzero(maybe)[0]
     urls = t["url"].take(pa.array(idxs)).to_pylist()
     shas = t["text_sha256"].take(pa.array(idxs)).to_pylist()
+    sup_url, sup_sha = sup_t["url"], sup_t["text_sha256"]
     for j, i in enumerate(idxs):
-        if (urls[j], int(ts[i]), shas[j]) in sup_set:
-            drop[i] = True
+        for p in range(lo[i], hi[i]):  # hash-collision range: ~1 entry
+            if (sup_ts[p] == ts[i] and sup_url[p].as_py() == urls[j]
+                    and sup_sha[p].as_py() == shas[j]):
+                drop[i] = True
+                break
     return t.filter(pa.array(~drop))
 
 
@@ -460,14 +478,11 @@ def run_pages(cfg: EngineConfig) -> str:
         ).materialize()
         n_sup = sup_ds.count()
         if n_sup <= cfg.superseded_broadcast_limit:
-            keys: list[tuple] = []
+            sup_t = _EMPTY_SUP
             if n_sup:
                 tabs = [x for x in ray.get(sup_ds.to_arrow_refs()) if x.num_rows]
-                sup_t = pa.concat_tables(tabs)
-                keys = list(zip(sup_t["url"].to_pylist(),
-                                sup_t["warc_ts"].cast(pa.int64()).to_pylist(),
-                                sup_t["text_sha256"].to_pylist()))
-            sup_ref = ray.put(keys)
+                sup_t = pa.concat_tables(tabs).combine_chunks()
+            sup_ref = ray.put(sup_t)  # Arrow buffers, not a Python tuple heap
             return wide.map_batches(_latest_filter, fn_args=(sup_ref,),
                                     batch_format="pyarrow", batch_size=None)
         # join fallback (extreme duplicate rates): latest keys ⋈ wide rows
@@ -522,13 +537,11 @@ def read_pages(cfg: EngineConfig, columns: list[str] | None = None):
     import pyarrow.parquet as pq
 
     files = ckpt.stage_files(cfg.out_root, "pages_keys")
-    sup_t = pa.concat_tables([pq.read_table(f) for f in files]) if files else None
-    keys = []
-    if sup_t is not None and sup_t.num_rows:
-        keys = list(zip(sup_t["url"].to_pylist(),
-                        sup_t["warc_ts"].cast(pa.int64()).to_pylist(),
-                        sup_t["text_sha256"].to_pylist()))
-    sup_ref = ray.put(keys)
+    sup_t = (pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+             if files else _EMPTY_SUP)
+    if sup_t.num_rows == 0:
+        sup_t = _EMPTY_SUP
+    sup_ref = ray.put(sup_t)
     # the filter needs the key columns; re-project afterwards if the caller
     # asked for fewer. No explicit columns → the pages schema (NOT all of
     # extracted's geo columns).

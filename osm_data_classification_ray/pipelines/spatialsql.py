@@ -334,6 +334,6 @@ best AS (
          ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
   FROM contained
 )
-SELECT p.url, b.admin_id, p.cell_r7 AS h3_r7
+SELECT p.url, CAST(b.admin_id AS BIGINT) AS admin_id, p.cell_r7 AS h3_r7
 FROM best b JOIN pts p ON p.url_i = b.url_i
 WHERE b.rn = 1"""

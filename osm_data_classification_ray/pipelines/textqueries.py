@@ -1007,7 +1007,7 @@ SELECT d2.doc_id,
        CASE mtf.hv % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
        CAST(4096 AS BIGINT) AS n_bytes,
        f.mean_b AS feat_0, ROUND(f.std_b, 6) AS feat_1,
-       f.f2 AS feat_2, 4096.0 AS feat_3
+       f.f2 AS feat_2, CAST(4096.0 AS DOUBLE) AS feat_3
 FROM documents d2
 JOIN mtf ON mtf.doc_id = d2.doc_id
 JOIN feat f ON f.sid = d2.doc_id % 1024

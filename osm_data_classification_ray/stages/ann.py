@@ -71,20 +71,23 @@ class TopKEmitter:
 
 
 def _final_topk(cands, k: int, exclude_self: bool = True) -> pa.Table:
+    """Bounded driver merge (queries × k × blocks rows in): one stable sort
+    + cumcount rank, no row-at-a-time loop. np.round is half-even like the
+    Python round() this replaces, so values are bit-identical."""
     df = cands.to_pandas() if not isinstance(cands, pa.Table) else cands.to_pandas()
-    rows = []
-    for qid, g in df.groupby("query_id", sort=True):
-        if exclude_self:
-            g = g[g["neighbor_id"] != qid]
-        g = g.sort_values(["cosine_sim", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, r in enumerate(g.itertuples(), 1):
-            rows.append((int(qid), int(r.neighbor_id), rank, round(float(r.cosine_sim), 6)))
+    if exclude_self:
+        df = df[df["neighbor_id"] != df["query_id"]]
+    df = df.sort_values(["query_id", "cosine_sim", "neighbor_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    rank = (df.groupby("query_id", sort=False).cumcount() + 1).to_numpy(np.int32)
+    keep = rank <= k
     return pa.table(
         {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
-            "rank": pa.array([r[2] for r in rows], pa.int32()),
-            "cosine_sim": pa.array([r[3] for r in rows], pa.float64()),
+            "query_id": pa.array(df["query_id"].to_numpy(np.int64)[keep], pa.int64()),
+            "neighbor_id": pa.array(df["neighbor_id"].to_numpy(np.int64)[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int32()),
+            "cosine_sim": pa.array(
+                np.round(df["cosine_sim"].to_numpy(np.float64)[keep], 6), pa.float64()),
         }
     )
 

@@ -48,15 +48,49 @@ def _char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(acc)
 
 
+# frozen 2-universal permutation constants, hoisted (recomputing them per
+# doc was ~30% of the q20 stage time)
+_MH_A = hash_u64(np.arange(N_PERM), 901) | np.uint64(1)  # odd multipliers
+_MH_B = hash_u64(np.arange(N_PERM), 902)
+_MH_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+#: permutation chunk: bounds the (chunk, total_shingles) temp to a few MB
+_MH_PERM_CHUNK = 32
+
+
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     """(N_PERM,) uint64 signature via 2-universal hashing of shingle hashes."""
     if len(shingles) == 0:
-        return np.full(N_PERM, np.uint64(0xFFFFFFFFFFFFFFFF))
-    a = hash_u64(np.arange(N_PERM), 901) | np.uint64(1)  # odd multipliers
-    b = hash_u64(np.arange(N_PERM), 902)
+        return np.full(N_PERM, _MH_EMPTY)
     with np.errstate(over="ignore"):
-        m = shingles[None, :] * a[:, None] + b[:, None]
+        m = shingles[None, :] * _MH_A[:, None] + _MH_B[:, None]
     return m.min(axis=1)
+
+
+def minhash_signatures_batch(sh_list: list[np.ndarray]) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 signatures for a whole batch in one pass:
+    all shingle sets concatenate into ONE value vector and each permutation
+    chunk does a segmented min (np.minimum.reduceat) over doc boundaries —
+    no per-doc allocations, no Python loop over docs."""
+    n = len(sh_list)
+    sigs = np.full((n, N_PERM), _MH_EMPTY)
+    lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return sigs
+    vals = np.concatenate([sh_list[i] for i in nz])
+    offsets = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=offsets[1:])
+    m = np.empty((_MH_PERM_CHUNK, len(vals)), dtype=np.uint64)  # one reused temp
+    with np.errstate(over="ignore"):
+        for p0 in range(0, N_PERM, _MH_PERM_CHUNK):
+            a = _MH_A[p0 : p0 + _MH_PERM_CHUNK][:, None]
+            b = _MH_B[p0 : p0 + _MH_PERM_CHUNK][:, None]
+            np.multiply(vals[None, :], a, out=m)  # mod 2^64 wrap
+            np.add(m, b, out=m)
+            sigs[nz, p0 : p0 + _MH_PERM_CHUNK] = np.minimum.reduceat(
+                m, offsets, axis=1
+            ).T
+    return sigs
 
 
 def simhash(shingles: np.ndarray) -> np.uint64:
@@ -69,13 +103,42 @@ def simhash(shingles: np.ndarray) -> np.uint64:
         return np.uint64(((votes > 0).astype(np.uint64) << np.arange(SIM_BITS, dtype=np.uint64)).sum())
 
 
+def simhash_batch(sh_list: list[np.ndarray]) -> np.ndarray:
+    """(n_docs,) uint64 simhashes for a whole batch in one pass: all shingle
+    sets concatenate, bits unpack once (LSB-first, so column j is
+    (v >> j) & 1), per-doc bit counts come from one segmented sum
+    (np.add.reduceat) — no Python loop over docs."""
+    n = len(sh_list)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return out
+    vals = np.concatenate([sh_list[i] for i in nz])
+    offsets = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=offsets[1:])
+    bits = np.unpackbits(vals.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")  # (total, 64) uint8
+    counts = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)  # (nz, 64)
+    sel = (2 * counts - lens[nz][:, None]) > 0  # majority vote per bit
+    weights = np.uint64(1) << np.arange(SIM_BITS, dtype=np.uint64)
+    out[nz] = (sel.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return out
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hamming distance via SWAR popcount (6 array passes
+    instead of the naive 64 shift-and-mask rounds)."""
     x = np.bitwise_xor(a, b)
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -104,14 +167,13 @@ def minhash_band_rows(batch: pa.Table, shingle: str = "word") -> pa.Table:
     else:
         sh_list = [_char_shingles(t or "") for t in texts]
     with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            sig = minhash_signature(sh_list[i])
-            bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
-            bucket = bands[:, 0].copy()
-            for r in range(1, ROWS_PER_BAND):
-                bucket = bucket * np.uint64(1099511628211) ^ bands[:, r]
-            out_band[i * N_BANDS : (i + 1) * N_BANDS] = np.arange(N_BANDS, dtype=np.int32)
-            out_bucket[i * N_BANDS : (i + 1) * N_BANDS] = bucket
+        sigs = minhash_signatures_batch(sh_list)  # (n, N_PERM)
+        bands = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+        bucket = bands[:, :, 0].copy()  # (n, N_BANDS)
+        for r in range(1, ROWS_PER_BAND):
+            bucket = bucket * np.uint64(1099511628211) ^ bands[:, :, r]
+        out_band[:] = np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+        out_bucket[:] = bucket.reshape(-1)
     return pa.table(
         {
             "band": pa.array(out_band, type=pa.int32()),
@@ -395,9 +457,7 @@ def simhash_table(docs_ds) -> "object":
         ids = batch["doc_id"]
         texts = batch["text"].to_pylist()
         sh_list = word_shingle_hashes(texts, 1)
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i in range(len(texts)):
-            out[i] = simhash(sh_list[i])
+        out = simhash_batch(sh_list)
         return pa.table({"doc_id": ids, "simhash": pa.array(out.view(np.int64), type=pa.int64())})
 
     return docs_ds.map_batches(f, batch_format="pyarrow")
@@ -426,28 +486,52 @@ def simhash_near_dup_pairs(docs_ds, num_partitions: int, max_hamming: int = 3) -
     b = b.repartition(num_partitions, keys=["band", "bucket"], sort=True)
 
     def pairs_block(block: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = block.to_pandas()
-        rows = []
-        for _, g in df.groupby(["band", "bucket"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-            for i in range(len(ids)):
-                d = hamming64(np.repeat(hs[i], len(ids) - i - 1), hs[i + 1 :])
-                for j, dist in zip(range(i + 1, len(ids)), d):
-                    if dist <= max_hamming:
-                        rows.append((int(ids[i]), int(ids[j]), int(dist)))
-        if not rows:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        arr = sorted(set(rows))
-        return pa.table({"doc_a": pa.array([r[0] for r in arr], pa.int64()),
-                         "doc_b": pa.array([r[1] for r in arr], pa.int64()),
-                         "hamming": pa.array([r[2] for r in arr], pa.int64())})
+        """(band, bucket)-colocated block → verified pairs, fully vectorized:
+        lexsort once, per-group all-(i<j) pair indices built by cumulative
+        counting (the bucket_pairs_block shape), one vectorized hamming over
+        every candidate pair, vectorized (a, b) dedup — no Python loops."""
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        band = np.asarray(block["band"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bucket = np.asarray(block["bucket"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        hs = np.asarray(block["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids, hs = band[order], bucket[order], ids[order], hs[order]
+        keep = np.ones(len(ids), dtype=bool)  # drop same doc re-listed in a bucket
+        keep[1:] = ((band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+                    | (ids[1:] != ids[:-1]))
+        band, bucket, ids, hs = band[keep], bucket[keep], ids[keep], hs[keep]
+        n = len(ids)
+        if n < 2:
+            return empty
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new_grp)
+        lens = np.diff(np.append(starts, n))
+        gidx = np.cumsum(new_grp) - 1
+        pos = np.arange(n) - starts[gidx]          # local position in group
+        cnt = lens[gidx] - 1 - pos                 # pairs led by each row
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ai = np.repeat(np.arange(n), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        bi = np.arange(total) - np.repeat(csum[:-1], cnt) + ai + 1
+        d = hamming64(hs[ai], hs[bi])
+        ok = d <= max_hamming
+        a, b, d = ids[ai[ok]], ids[bi[ok]], d[ok]  # ids sorted in-group → a < b
+        order2 = np.lexsort((b, a))                # dedup identical (a, b)
+        a, b, d = a[order2], b[order2], d[order2]
+        keep2 = np.ones(len(a), dtype=bool)
+        keep2[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"doc_a": pa.array(a[keep2], pa.int64()),
+                         "doc_b": pa.array(b[keep2], pa.int64()),
+                         "hamming": pa.array(d[keep2], pa.int64())})
 
     out = b.map_batches(pairs_block, batch_format="pyarrow", batch_size=None).to_pandas()
     if out.empty:  # an empty Dataset's to_pandas loses the schema
