@@ -28,6 +28,31 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 AMP = int(os.environ.get("GRAFT_BENCH_AMP", "400"))
 
 
+def _box_audit() -> dict:
+    """30-line environment audit shipped with every bench JSON: separates
+    CPU speed (cache-resident u64 kernel) from memory bandwidth (memset on
+    a 200 MB buffer). This sandbox's host throttles guest memory bandwidth
+    by session (observed 1.2 GB/s vs normal >10 GB/s with cache compute at
+    full speed) — the single shared resource that bounds multi-worker legs
+    and swings absolute walls 2x with identical code. On a real N->4N
+    cluster bandwidth arrives with the nodes."""
+    import numpy as np
+
+    a = np.arange(100_000, dtype=np.uint64)  # 800 KB: cache-resident
+    t0 = time.perf_counter()
+    for _ in range(500):
+        a * np.uint64(0x100000001B3) ^ (a >> np.uint64(13))
+    cpu_s = time.perf_counter() - t0
+    big = np.zeros(200_000_000, dtype=np.uint8)
+    big[::4096] = 1  # fault the pages in before timing the streaming write
+    t0 = time.perf_counter()
+    big[:] = 2
+    bw = 0.2 / (time.perf_counter() - t0)
+    return {"cache_mops_per_s": round(50.0 / cpu_s, 0),
+            "mem_bw_gbs": round(bw, 2),
+            "loadavg_1m": round(os.getloadavg()[0], 2)}
+
+
 def _bench_root() -> str:
     """Scratch root for bench checkpoints. Prefer tmpfs (/dev/shm): on this
     sandbox /tmp sits on one shared virtual disk whose bandwidth does NOT
@@ -183,6 +208,7 @@ def main() -> None:
         "rows_per_s": head["rows_per_s"],
         "stages": head["stages"],
         "checksum": head["checksum"],
+        "box": _box_audit(),
     }))
     ray.shutdown()
 
@@ -195,9 +221,15 @@ def scaling() -> None:
         # longer amortizes them (BASELINE.md round-2 protocol)
         amp = os.environ.get("GRAFT_SCALING_AMP", "4000")
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_AMP=amp)
+        load0 = os.getloadavg()[0]
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        res = json.loads(out.strip().splitlines()[-1])
+        # external-load audit for the BASELINE.md interpretation rule: with
+        # the bench as the only tenant, 1-min load ≈ ncpu at leg end; a
+        # materially higher reading marks the leg contaminated
+        res["loadavg"] = [round(load0, 2), round(os.getloadavg()[0], 2)]
+        return res
 
     # N and 4N logical CPUs (BASELINE.md protocol); overridable via
     # GRAFT_SCALING_CPUS="lo,hi"
@@ -226,6 +258,10 @@ def scaling() -> None:
         "stage_efficiency": stage_eff,
         f"stages_{lo_n}": lo.get("stages", {}),
         f"stages_{hi_n}": hi.get("stages", {}),
+        f"loadavg_{lo_n}": lo.get("loadavg"),
+        f"loadavg_{hi_n}": hi.get("loadavg"),
+        f"box_{lo_n}": lo.get("box"),
+        f"box_{hi_n}": hi.get("box"),
     }))
 
 
