@@ -1,12 +1,13 @@
 """Training-data operator queries over the driver tables (documents /
 embeddings): dedup family, similarity search, text analysis, multimodal.
 
-Oracle policy: q19 (BPE-ish token count) and q23 (embedding top-k ranks)
-are SQL-expressible and carry DuckDB oracles; similarity VALUES are
-excluded from oracle'd outputs (float32 list kernels differ across
-engines at ulp level — ranks are stable, raw sims are not). The rest are
-rows-only for the driver and exactly verified in tests/ against
-brute-force oracles.
+Oracle policy: every query here carries a bit-exact DuckDB oracle except
+q25 (IVF recall < 1 by design — rows-only). Float-valued outputs are
+engineered integer-exact (integer-unit arithmetic, frozen-order products,
+the explicit half-up rule floor(x·1e6 + 0.5) wherever a fraction
+appears); hash kernels are mirrored in SQL via sqlmirror.py (splitmix64 /
+FNV-1a in HUGEINT limbs) so probabilistic structures (LSH bands, ticket
+races, window fingerprints) compare bit-for-bit.
 """
 
 from __future__ import annotations
@@ -1391,6 +1392,318 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q82 — deterministic quality-WEIGHTED sample (ticket race): doc weight
+# w ∈ 1..4 from length; each doc draws w counter-based ticket hashes and
+# races on the minimum — P(win) grows with w, the result is a pure function
+# of (doc_id, n_chars). NO exchange at all: every block emits only its own
+# top-K ticket minima (a global winner is a winner in its block), the
+# driver merges blocks×K rows. The training-data op: "sample the corpus
+# biased toward higher-quality docs, reproducibly across engines/runs".
+# ---------------------------------------------------------------------------
+
+_Q82_K = 200
+_Q82_STREAM = 967
+_Q82_MAXW = 4
+
+
+def _q82_weights(n_chars: np.ndarray) -> np.ndarray:
+    return 1 + np.minimum(_Q82_MAXW - 1, n_chars // 150)
+
+
+def q82_weighted_sample(sf_dir: str):
+    import ray
+
+    from ..fixtures.gen import hash_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nch = np.asarray(t["n_chars"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        w = _q82_weights(nch)
+        total = int(w.sum())
+        rep = np.repeat(np.arange(len(ids)), w)
+        offsets = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(w[:-1], out=offsets[1:])
+        tick = np.arange(total) - np.repeat(offsets, w)  # 0..w_i-1 per doc
+        with np.errstate(over="ignore"):
+            i = ids[rep].astype(np.uint64) * np.uint64(_Q82_MAXW) + tick.astype(np.uint64)
+        key = np.minimum.reduceat(hash_u64(i, _Q82_STREAM), offsets)
+        order = np.lexsort((ids, key))[: _Q82_K]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "w": pa.array(w[order], pa.int64()),
+                         "key": pa.array(key[order].view(np.int64), pa.int64())})
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    vt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs()) if x.num_rows])
+    key = np.asarray(vt["key"].to_numpy(zero_copy_only=False), dtype=np.int64).view(np.uint64)
+    ids = np.asarray(vt["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((ids, key))[: _Q82_K]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "w": pa.array(np.asarray(vt["w"].to_numpy(zero_copy_only=False))[order], pa.int64()),
+    })
+
+
+def _q82_sql() -> str:
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    # i = doc_id * MAXW + ticket (mod 2^64), then the splitmix finalizer
+    i_expr = (f"CAST((CAST({mulmod_sql('du', _Q82_MAXW)} AS HUGEINT) + tick)"
+              f" % 18446744073709551616 AS UBIGINT)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS UBIGINT) AS du,
+         1 + LEAST({_Q82_MAXW - 1}, n_chars // 150) AS w
+  FROM documents
+),
+tk AS (SELECT doc_id, w, du, UNNEST(range(0, w)) AS tick FROM d),
+tk2 AS (SELECT doc_id, w, {i_expr} AS i FROM tk),
+{sm64_steps('wt', 'tk2', 'doc_id, w',
+            f"xor({mulmod_sql('i', SM_PRIME)}, CAST({sm64_base(_Q82_STREAM)} AS UBIGINT))")},
+mk AS (SELECT doc_id, w, MIN(hv) AS key FROM wtf GROUP BY doc_id, w)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(w AS BIGINT) AS w
+FROM mk ORDER BY key ASC, doc_id ASC LIMIT {_Q82_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q83 — collocation LIFT over the fixed top-V vocabulary (PMI's argument
+# without the log — rank-equivalent and integer-exact): for vocab tokens
+# x, y the lift is D_xy·N / (D_x·D_y) on document frequencies, quantized
+# to floor(lift·1e6) entirely in integer arithmetic. Scale contract =
+# q72's: the vocab is a FIXED top-V (per-block partial top-K merges), the
+# pair table is bounded by V²/2, the doc-frequency table by V — the
+# driver never sees corpus-sized state.
+# ---------------------------------------------------------------------------
+
+_Q83_V = 256
+_Q83_K = 20
+
+
+def _q83_vocab(ds) -> list[str]:
+    """Top-V tokens by (count DESC, token ASC) — the q72 two-level rank."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("tok", "ascending")])
+        return t.take(order).slice(0, _Q83_V)
+
+    import ray
+
+    parts = agg.map_batches(topk_block, batch_format="pyarrow", batch_size=None)
+    vt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs()) if x.num_rows])
+    order = pc.sort_indices(vt, sort_keys=[("n", "descending"), ("tok", "ascending")])
+    return vt.take(order).slice(0, _Q83_V)["tok"].to_pylist()
+
+
+def q83_lift_collocations(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    vocab = _q83_vocab(ds)
+    v_ref = ray.put(frozenset(vocab))
+
+    def pair_rows(t: pa.Table, _ref=v_ref) -> pa.Table:
+        vset = ray.get(_ref)
+        per_doc = [np.array(sorted(set((x or "").split()) & vset), dtype=object)
+                   for x in t["text"].to_pylist()]
+        all_toks = (np.concatenate([d for d in per_doc if len(d)])
+                    if any(len(d) for d in per_doc) else np.array([], dtype=object))
+        voc, inv = np.unique(all_toks, return_inverse=True)
+        V = len(voc)
+        pair_codes, single = [], []
+        off = 0
+        for d in per_doc:
+            k = len(d)
+            c = inv[off:off + k]
+            single.append(c)
+            if k >= 2:
+                cs = np.sort(c)
+                i, j = np.triu_indices(k, 1)
+                pair_codes.append(cs[i].astype(np.int64) * V + cs[j])
+            off += k
+        empty = pa.table({"tok_a": pa.array([], pa.string()),
+                          "tok_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        tabs = []
+        if pair_codes:
+            uniq, cnt = np.unique(np.concatenate(pair_codes), return_counts=True)
+            tabs.append(pa.table({"tok_a": pa.array(voc[uniq // V], pa.string()),
+                                  "tok_b": pa.array(voc[uniq % V], pa.string()),
+                                  "n": pa.array(cnt.astype(np.int64), pa.int64())}))
+        if single and V:
+            su, sc = np.unique(np.concatenate(single), return_counts=True)
+            # doc frequencies ride the same exchange under tok_b='' sentinel
+            tabs.append(pa.table({"tok_a": pa.array(voc[su], pa.string()),
+                                  "tok_b": pa.array([""] * len(su), pa.string()),
+                                  "n": pa.array(sc.astype(np.int64), pa.int64())}))
+        return pa.concat_tables(tabs) if tabs else empty
+
+    agg = ds.map_batches(pair_rows, batch_format="pyarrow").groupby(
+        ["tok_a", "tok_b"], num_partitions=default_partitions()
+    ).aggregate(Sum("n", alias_name="n"))
+    # bounded by V²/2 + V rows — collect and finish exactly on the driver
+    vt = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs()) if x.num_rows])
+    ta = np.array(vt["tok_a"].to_pylist(), dtype=object)
+    tb = np.array(vt["tok_b"].to_pylist(), dtype=object)
+    n = np.asarray(vt["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    dfreq = {a: int(c) for a, b, c in zip(ta, tb, n) if b == ""}
+    mask = tb != ""
+    ta, tb, n = ta[mask], tb[mask], n[mask]
+    dx = np.array([dfreq[a] for a in ta], dtype=np.int64)
+    dy = np.array([dfreq[b] for b in tb], dtype=np.int64)
+    lift_q = n * np.int64(n_docs) * np.int64(1_000_000) // (dx * dy)
+    order = np.lexsort((tb, ta, -lift_q))[: _Q83_K]
+    return pa.table({"tok_a": pa.array(ta[order], pa.string()),
+                     "tok_b": pa.array(tb[order], pa.string()),
+                     "n_xy": pa.array(n[order], pa.int64()),
+                     "lift_q": pa.array(lift_q[order], pa.int64())})
+
+
+Q83_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vc AS (SELECT UNNEST(toks) AS tok FROM t),
+cnt AS (SELECT tok, COUNT(*) AS n FROM vc GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r FROM cnt
+  ) WHERE r <= {_Q83_V}
+),
+dt AS (
+  SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t)
+  WHERE tok IN (SELECT tok FROM vocab)
+),
+df AS (SELECT tok, COUNT(*)::BIGINT AS d FROM dt GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*)::BIGINT AS n_xy
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+),
+nn AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+SELECT p.tok_a, p.tok_b, p.n_xy,
+       CAST(CAST(p.n_xy AS HUGEINT) * (SELECT n_docs FROM nn) * 1000000
+            // (CAST(da.d AS HUGEINT) * db.d) AS BIGINT) AS lift_q
+FROM pairs p JOIN df da ON da.tok = p.tok_a JOIN df db ON db.tok = p.tok_b
+ORDER BY lift_q DESC, tok_a ASC, tok_b ASC
+LIMIT {_Q83_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q84 — per-doc duplicate-window ratio (the RefinedWeb-style DOC-LEVEL dup
+# signal, built on q70's window kernel): for each doc, the fraction of its
+# distinct 64-char Rabin-Karp windows that also occur in ANOTHER doc.
+# dup_q = floor(n_dup/n_win·1e6 + 0.5) computed PURELY in integers
+# ((2·a·10⁶ + b) // (2·b)) so no rounding mode exists to diverge. Two
+# bounded exchanges: window-hash-keyed (count docs per window), then
+# doc-keyed (per-doc rollup). Docs with zero windows (NULL/'' text) emit
+# no row on either engine.
+# ---------------------------------------------------------------------------
+
+def q84_window_dup_ratio(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        fps = [np.unique(textstats.rolling_fingerprints(x or "", 64))
+               for x in t["text"].to_pylist()]
+        lens = np.fromiter((len(f) for f in fps), dtype=np.int64, count=len(fps))
+        vals = np.concatenate(fps) if fps and lens.sum() else np.zeros(0, np.uint64)
+        return pa.table({"h": pa.array(vals.view(np.int64), pa.int64()),
+                         "doc_id": pa.array(np.repeat(ids, lens), pa.int64())})
+
+    rows = ds.map_batches(windows, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["h"], sort=True)
+
+    def mark(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup": pa.array([], pa.int64())})
+        h = np.asarray(block["h"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        return pa.table({"doc_id": block["doc_id"],
+                         "dup": pa.array((cnt[inv] >= 2).astype(np.int64), pa.int64())})
+
+    per = rows.map_batches(mark, batch_format="pyarrow", batch_size=None).groupby(
+        "doc_id", num_partitions=default_partitions()
+    ).aggregate(Count(alias_name="n_win"), Sum("dup", alias_name="n_dup"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["n_dup"], pa.int64())
+        b = pc.cast(t["n_win"], pa.int64())
+        two_b = pc.multiply(b, pa.scalar(2, pa.int64()))
+        num = pc.add(pc.multiply(a, pa.scalar(2_000_000, pa.int64())), b)
+        # int64 trunc-division == floor here (both operands positive)
+        dup_q = pc.divide(num, two_b)
+        return pa.table({"doc_id": t["doc_id"], "n_win": b, "n_dup": a,
+                         "dup_q": dup_q})
+
+    return per.map_batches(finish, batch_format="pyarrow")
+
+
+Q84_SQL = """
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (p * 1099511628211) % 18446744073709551616 FROM pw WHERE k < 63
+),
+d AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         LEAST(64, GREATEST(LENGTH(text), 1)) AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, text, w, UNNEST(range(1, n - w + 2)) AS i FROM d
+),
+win AS (
+  SELECT p.doc_id, p.i,
+         SUM(CAST(ascii(substr(p.text, p.i + t.t, 1)) AS HUGEINT) * pw.p)
+           % 18446744073709551616 AS h
+  FROM pos p
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS t) t
+  JOIN pw ON pw.k = p.w - 1 - t.t
+  WHERE t.t < p.w
+  GROUP BY p.doc_id, p.i
+),
+wd AS (SELECT DISTINCT doc_id, h FROM win),
+hc AS (SELECT h, COUNT(*)::BIGINT AS nd FROM wd GROUP BY h),
+per AS (
+  SELECT wd.doc_id, COUNT(*)::BIGINT AS n_win,
+         SUM(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM wd JOIN hc USING (h) GROUP BY wd.doc_id
+)
+SELECT doc_id, n_win, n_dup,
+       CAST((2 * n_dup * 1000000 + n_win) // (2 * n_win) AS BIGINT) AS dup_q
+FROM per
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "q19_bpe_tokens": (q19_bpe_tokens, Q19_SQL),
     "q20_minhash_near_dup": (q20_minhash_near_dup, Q20_SQL),
@@ -1417,4 +1730,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q73_frame_sample_stats": (q73_frame_sample_stats, _q73_sql()),
     "q74_random_projection": (q74_random_projection, _q74_sql()),
     "q79_label_prototypes": (q79_label_prototypes, Q79_SQL),
+    "q82_weighted_sample": (q82_weighted_sample, _q82_sql()),
+    "q83_lift_collocations": (q83_lift_collocations, Q83_SQL),
+    "q84_window_dup_ratio": (q84_window_dup_ratio, Q84_SQL),
 }

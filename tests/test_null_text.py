@@ -21,7 +21,8 @@ AFFECTED = [
     "q27_quality", "q28_rolling_fingerprint", "q39_hll_distinct",
     "q44_near_dup_groups", "q59_pack_sequences", "q62_repetition_score",
     "q66_minhash_bands", "q69_decontaminate", "q70_substring_dup",
-    "q71_chunk_docs", "q72_numericalize",
+    "q71_chunk_docs", "q72_numericalize", "q83_lift_collocations",
+    "q84_window_dup_ratio",
 ]
 
 
