@@ -74,8 +74,9 @@ def _bw_sampler(samples: list, stop_evt) -> None:
 
     buf = np.zeros(50_000_000, dtype=np.uint8)
     buf[::4096] = 1
+    interval = float(os.environ.get("GRAFT_BW_INTERVAL", "20"))
     t_start = time.monotonic()
-    while not stop_evt.wait(20.0):
+    while not stop_evt.wait(interval):
         t0 = time.perf_counter()
         buf[:] = 2
         gbs = 0.05 / (time.perf_counter() - t0)
@@ -327,11 +328,17 @@ def _scaling_paired(run, lo_n: int, hi_n: int, pairs: int) -> None:
         lo, hi = legs[lo_n], legs[hi_n]
         checksums.update((lo["checksum"], hi["checksum"]))
         eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
-        # a pair is regime-consistent when both legs' continuous bandwidth
-        # medians agree within 1.5x — the machine-checkable credibility rule
+        # a pair is regime-consistent when (a) both legs' continuous
+        # bandwidth MEDIANS agree within 1.5x AND (b) neither leg's MIN
+        # collapsed below median/4 — run-1 of this protocol showed legs
+        # with matching ~7.7 GB/s medians but 0.02 GB/s mid-leg bursts
+        # that flipped every ratio super-linear; the min catches those
         bw_lo, bw_hi = lo.get("bw_median_gbs"), hi.get("bw_median_gbs")
+        mn_lo, mn_hi = lo.get("bw_min_gbs"), hi.get("bw_min_gbs")
         consistent = (bw_lo and bw_hi
-                      and max(bw_lo, bw_hi) / min(bw_lo, bw_hi) <= 1.5)
+                      and max(bw_lo, bw_hi) / min(bw_lo, bw_hi) <= 1.5
+                      and mn_lo is not None and mn_lo >= bw_lo / 4
+                      and mn_hi is not None and mn_hi >= bw_hi / 4)
         pair_rows.append({
             "order": f"{order[0]}->{order[1]}",
             "eff": round(eff, 3),

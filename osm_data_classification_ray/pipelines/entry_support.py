@@ -211,6 +211,68 @@ def page_cells_hex_query(sf_dir: str):
     )
 
 
+#: q85 radius — 0.2° (~22 km N-S): covers same-host jitter boxes (0.1°)
+#: and a meaningful slice of each hotspot disc without going all-pairs.
+RADIUS_MICRODEG = 200_000
+
+
+def radius_pairs_query(sf_dir: str):
+    """q85: distance-band (radius) spatial self-join — every pair of latest
+    geocoded pages within 0.2° squared-euclidean in integer microdegree
+    space (stages/radius.py: grid-square bucketing + lower-half ghost
+    replication, ONE key exchange, no global pair dedup). The DuckDB
+    oracle is a brute-force range self-join over the same coordinate
+    mirror, so the bucketing is verified lossless."""
+    from ..stages import radius
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pages = spatial.read_stage(cfg.out_root, "captures",
+                               ["url", "lat", "lon", "has_geo", "is_latest"])
+    pages = pages.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(
+            ["has_geo", "is_latest"]),
+        batch_format="pyarrow",
+    )
+    return radius.radius_pairs(pages, RADIUS_MICRODEG, default_partitions())
+
+
+def cell_centers_query(sf_dir: str):
+    """q88: raster→vector export — one point feature per occupied res-7
+    cell: (cell id, page count, center lat/lon from the lattice inverse,
+    cellmath/hexgrid.cell_center). The inverse transform is pure float
+    products in a frozen order, so the oracle (spatialsql.q88_sql) matches
+    bit-for-bit; q36 covers the raster direction (parent rollup), this one
+    verifies the vector direction."""
+    from ray.data.aggregate import Count
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r7", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r7"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    )
+
+    def vec(t: pa.Table) -> pa.Table:
+        cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        clat, clon = hexgrid.cell_center(cells)
+        return pa.table(
+            {
+                "h3_r7": t["h3_r7"],
+                "n_pages": t["n_pages"],
+                "center_lat": pa.array(clat, pa.float64()),
+                "center_lon": pa.array(clon, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(vec, batch_format="pyarrow")
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""
@@ -428,6 +490,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q33_cell_features": spatialsql.q33_sql(),
         "q36_tiles_rollup": spatialsql.q36_sql(),
         "q63_page_cells_hex": spatialsql.q63_sql(),
+        "q85_radius_pairs": spatialsql.q85_sql(RADIUS_MICRODEG),
+        "q88_cell_centers": spatialsql.q88_sql(),
     }
 
 

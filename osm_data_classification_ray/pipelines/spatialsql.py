@@ -251,6 +251,48 @@ SELECT url, cell_r5 AS h3_r5, cell_r6 AS h3_r6, cell_r7 AS h3_r7,
 FROM cap WHERE has_geo AND is_latest"""
 
 
+def q85_sql(radius: int) -> str:
+    """q85 oracle: brute-force radius self-join over the coordinate mirror
+    (integer microdegrees; the engine's grid-square bucketing must be
+    lossless against this). The ABS prefilters let DuckDB use its range
+    (IE) join instead of a raw cross product; lat*1e6 is within ~1e-7 of
+    an integer (coordinates carry exactly 6 decimals), so ROUND here and
+    np.rint engine-side agree — no half-tie exists."""
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT url, CAST(ROUND(lat * 1000000.0) AS BIGINT) AS ilat,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS ilon
+        FROM cap WHERE has_geo AND is_latest)
+SELECT a.url AS url_a, b.url AS url_b,
+       (a.ilat - b.ilat) * (a.ilat - b.ilat)
+     + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS d2
+FROM pts a JOIN pts b
+  ON a.url < b.url
+ AND ABS(a.ilat - b.ilat) <= {radius} AND ABS(a.ilon - b.ilon) <= {radius}
+WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
+    + (a.ilon - b.ilon) * (a.ilon - b.ilon) <= CAST({radius} AS BIGINT) * {radius}"""
+
+
+def q88_sql() -> str:
+    """q88 oracle: res-7 cell counts + the cell_to_latlng lattice inverse
+    (cellmath/hexgrid.cell_center). Product order mirrors numpy exactly:
+    size = SIZE_R9 * 2^(9-7) computed first, then (size*1.5)*r and
+    ((size*SQRT3))*(q + r/2) — all exact IEEE ops, bit-identical."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7, COUNT(*)::BIGINT AS n_pages
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT h3_r7, n_pages,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g)
+SELECT h3_r7, n_pages,
+       0.005 * 4.0 * 1.5 * CAST(r AS DOUBLE) AS center_lat,
+       0.005 * 4.0 * SQRT(3.0) * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0)
+         AS center_lon
+FROM u"""
+
+
 def q32_sql() -> str:
     body = "\nUNION ALL\n".join(
         _FEATURE_AGG.format(cell=f"cell_r{r}", res=r) for r in (5, 6, 7, 8, 9)

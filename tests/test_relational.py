@@ -31,6 +31,8 @@ def _spatial_oracles():
         "q33_cell_features": (es.cell_features_query, es.SPATIAL_SQL["q33_cell_features"]),
         "q36_tiles_rollup": (es.tiles_rollup_query, es.SPATIAL_SQL["q36_tiles_rollup"]),
         "q63_page_cells_hex": (es.page_cells_hex_query, es.SPATIAL_SQL["q63_page_cells_hex"]),
+        "q85_radius_pairs": (es.radius_pairs_query, es.SPATIAL_SQL["q85_radius_pairs"]),
+        "q88_cell_centers": (es.cell_centers_query, es.SPATIAL_SQL["q88_cell_centers"]),
     }
 
 
