@@ -263,7 +263,9 @@ def cell_centers_query(sf_dir: str):
         clat, clon = hexgrid.cell_center(cells)
         return pa.table(
             {
-                "h3_r7": t["h3_r7"],
+                # the groupby key comes back int64 (pandas block under the
+                # hash aggregate); restore the schema's uint64 cell type
+                "h3_r7": pa.array(cells, pa.uint64()),
                 "n_pages": t["n_pages"],
                 "center_lat": pa.array(clat, pa.float64()),
                 "center_lon": pa.array(clon, pa.float64()),
