@@ -41,7 +41,7 @@ _DRIVER_WINDOW = [
     "q33_cell_features", "q34_cluster_assignments", "q35_knn_geo",
     "q36_tiles_rollup", "q37_dedup_urls", "q38_page_cells",
     "q51_cell_features_packed", "q63_page_cells_hex", "q85_radius_pairs",
-    "q88_cell_centers",
+    "q87_rasterize_admin", "q88_cell_centers",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
     "q19_bpe_tokens", "q20_minhash_near_dup", "q21_simhash_near_dup",
@@ -55,12 +55,12 @@ _DRIVER_WINDOW = [
     # relational representatives — one per op class (agg, top-k, broadcast
     # join, semi/anti, datetime rollup, chains, dedup, as-of, sessionize,
     # sketch, bloom semi, prefix-sum packing, ROLLUP, deterministic split)
-    # (q07 semi-join and q13 exact-dedup rotated out: their families stay
-    # in-window via q58/q69 (semi) and q37 (D1 dedup); both keep their
-    # repo oracle tests and CORRECTNESS_r02 green rows)
+    # (q07 semi-join, q12 chains and q13 exact-dedup rotated out: their
+    # families stay in-window via q58/q69 (semi), q33's chain-derived
+    # n_changed/n_dupes features (M3) and q37 (D1 dedup); all three keep
+    # their repo oracle tests and CORRECTNESS_r02 green rows)
     "q01_pricing_summary", "q03_top_revenue_orders", "q05_region_customers",
-    "q08_anti_join", "q11_events_rollup",
-    "q12_event_chains", "q42_asof_join",
+    "q08_anti_join", "q11_events_rollup", "q42_asof_join",
     "q43_sessionize", "q56_heavy_hitters", "q58_bloom_semi_join",
     "q59_pack_sequences", "q67_rollup", "q68_split_stats",
 ]
@@ -89,6 +89,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q51_cell_features_packed": es.cell_features_packed_query,
             "q63_page_cells_hex": es.page_cells_hex_query,
             "q85_radius_pairs": es.radius_pairs_query,
+            "q87_rasterize_admin": es.rasterize_admin_query,
             "q88_cell_centers": es.cell_centers_query,
         }
     )

@@ -275,6 +275,65 @@ def cell_centers_query(sf_dir: str):
     return agg.map_batches(vec, batch_format="pyarrow")
 
 
+def _rasterize_block(t: pa.Table) -> pa.Table:
+    """Rasterize each level-1 polygon in the batch onto the res-5 hex
+    raster: cells whose CENTER is inside (even-odd + on-edge, the frozen
+    cellmath/pip.py conventions). Per-polygon work is vectorized
+    (cells_in_bbox cover → cell_center → chunked points_in_polygon); the
+    polygon loop is over the batch's handful of polygons, not cells."""
+    from ..cellmath import hexgrid
+    from ..cellmath import pip as pipm
+
+    out_id: list[int] = []
+    out_n: list[int] = []
+    out_sum: list[int] = []
+    for rec in t.to_pylist():
+        if rec["level"] != 1:
+            continue
+        rings = [np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
+                 for ring in rec["rings"]]
+        allpts = np.concatenate(rings)
+        cells = hexgrid.cells_in_bbox(
+            allpts[:, 0].min(), allpts[:, 1].min(),
+            allpts[:, 0].max(), allpts[:, 1].max(), 5)
+        clat, clon = hexgrid.cell_center(cells)
+        poly = pipm.PolygonEdges(rings)
+        inside = np.zeros(cells.size, dtype=bool)
+        for c0 in range(0, cells.size, 65536):  # bound the P x E matrix
+            sl = slice(c0, c0 + 65536)
+            inside[sl] = pipm.points_in_polygon(clat[sl], clon[sl], poly)
+        kept = cells[inside]
+        out_id.append(rec["admin_id"])
+        out_n.append(int(kept.size))
+        out_sum.append(int(kept.sum(dtype=np.uint64)))  # wraps mod 2^64
+    return pa.table(
+        {
+            "admin_id": pa.array(out_id, pa.int64()),
+            "n_cells": pa.array(out_n, pa.int64()),
+            "cells_sum": pa.array(out_sum, pa.uint64()),
+        }
+    )
+
+
+def rasterize_admin_query(sf_dir: str):
+    """q87: vector→raster — rasterize every level-1 admin polygon onto the
+    res-5 hex raster; per polygon: cell count + wrapped uint64 cell-id sum
+    (a coverage checksum, so the oracle verifies the full cell SET without
+    shipping ~100k rows). Engine candidates come from
+    hexgrid.cells_in_bbox (dilated-bbox cover); the oracle enumerates an
+    INDEPENDENT, wider axial rectangle — a lossy cover therefore shows up
+    as a hash mismatch. Completes the raster↔vector pair: q36 rolls the
+    raster up, q88 exports raster→vector centroids, q87 burns vector
+    polygons onto the raster. Input is the fixture polygon layer (pure
+    function of the frozen seed — sf-independent, like q31's oracle
+    edges)."""
+    import ray.data as rd
+
+    polys = gen.gen_admin_polygons()
+    ds = rd.from_arrow(polys).repartition(16)
+    return ds.map_batches(_rasterize_block, batch_format="pyarrow")
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""
@@ -493,6 +552,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q36_tiles_rollup": spatialsql.q36_sql(),
         "q63_page_cells_hex": spatialsql.q63_sql(),
         "q85_radius_pairs": spatialsql.q85_sql(RADIUS_MICRODEG),
+        "q87_rasterize_admin": spatialsql.q87_sql(),
         "q88_cell_centers": spatialsql.q88_sql(),
     }
 

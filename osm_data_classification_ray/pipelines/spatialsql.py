@@ -293,6 +293,80 @@ SELECT h3_r7, n_pages,
 FROM u"""
 
 
+def q87_sql() -> str:
+    """q87 oracle: rasterize level-1 polygons onto the res-5 raster with
+    INDEPENDENT candidate generation — a plain axial-rectangle lattice
+    enumeration from the polygon bbox (padded wider than the engine's
+    dilated cover), centers via the q88 lattice-inverse mirror, PIP via
+    the q31 even-odd/on-edge mirror. If the engine's cells_in_bbox cover
+    ever dropped a true cell, n_cells/cells_sum here would expose it."""
+    from ..fixtures import gen
+
+    size = 0.08  # res_size(5) = 0.005 * 2^4, exact in floats
+    sqrt3 = float(np.sqrt(3.0))
+    rect_rows, edge_rows = [], []
+    for rec in gen.gen_admin_polygons().to_pylist():
+        if rec["level"] != 1:
+            continue
+        pts = [(p["lat"], p["lon"]) for ring in rec["rings"] for p in ring]
+        pad = 3.0 * size  # wider than the engine's 2*size dilation
+        lo_lat = min(p[0] for p in pts) - pad
+        hi_lat = max(p[0] for p in pts) + pad
+        lo_lon = min(p[1] for p in pts) - pad
+        hi_lon = max(p[1] for p in pts) + pad
+        qf = [(sqrt3 / 3.0 * lon - lat / 3.0) / size
+              for lat in (lo_lat, hi_lat) for lon in (lo_lon, hi_lon)]
+        rf = [(2.0 / 3.0 * lat) / size for lat in (lo_lat, hi_lat)]
+        q0, q1 = int(np.floor(min(qf))) - 2, int(np.ceil(max(qf))) + 2
+        r0, r1 = int(np.floor(min(rf))) - 2, int(np.ceil(max(rf))) + 2
+        rect_rows.append(f"({rec['admin_id']}, {q0}, {q1}, {r0}, {r1})")
+        for ring in rec["rings"]:
+            n = len(ring)
+            for i, p in enumerate(ring):
+                b = ring[(i + 1) % n]
+                edge_rows.append(
+                    f"({rec['admin_id']}, {p['lat']!r}, {p['lon']!r},"
+                    f" {b['lat']!r}, {b['lon']!r})"
+                )
+    rects = ", ".join(rect_rows)
+    edges = ", ".join(edge_rows)
+    return f"""WITH rect(admin_id, q0, q1, r0, r1) AS (VALUES {rects}),
+edges(admin_id, ay, ax, by, bx) AS (VALUES {edges}),
+cand_q AS (
+  SELECT admin_id, UNNEST(generate_series(q0, q1)) AS q, r0, r1 FROM rect
+),
+cand_qr AS (
+  SELECT admin_id, q, UNNEST(generate_series(r0, r1)) AS r FROM cand_q
+),
+cand AS (
+  SELECT admin_id, q, r,
+         0.005 * 16.0 * 1.5 * CAST(r AS DOUBLE) AS clat,
+         0.005 * 16.0 * SQRT(3.0) * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS clon
+  FROM cand_qr
+),
+cr AS (
+  SELECT c.admin_id, c.q, c.r,
+    SUM(CASE WHEN (e.ay > c.clat) <> (e.by > c.clat)
+              AND c.clon < e.ax + (c.clat - e.ay) * (e.bx - e.ax) / (e.by - e.ay)
+         THEN 1 ELSE 0 END) AS n_cross,
+    MAX(CASE WHEN ABS((e.bx - e.ax) * (c.clat - e.ay) - (e.by - e.ay) * (c.clon - e.ax)) <= 1e-12
+              AND c.clon >= LEAST(e.ax, e.bx) - 1e-12 AND c.clon <= GREATEST(e.ax, e.bx) + 1e-12
+              AND c.clat >= LEAST(e.ay, e.by) - 1e-12 AND c.clat <= GREATEST(e.ay, e.by) + 1e-12
+         THEN 1 ELSE 0 END) AS on_edge
+  FROM cand c JOIN edges e USING (admin_id)
+  GROUP BY c.admin_id, c.q, c.r
+),
+inside AS (
+  SELECT admin_id, {_pack(5, 'q', 'r')} AS cell
+  FROM cr WHERE n_cross % 2 = 1 OR on_edge = 1
+)
+SELECT CAST(r.admin_id AS BIGINT) AS admin_id,
+       COUNT(i.cell)::BIGINT AS n_cells,
+       CAST(COALESCE(SUM(CAST(i.cell AS HUGEINT)), 0) % 18446744073709551616 AS UBIGINT) AS cells_sum
+FROM rect r LEFT JOIN inside i ON i.admin_id = r.admin_id
+GROUP BY r.admin_id"""
+
+
 def q32_sql() -> str:
     body = "\nUNION ALL\n".join(
         _FEATURE_AGG.format(cell=f"cell_r{r}", res=r) for r in (5, 6, 7, 8, 9)

@@ -32,6 +32,7 @@ def _spatial_oracles():
         "q36_tiles_rollup": (es.tiles_rollup_query, es.SPATIAL_SQL["q36_tiles_rollup"]),
         "q63_page_cells_hex": (es.page_cells_hex_query, es.SPATIAL_SQL["q63_page_cells_hex"]),
         "q85_radius_pairs": (es.radius_pairs_query, es.SPATIAL_SQL["q85_radius_pairs"]),
+        "q87_rasterize_admin": (es.rasterize_admin_query, es.SPATIAL_SQL["q87_rasterize_admin"]),
         "q88_cell_centers": (es.cell_centers_query, es.SPATIAL_SQL["q88_cell_centers"]),
     }
 
