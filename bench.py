@@ -74,7 +74,7 @@ def _bw_sampler(samples: list, stop_evt) -> None:
 
     buf = np.zeros(50_000_000, dtype=np.uint8)
     buf[::4096] = 1
-    interval = float(os.environ.get("GRAFT_BW_INTERVAL", "20"))
+    interval = float(os.environ.get("GRAFT_BW_INTERVAL", "8"))
     t_start = time.monotonic()
     while not stop_evt.wait(interval):
         t0 = time.perf_counter()
@@ -263,7 +263,7 @@ def scaling() -> None:
         # so compute dominates the fixed per-stage latencies — the round-2
         # engine is ~2x faster per core, so the round-1 point (4M rows) no
         # longer amortizes them (BASELINE.md round-2 protocol)
-        amp = os.environ.get("GRAFT_SCALING_AMP", "4000")
+        amp = os.environ.get("GRAFT_SCALING_AMP", "1000")
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_AMP=amp)
         load0 = os.getloadavg()[0]
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
@@ -278,7 +278,11 @@ def scaling() -> None:
     # N and 4N logical CPUs (BASELINE.md protocol); overridable via
     # GRAFT_SCALING_CPUS="lo,hi"
     lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
-    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "1"))
+    # default = the protocol that produced a credible number on this box
+    # (BASELINE.md run P2): 5 alternating pairs of ~3-minute legs. Long
+    # single legs (amp=4000, pairs=1) integrate over the host's
+    # memory-bandwidth throttle bursts and read super-linear (run P1).
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "5"))
     if pairs > 1:
         _scaling_paired(run, lo_n, hi_n, pairs)
         return

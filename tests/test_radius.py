@@ -104,6 +104,16 @@ def test_chunked_home_side(ray_session):
     assert got == _brute(urls, lats, lons, R)
 
 
+def test_points_on_square_boundary(ray_session):
+    # ilat % R == 0 lands exactly on a square border (floor-div assigns to
+    # the upper square); pairs across that border must still be found once
+    urls = ["b0", "b1", "b2", "b3"]
+    lats = [1.0, 0.9999, 1.0, 1.0001]       # 1.0 is the y-border of square 0/1
+    lons = [2.0, 2.0, 1.9999, 2.0]          # 2.0 is the x-border
+    got = _run(urls, lats, lons, R)
+    assert got == _brute(urls, lats, lons, R)
+
+
 def test_negative_coordinates(ray_session):
     # floor-division bucketing on negatives (numpy // is floor, not trunc)
     rng = np.random.default_rng(3)
