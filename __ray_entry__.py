@@ -41,13 +41,15 @@ _DRIVER_WINDOW = [
     "q33_cell_features", "q34_cluster_assignments", "q35_knn_geo",
     "q36_tiles_rollup", "q37_dedup_urls", "q38_page_cells",
     "q51_cell_features_packed", "q63_page_cells_hex", "q85_radius_pairs",
-    "q87_rasterize_admin", "q88_cell_centers",
+    "q87_rasterize_admin", "q88_cell_centers", "q89_cell_prototypes",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
     "q19_bpe_tokens", "q20_minhash_near_dup", "q21_simhash_near_dup",
     "q22_chargram_near_dup", "q23_embedding_topk", "q24_embedding_near_dup",
+    # (q29 rotated out: multimodal stays in-window via q73's richer frame
+    # fan-out; q29 keeps its repo oracle test and CORRECTNESS_r02 row)
     "q26_langid", "q27_quality", "q28_rolling_fingerprint",
-    "q29_media_features", "q39_hll_distinct", "q44_near_dup_groups",
+    "q39_hll_distinct", "q44_near_dup_groups",
     "q47_clean_corpus", "q52_embedding_all_nn", "q54_cosine_pair_join",
     "q55_tfidf_top_terms", "q66_minhash_bands", "q69_decontaminate",
     "q70_substring_dup", "q71_chunk_docs", "q72_numericalize",
@@ -91,6 +93,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q85_radius_pairs": es.radius_pairs_query,
             "q87_rasterize_admin": es.rasterize_admin_query,
             "q88_cell_centers": es.cell_centers_query,
+            "q89_cell_prototypes": es.cell_prototypes_query,
         }
     )
     return out

@@ -334,6 +334,96 @@ def rasterize_admin_query(sf_dir: str):
     return ds.map_batches(_rasterize_block, batch_format="pyarrow")
 
 
+def cell_prototypes_query(sf_dir: str):
+    """q89: geo-conditioned embedding prototypes — per res-5 cell the
+    integer-exact mean embedding (q74/q79 quantization rule) of the
+    documents whose latest geocoded page falls in that cell. The
+    spatial × embedding cross-family op a geo-aware training pipeline
+    needs (region-conditioned class means / retrieval priors).
+
+    Shape: derive (vec_id, cell) from the captures checkpoint (kept
+    doc_id is a frozen pure function of url_i), hash-join embeddings on
+    vec_id, fold each block into a (cells × dim) integer partial-sum
+    matrix (nothing per-row leaves the worker), ONE small
+    (cell, pos)-keyed exchange of exploded partials, mean = one division
+    under the explicit half-up rule. No driver-side collect."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrays import list_matrix
+    from .relational import _read
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pages = spatial.read_stage(cfg.out_root, "captures",
+                               ["url", "h3_r5", "has_geo", "is_latest"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        # kept doc_id from url_i (fixtures rule: doc_id%37==0 captures
+        # land on url_i = doc_id-1, and keep-latest takes the max)
+        url_i = np.array([int(u.rsplit("/p", 1)[1]) for u in t["url"].to_pylist()],
+                         dtype=np.int64)
+        doc = np.where((url_i + 1) % 37 == 0, url_i + 1, url_i)
+        return pa.table({"vec_id": pa.array(doc, pa.int64()), "h3_r5": t["h3_r5"]})
+
+    keyed = pages.map_batches(derive, batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        # binary blobs: Arrow joins reject list-typed payload columns
+        # (the ann.py LSH verify uses the same carrier)
+        X = list_matrix(t["embedding"]).astype(np.float64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "vec": pa.array([r.tobytes() for r in X], pa.binary())})
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        pack, batch_format="pyarrow")
+    j = keyed.join(emb, join_type="inner",
+                   num_partitions=default_partitions(), on=("vec_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h3_r5": pa.array([], pa.uint64()),
+                             "pos": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        X = np.frombuffer(b"".join(t["vec"].to_pylist()),
+                          dtype=np.float64).reshape(t.num_rows, -1)
+        q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        uniq, inv = np.unique(cells, return_inverse=True)
+        dim = q.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "h3_r5": pa.array(np.repeat(uniq, dim), pa.uint64()),
+                "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "c": pa.array(np.repeat(cnts, dim), pa.int64()),
+            }
+        )
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["h3_r5", "pos"], num_partitions=default_partitions())
+           .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        c = np.asarray(t["c"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        mean_q = np.floor(s / c * 1e6 + 0.5) / 1e6
+        cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return pa.table(
+            {
+                "h3_r5": pa.array(cells, pa.uint64()),  # groupby key returns int64
+                "pos": t["pos"],
+                "n": pc.cast(t["c"], pa.int64()),
+                "mean_q": pa.array(mean_q, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""
@@ -554,6 +644,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q85_radius_pairs": spatialsql.q85_sql(RADIUS_MICRODEG),
         "q87_rasterize_admin": spatialsql.q87_sql(),
         "q88_cell_centers": spatialsql.q88_sql(),
+        "q89_cell_prototypes": spatialsql.q89_sql(),
     }
 
 

@@ -367,6 +367,28 @@ FROM rect r LEFT JOIN inside i ON i.admin_id = r.admin_id
 GROUP BY r.admin_id"""
 
 
+def q89_sql() -> str:
+    """q89 oracle: per-res-5-cell mean embedding of latest geocoded pages'
+    kept documents — cap carries (doc_id, cell_r5) directly; the q74/q79
+    quantization + explicit half-up mean keep it hash-exact."""
+    return f"""WITH {captures_ctes()},
+pg AS (SELECT doc_id, cell_r5 FROM cap WHERE has_geo AND is_latest),
+ex AS (
+  SELECT u.vec_id, u.s.pos AS pos,
+         CAST(FLOOR(CAST(u.s.x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM (
+    SELECT vec_id, UNNEST(list_transform(range(1, len(embedding) + 1),
+                          i -> struct_pack(pos := i, x := embedding[i]))) AS s
+    FROM embeddings
+  ) u
+)
+SELECT pg.cell_r5 AS h3_r5, CAST(ex.pos AS BIGINT) AS pos,
+       COUNT(*)::BIGINT AS n,
+       FLOOR(CAST(SUM(ex.qv) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_q
+FROM pg JOIN ex ON ex.vec_id = pg.doc_id
+GROUP BY pg.cell_r5, ex.pos"""
+
+
 def q32_sql() -> str:
     body = "\nUNION ALL\n".join(
         _FEATURE_AGG.format(cell=f"cell_r{r}", res=r) for r in (5, 6, 7, 8, 9)
