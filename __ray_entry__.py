@@ -94,6 +94,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q87_rasterize_admin": es.rasterize_admin_query,
             "q88_cell_centers": es.cell_centers_query,
             "q89_cell_prototypes": es.cell_prototypes_query,
+            "q90_coverage_gap": es.coverage_gap_query,
         }
     )
     return out

@@ -424,6 +424,34 @@ def cell_prototypes_query(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def coverage_gap_query(sf_dir: str):
+    """q90: spatial ANTI-join — latest geocoded pages contained in NO
+    admin polygon, counted per host (the coverage-gap report a tiling
+    pipeline publishes next to the join). page_admin holds one winning
+    polygon per MATCHED page, so the gap is a url-keyed distributed
+    anti-join of the searched page set against it
+    (relational._semi_anti_shuffle: both sides stream through one hash
+    exchange, no driver key set, no broadcast assumption)."""
+    from ray.data.aggregate import Count
+
+    from .relational import _semi_anti_shuffle
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pages = spatial.read_stage(cfg.out_root, "captures",
+                               ["url", "host", "has_geo", "is_latest"])
+    pages = pages.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(
+            ["has_geo", "is_latest"]),
+        batch_format="pyarrow",
+    )
+    matched = spatial.read_stage(cfg.out_root, "page_admin", ["url"])
+    gap = _semi_anti_shuffle(pages, matched, "url", "url",
+                             anti=True, num_partitions=default_partitions())
+    return gap.groupby("host", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_gap_pages")
+    )
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""
@@ -645,6 +673,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q87_rasterize_admin": spatialsql.q87_sql(),
         "q88_cell_centers": spatialsql.q88_sql(),
         "q89_cell_prototypes": spatialsql.q89_sql(),
+        "q90_coverage_gap": spatialsql.q90_sql(),
     }
 
 

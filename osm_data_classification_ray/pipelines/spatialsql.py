@@ -439,18 +439,15 @@ def _polygon_edge_rows() -> list[tuple]:
     return rows
 
 
-def q31_sql() -> str:
-    """Latest geocoded pages ⋈ admin polygons: even-odd ray cast with the
-    frozen edge/vertex/on-edge conventions (cellmath/pip.py), polygon pick =
-    (level DESC, admin_id ASC). The engine's cover-based candidate pruning
-    is an optimization the oracle deliberately skips — brute force over all
-    polygons; any divergence would expose a lossy cover."""
+def _pip_join_ctes() -> str:
+    """Shared CTE chain for the brute-force PIP oracles (q31 join, q90
+    anti-join): latest geocoded pts, fixture polygon edges as literals,
+    even-odd crossings, and the contained (url_i, admin_id, level) set."""
     edges = ", ".join(
         f"({aid}, {lvl}, {ay!r}, {ax!r}, {by!r}, {bx!r})"
         for aid, lvl, ay, ax, by, bx in _polygon_edge_rows()
     )
-    return f"""WITH {captures_ctes()},
-pts AS (SELECT url, url_i, lat, lon, cell_r7 FROM cap WHERE has_geo AND is_latest),
+    return f"""pts AS (SELECT url, url_i, host, lat, lon, cell_r7 FROM cap WHERE has_geo AND is_latest),
 edges(admin_id, level, ay, ax, by, bx) AS (VALUES {edges}),
 crossings AS (
   SELECT p.url_i, e.admin_id, e.level,
@@ -466,7 +463,17 @@ crossings AS (
 ),
 contained AS (
   SELECT url_i, admin_id, level FROM crossings WHERE n_cross % 2 = 1 OR on_edge = 1
-),
+)"""
+
+
+def q31_sql() -> str:
+    """Latest geocoded pages ⋈ admin polygons: even-odd ray cast with the
+    frozen edge/vertex/on-edge conventions (cellmath/pip.py), polygon pick =
+    (level DESC, admin_id ASC). The engine's cover-based candidate pruning
+    is an optimization the oracle deliberately skips — brute force over all
+    polygons; any divergence would expose a lossy cover."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
 best AS (
   SELECT url_i, admin_id,
          ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
@@ -475,3 +482,16 @@ best AS (
 SELECT p.url, CAST(b.admin_id AS BIGINT) AS admin_id, p.cell_r7 AS h3_r7
 FROM best b JOIN pts p ON p.url_i = b.url_i
 WHERE b.rn = 1"""
+
+
+def q90_sql() -> str:
+    """q90 oracle: the PIP join's complement — latest geocoded pages
+    contained in NO polygon, counted per host (coverage-gap report)."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+gap AS (
+  SELECT p.host FROM pts p
+  LEFT JOIN (SELECT DISTINCT url_i FROM contained) c ON c.url_i = p.url_i
+  WHERE c.url_i IS NULL
+)
+SELECT host, COUNT(*)::BIGINT AS n_gap_pages FROM gap GROUP BY host"""

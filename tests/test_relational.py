@@ -34,6 +34,7 @@ def _spatial_oracles():
         "q85_radius_pairs": (es.radius_pairs_query, es.SPATIAL_SQL["q85_radius_pairs"]),
         "q87_rasterize_admin": (es.rasterize_admin_query, es.SPATIAL_SQL["q87_rasterize_admin"]),
         "q89_cell_prototypes": (es.cell_prototypes_query, es.SPATIAL_SQL["q89_cell_prototypes"]),
+        "q90_coverage_gap": (es.coverage_gap_query, es.SPATIAL_SQL["q90_coverage_gap"]),
         "q88_cell_centers": (es.cell_centers_query, es.SPATIAL_SQL["q88_cell_centers"]),
     }
 
