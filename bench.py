@@ -7,14 +7,15 @@ table, amplified ×GRAFT_BENCH_AMP captures per source row (startup-amortized
 input, FIXTURES.md bench scale), plus a timed subset of the relational
 suite. Prints ONE JSON line.
 
---scaling: run the headline twice in fresh processes at N and 4N logical
-CPUs (default 4,16 via GRAFT_SCALING_CPUS — the sandbox stand-in for N vs
-4N nodes, BASELINE.md), verify identical output checksums, and report
-throughput at both levels + scaling efficiency.
+--scaling: the PAIRED protocol by default (GRAFT_SCALING_PAIRS=5): K
+(hi, lo) leg pairs at N and 4N logical CPUs (default 4,16 via
+GRAFT_SCALING_CPUS — the sandbox stand-in for N vs 4N nodes) run
+back-to-back in alternating order in fresh processes; output checksums
+are verified identical across every leg and the JSON reports per-pair
+throughput at both levels, per-pair efficiency, and the median. Set
+GRAFT_SCALING_PAIRS=1 for the legacy single two-leg run.
 
-GRAFT_SCALING_PAIRS=K (K>1) switches --scaling to the PAIRED protocol:
-K (hi, lo) leg pairs run back-to-back in alternating order, one efficiency
-per temporally-adjacent pair, median reported. Rationale (BASELINE.md round
+Rationale for pairing (BASELINE.md round
 3): this sandbox's host throttles guest memory bandwidth in multi-minute
 bursts; a single long lo leg integrates over more bursts than the short hi
 leg and flips the ratio super-linear. Adjacent short legs see the same
@@ -66,7 +67,8 @@ def _box_audit() -> dict:
 
 def _bw_sampler(samples: list, stop_evt) -> None:
     """Continuous bandwidth trace for the leg: a 50 MB streaming memset every
-    20 s (~5 ms in the fast regime, ~50 ms throttled — negligible vs the leg).
+    GRAFT_BW_INTERVAL seconds (default 8; ~5 ms in the fast regime, ~50 ms
+    throttled — negligible vs the leg either way).
     The endpoint-only box audit missed mid-leg throttle bursts (BASELINE.md
     scaling run 5: both boundaries read >9 GB/s while one stage ran 3.8x
     slow); this trace makes the leg's regime auditable over its whole span."""
@@ -259,10 +261,11 @@ def main() -> None:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
-        # scaling legs use a larger amplification (default 4000 → 20M rows)
-        # so compute dominates the fixed per-stage latencies — the round-2
-        # engine is ~2x faster per core, so the round-1 point (4M rows) no
-        # longer amortizes them (BASELINE.md round-2 protocol)
+        # default amp 1000 → 5M rows → ~3-minute lo legs: short enough not
+        # to integrate over the host's multi-minute bandwidth-throttle
+        # bursts (BASELINE.md round-3 runs P1 vs P2 — 20M-row legs read
+        # super-linear every time; 5M-row legs produced the credible
+        # 0.967/0.969 medians)
         amp = os.environ.get("GRAFT_SCALING_AMP", "1000")
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_AMP=amp)
         load0 = os.getloadavg()[0]
@@ -358,10 +361,16 @@ def _scaling_paired(run, lo_n: int, hi_n: int, pairs: int) -> None:
             },
         })
         print(json.dumps({"pair": i + 1, **pair_rows[-1]}), file=sys.stderr)
-    effs = sorted(p["eff"] for p in pair_rows)
-    median = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
-    cred = sorted(p["eff"] for p in pair_rows if p["regime_consistent"])
+    def _median(vals: list) -> float | None:
+        if not vals:
+            return None
+        vals = sorted(vals)
+        mid = len(vals) // 2
+        return (vals[mid] if len(vals) % 2
+                else round((vals[mid - 1] + vals[mid]) / 2, 3))
+
+    median = _median([p["eff"] for p in pair_rows])
+    cred_median = _median([p["eff"] for p in pair_rows if p["regime_consistent"]])
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}_cpus",
         "value": median,
@@ -369,8 +378,7 @@ def _scaling_paired(run, lo_n: int, hi_n: int, pairs: int) -> None:
         "protocol": f"paired_x{pairs}_alternating",
         "pairs": pair_rows,
         "median_eff": median,
-        "median_eff_regime_consistent":
-            (cred[len(cred) // 2] if cred else None),
+        "median_eff_regime_consistent": cred_median,
         "checksum_match": len(checksums) == 1,
         "rows": lo["rows"],
         "sf": SF_DIR,

@@ -354,15 +354,19 @@ def cell_prototypes_query(sf_dir: str):
 
     cfg, _ = ensure_outputs(sf_dir)
     pages = spatial.read_stage(cfg.out_root, "captures",
-                               ["url", "h3_r5", "has_geo", "is_latest"])
+                               ["warc_ts", "h3_r5", "has_geo", "is_latest"])
 
     def derive(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
-        # kept doc_id from url_i (fixtures rule: doc_id%37==0 captures
-        # land on url_i = doc_id-1, and keep-latest takes the max)
-        url_i = np.array([int(u.rsplit("/p", 1)[1]) for u in t["url"].to_pylist()],
-                         dtype=np.int64)
-        doc = np.where((url_i + 1) % 37 == 0, url_i + 1, url_i)
+        # kept doc_id from the kept capture's OWN timestamp (fixtures:
+        # warc_ts = 2024-01-01 + doc_id*977 s, exact integer inversion).
+        # Inverting the url_i dup rule instead would mis-derive the last
+        # url whenever the table's row count is divisible by 37 (the
+        # url_i+1 capture wouldn't exist).
+        ts_us = np.asarray(
+            t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        doc = (ts_us - 1704067200000000) // (977 * 1000000)
         return pa.table({"vec_id": pa.array(doc, pa.int64()), "h3_r5": t["h3_r5"]})
 
     keyed = pages.map_batches(derive, batch_format="pyarrow")

@@ -346,13 +346,8 @@ cand AS (
 ),
 cr AS (
   SELECT c.admin_id, c.q, c.r,
-    SUM(CASE WHEN (e.ay > c.clat) <> (e.by > c.clat)
-              AND c.clon < e.ax + (c.clat - e.ay) * (e.bx - e.ax) / (e.by - e.ay)
-         THEN 1 ELSE 0 END) AS n_cross,
-    MAX(CASE WHEN ABS((e.bx - e.ax) * (c.clat - e.ay) - (e.by - e.ay) * (c.clon - e.ax)) <= 1e-12
-              AND c.clon >= LEAST(e.ax, e.bx) - 1e-12 AND c.clon <= GREATEST(e.ax, e.bx) + 1e-12
-              AND c.clat >= LEAST(e.ay, e.by) - 1e-12 AND c.clat <= GREATEST(e.ay, e.by) + 1e-12
-         THEN 1 ELSE 0 END) AS on_edge
+    SUM({_pip_case_sql('c.clat', 'c.clon')[0]}) AS n_cross,
+    MAX({_pip_case_sql('c.clat', 'c.clon')[1]}) AS on_edge
   FROM cand c JOIN edges e USING (admin_id)
   GROUP BY c.admin_id, c.q, c.r
 ),
@@ -439,6 +434,26 @@ def _polygon_edge_rows() -> list[tuple]:
     return rows
 
 
+def _pip_case_sql(lat: str, lon: str) -> tuple[str, str]:
+    """The frozen even-odd crossing + on-edge CASE pair (cellmath/pip.py
+    mirror) parameterized on the point columns — ONE SQL rendering of the
+    convention, shared by every PIP oracle (q31/q90 page points, q87 cell
+    centers) so an epsilon/vertex-rule change can't silently diverge one
+    of them. Edge columns are fixed as e.ay/e.ax/e.by/e.bx."""
+    cross = (
+        f"CASE WHEN (e.ay > {lat}) <> (e.by > {lat})"
+        f" AND {lon} < e.ax + ({lat} - e.ay) * (e.bx - e.ax) / (e.by - e.ay)"
+        f" THEN 1 ELSE 0 END"
+    )
+    on_edge = (
+        f"CASE WHEN ABS((e.bx - e.ax) * ({lat} - e.ay) - (e.by - e.ay) * ({lon} - e.ax)) <= 1e-12"
+        f" AND {lon} >= LEAST(e.ax, e.bx) - 1e-12 AND {lon} <= GREATEST(e.ax, e.bx) + 1e-12"
+        f" AND {lat} >= LEAST(e.ay, e.by) - 1e-12 AND {lat} <= GREATEST(e.ay, e.by) + 1e-12"
+        f" THEN 1 ELSE 0 END"
+    )
+    return cross, on_edge
+
+
 def _pip_join_ctes() -> str:
     """Shared CTE chain for the brute-force PIP oracles (q31 join, q90
     anti-join): latest geocoded pts, fixture polygon edges as literals,
@@ -447,17 +462,13 @@ def _pip_join_ctes() -> str:
         f"({aid}, {lvl}, {ay!r}, {ax!r}, {by!r}, {bx!r})"
         for aid, lvl, ay, ax, by, bx in _polygon_edge_rows()
     )
+    cross, on_edge = _pip_case_sql("p.lat", "p.lon")
     return f"""pts AS (SELECT url, url_i, host, lat, lon, cell_r7 FROM cap WHERE has_geo AND is_latest),
 edges(admin_id, level, ay, ax, by, bx) AS (VALUES {edges}),
 crossings AS (
   SELECT p.url_i, e.admin_id, e.level,
-    SUM(CASE WHEN (e.ay > p.lat) <> (e.by > p.lat)
-              AND p.lon < e.ax + (p.lat - e.ay) * (e.bx - e.ax) / (e.by - e.ay)
-         THEN 1 ELSE 0 END) AS n_cross,
-    MAX(CASE WHEN ABS((e.bx - e.ax) * (p.lat - e.ay) - (e.by - e.ay) * (p.lon - e.ax)) <= 1e-12
-              AND p.lon >= LEAST(e.ax, e.bx) - 1e-12 AND p.lon <= GREATEST(e.ax, e.bx) + 1e-12
-              AND p.lat >= LEAST(e.ay, e.by) - 1e-12 AND p.lat <= GREATEST(e.ay, e.by) + 1e-12
-         THEN 1 ELSE 0 END) AS on_edge
+    SUM({cross}) AS n_cross,
+    MAX({on_edge}) AS on_edge
   FROM pts p CROSS JOIN edges e
   GROUP BY p.url_i, e.admin_id, e.level
 ),

@@ -143,6 +143,12 @@ def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
                  home_chunk: int = _HOME_CHUNK):
     """Dataset of (url, lat, lon) -> Dataset of (url_a, url_b, d2) for all
     pairs with squared microdegree distance <= radius^2."""
+    if radius_microdeg < 25_000:
+        # _pack_square's bias fields hold |sy| <= 90e6/R, |sx| <= 180e6/R;
+        # below 25k microdeg the sx field overflows and far-apart squares
+        # would silently share a reducer group (correct output, quadratic
+        # wasted enumeration). Widen the packing before lowering the bound.
+        raise ValueError(f"radius_microdeg must be >= 25000, got {radius_microdeg}")
     ds = pages.map_batches(
         lambda t: emit_copies(t, radius_microdeg), batch_format="pyarrow"
     )
