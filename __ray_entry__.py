@@ -95,6 +95,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q88_cell_centers": es.cell_centers_query,
             "q89_cell_prototypes": es.cell_prototypes_query,
             "q90_coverage_gap": es.coverage_gap_query,
+            "q91_admin_profile": es.admin_profile_query,
         }
     )
     return out

@@ -456,6 +456,49 @@ def coverage_gap_query(sf_dir: str):
     )
 
 
+def admin_profile_query(sf_dir: str):
+    """q91: per-admin-polygon page profile — the report a user runs on the
+    PIP join's output: page count, distinct-host count (exact two-level
+    distinct: (admin, host) exchange → admin rollup) and half-up mean
+    text length per winning polygon. One url-keyed hash join
+    (page_admin ⋈ captures) + two small keyed aggregates."""
+    from ray.data.aggregate import Count, Sum
+
+    cfg, _ = ensure_outputs(sf_dir)
+    matched = spatial.read_stage(cfg.out_root, "page_admin", ["url", "admin_id"])
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["url", "host", "n_chars", "has_geo", "is_latest"])
+    caps = caps.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(
+            ["has_geo", "is_latest"]),
+        batch_format="pyarrow",
+    )
+    j = matched.join(caps, join_type="inner",
+                     num_partitions=default_partitions(), on=("url",))
+    per_host = (j.groupby(["admin_id", "host"], num_partitions=default_partitions())
+                .aggregate(Count(alias_name="n_pages"),
+                           Sum("n_chars", alias_name="sum_chars")))
+    agg = (per_host.groupby("admin_id", num_partitions=default_partitions())
+           .aggregate(Count(alias_name="n_hosts"),
+                      Sum("n_pages", alias_name="n_pages"),
+                      Sum("sum_chars", alias_name="sum_chars")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["sum_chars"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        n = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        mean_chars = np.floor(s / n * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "admin_id": t["admin_id"],
+                "n_pages": pc.cast(t["n_pages"], pa.int64()),
+                "n_hosts": pc.cast(t["n_hosts"], pa.int64()),
+                "mean_chars": pa.array(mean_chars, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""
@@ -678,6 +721,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q88_cell_centers": spatialsql.q88_sql(),
         "q89_cell_prototypes": spatialsql.q89_sql(),
         "q90_coverage_gap": spatialsql.q90_sql(),
+        "q91_admin_profile": spatialsql.q91_sql(),
     }
 
 

@@ -495,6 +495,28 @@ FROM best b JOIN pts p ON p.url_i = b.url_i
 WHERE b.rn = 1"""
 
 
+def q91_sql() -> str:
+    """q91 oracle: per-winning-polygon page profile over the q31 join
+    (shared _pip_join_ctes + best pick), latest-capture n_chars from cap."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+m AS (
+  SELECT b.admin_id, c.host, c.n_chars
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+)
+SELECT CAST(admin_id AS BIGINT) AS admin_id,
+       COUNT(*)::BIGINT AS n_pages,
+       COUNT(DISTINCT host)::BIGINT AS n_hosts,
+       FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS mean_chars
+FROM m GROUP BY admin_id"""
+
+
 def q90_sql() -> str:
     """q90 oracle: the PIP join's complement — latest geocoded pages
     contained in NO polygon, counted per host (coverage-gap report)."""

@@ -35,6 +35,7 @@ def _spatial_oracles():
         "q87_rasterize_admin": (es.rasterize_admin_query, es.SPATIAL_SQL["q87_rasterize_admin"]),
         "q89_cell_prototypes": (es.cell_prototypes_query, es.SPATIAL_SQL["q89_cell_prototypes"]),
         "q90_coverage_gap": (es.coverage_gap_query, es.SPATIAL_SQL["q90_coverage_gap"]),
+        "q91_admin_profile": (es.admin_profile_query, es.SPATIAL_SQL["q91_admin_profile"]),
         "q88_cell_centers": (es.cell_centers_query, es.SPATIAL_SQL["q88_cell_centers"]),
     }
 
