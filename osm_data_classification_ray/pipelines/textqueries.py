@@ -1523,7 +1523,11 @@ def q83_lift_collocations(sf_dir: str):
 
     def pair_rows(t: pa.Table, _ref=v_ref) -> pa.Table:
         vset = ray.get(_ref)
-        per_doc = [np.array(sorted(set((x or "").split()) & vset), dtype=object)
+        # split on single spaces (not any-whitespace) so this tokenizer agrees
+        # exactly with _q83_vocab's pc.split_pattern(" ") and the oracle's
+        # string_split(text, ' ')
+        per_doc = [np.array(sorted({tk for tk in (x or "").split(" ") if tk} & vset),
+                            dtype=object)
                    for x in t["text"].to_pylist()]
         all_toks = (np.concatenate([d for d in per_doc if len(d)])
                     if any(len(d) for d in per_doc) else np.array([], dtype=object))
@@ -1570,7 +1574,14 @@ def q83_lift_collocations(sf_dir: str):
     ta, tb, n = ta[mask], tb[mask], n[mask]
     dx = np.array([dfreq[a] for a in ta], dtype=np.int64)
     dy = np.array([dfreq[b] for b in tb], dtype=np.int64)
-    lift_q = n * np.int64(n_docs) * np.int64(1_000_000) // (dx * dy)
+    # the product n·n_docs·1e6 can exceed 2^63 long before the final quotient
+    # does — mirror the oracle's HUGEINT arithmetic with exact Python ints and
+    # only cast the quotient (the oracle's CAST(... AS BIGINT)) back to int64.
+    nd = int(n_docs)
+    lift_q = np.fromiter(
+        (int(ni) * nd * 1_000_000 // (int(dxi) * int(dyi))
+         for ni, dxi, dyi in zip(n, dx, dy)),
+        dtype=np.int64, count=len(n))
     order = np.lexsort((tb, ta, -lift_q))[: _Q83_K]
     return pa.table({"tok_a": pa.array(ta[order], pa.string()),
                      "tok_b": pa.array(tb[order], pa.string()),
@@ -1667,6 +1678,12 @@ def q84_window_dup_ratio(sf_dir: str):
     return per.map_batches(finish, batch_format="pyarrow")
 
 
+# ORACLE CONTRACT (ASCII-only text): the engine hashes utf-8 BYTES
+# (rolling_fingerprints encodes first) while this mirror hashes CHARACTERS via
+# ascii(substr(...)) and counts LENGTH(text) in characters — the two agree iff
+# every code point is < 128. The fixture generator emits ASCII-only `text`
+# (same contract as the other string mirrors, e.g. Q28/Q70); if the fixture
+# charset ever widens, rewrite the mirror over encode(text) octets.
 Q84_SQL = """
 WITH RECURSIVE pw(k, p) AS (
   SELECT 0, CAST(1 AS HUGEINT)

@@ -72,8 +72,14 @@ class TopKEmitter:
 
 def _final_topk(cands, k: int, exclude_self: bool = True) -> pa.Table:
     """Bounded driver merge (queries × k × blocks rows in): one stable sort
-    + cumcount rank, no row-at-a-time loop. np.round is half-even like the
-    Python round() this replaces, so values are bit-identical."""
+    + cumcount rank, no row-at-a-time loop. np.round scales by 1e6 and rints
+    (documented 'fast but sometimes inexact') while Python round() is
+    correctly decimal-rounded — ulp divergence near decimal midpoints is
+    possible in principle. It cannot split engine from oracle today: q23
+    projects cosine_sim away before the driver compare (ranks are ordered
+    on the UNrounded float), and no other oracle reads this column. If a
+    future oracle compares cosine_sim, switch both sides to the repo's
+    explicit half-up rule floor(x*1e6+0.5)/1e6 (q74/q77/q89 pattern)."""
     df = cands.to_pandas() if not isinstance(cands, pa.Table) else cands.to_pandas()
     if exclude_self:
         df = df[df["neighbor_id"] != df["query_id"]]
