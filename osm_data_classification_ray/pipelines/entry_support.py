@@ -389,8 +389,9 @@ def cell_prototypes_query(sf_dir: str):
                              "pos": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
-        X = np.frombuffer(b"".join(t["vec"].to_pylist()),
-                          dtype=np.float64).reshape(t.num_rows, -1)
+        from ..functions.arrays import binary_matrix
+
+        X = binary_matrix(t["vec"])
         q = np.floor(X * 1e6 + 0.5).astype(np.int64)
         cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         uniq, inv = np.unique(cells, return_inverse=True)

@@ -342,8 +342,10 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
         if t.num_rows == 0:
             return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
                              "cosine_sim": pa.array([], pa.float64())})
-        A = np.frombuffer(b"".join(t["vec_a_"].to_pylist()), dtype=np.float64).reshape(t.num_rows, -1)
-        B = np.frombuffer(b"".join(t["vec_b_"].to_pylist()), dtype=np.float64).reshape(t.num_rows, -1)
+        from ..functions.arrays import binary_matrix
+
+        A = binary_matrix(t["vec_a_"])
+        B = binary_matrix(t["vec_b_"])
         sims = np.einsum("ij,ij->i", A, B)
         hit = sims >= threshold
         return pa.table(

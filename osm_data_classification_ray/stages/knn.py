@@ -119,26 +119,32 @@ class CandidateEmitter:
 
 
 def finalize_topk(cands: pa.Table, queries: pa.Table) -> pa.Table:
-    """Exact top-k per query over the pruned candidates; frozen tie order."""
+    """Exact top-k per query over the pruned candidates; frozen tie order
+    (dist_m, url) ascending. One lexsort + vectorized per-group cumcount
+    (ann._final_topk pattern) — the only Python loop is over the bounded
+    query list, never over candidate rows."""
     k_by_q = {int(r["query_id"]): int(r["k"]) for r in queries.to_pylist()}
-    q = np.asarray(cands["query_id"].to_numpy(zero_copy_only=False))
-    d = np.asarray(cands["dist_m"].to_numpy(zero_copy_only=False))
+    q = np.asarray(cands["query_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    d = np.asarray(cands["dist_m"].to_numpy(zero_copy_only=False), dtype=np.float64)
     u = np.asarray(cands["url"].to_pylist(), dtype=object)
-    out_q, out_u, out_r, out_d = [], [], [], []
-    for qid in np.unique(q):
-        rows = np.nonzero(q == qid)[0]
-        order = rows[np.lexsort((u[rows], d[rows]))][: k_by_q.get(int(qid), 0)]
-        for rank, i in enumerate(order):
-            out_q.append(int(qid))
-            out_u.append(u[i])
-            out_r.append(rank + 1)
-            out_d.append(float(d[i]))
+    order = np.lexsort((u, d, q))
+    q, d, u = q[order], d[order], u[order]
+    n = len(q)
+    # rank within each query run = index − run start + 1
+    starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]]) if n else np.zeros(0, np.int64)
+    run_len = np.diff(np.r_[starts, n])
+    rank = (np.arange(n) - np.repeat(starts, run_len) + 1).astype(np.int32)
+    uq, inv = (np.unique(q, return_inverse=True) if n
+               else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+    karr = np.fromiter((k_by_q.get(int(x), 0) for x in uq), dtype=np.int64,
+                       count=len(uq))
+    keep = rank <= karr[inv] if n else np.zeros(0, bool)
     return pa.table(
         {
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "url": pa.array(out_u, type=pa.string()),
-            "rank": pa.array(out_r, type=pa.int32()),
-            "dist_m": pa.array(out_d, type=pa.float64()),
+            "query_id": pa.array(q[keep], type=pa.int64()),
+            "url": pa.array(u[keep], type=pa.string()),
+            "rank": pa.array(rank[keep], type=pa.int32()),
+            "dist_m": pa.array(d[keep], type=pa.float64()),
         }
     )
 

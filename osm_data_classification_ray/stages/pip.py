@@ -99,22 +99,27 @@ def compute_salt_map(cell_counts: dict[int, int], hot_threshold: int, max_salt: 
 
 
 def add_salt(batch: pa.Table, salt_map: dict[int, int]) -> pa.Table:
-    """Deterministic per-row salt: url-hash % S for hot cells, else 0."""
+    """Deterministic per-row salt: url-hash % S for hot cells, else 0.
+
+    Salt rule v2 (round-4): the url hash is the repo's vectorized FNV-1a
+    kernel straight off the Arrow string buffers — v1 used a per-row Python
+    ``zlib.crc32`` loop, which ran exactly on the skewed batches the salt
+    exists for. Salt values only ROUTE rows (PIPBlock re-groups by cell
+    inside each block), so changing the rule cannot change any output —
+    pinned by tests/test_pipelines.py::test_salted_pip_join_identical."""
     cells = np.asarray(batch[f"h3_r{PIP_RES}"].to_numpy(zero_copy_only=False), dtype=np.uint64)
     salt = np.zeros(len(cells), dtype=np.uint8)
     if salt_map:
-        # vectorize over the (few) hot cells present in this batch;
-        # crc32 is process-stable (unlike builtin hash) → deterministic salt
-        import zlib
+        # vectorize over the (few) hot cells present in this batch
+        from ..functions.strhash import fnv1a_arrow
 
         h = None
         for cell, s in salt_map.items():
             mask = cells == np.uint64(cell)
             if mask.any():
                 if h is None:
-                    urls = batch["url"].to_pylist()
-                    h = np.array([zlib.crc32(u.encode()) for u in urls], dtype=np.int64)
-                salt[mask] = (h[mask] % s).astype(np.uint8)
+                    h = fnv1a_arrow(batch["url"])
+                salt[mask] = (h[mask] % np.uint64(s)).astype(np.uint8)
     return batch.append_column("salt", pa.array(salt, type=pa.uint8()))
 
 
