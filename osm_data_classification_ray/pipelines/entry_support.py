@@ -227,13 +227,25 @@ def radius_pairs_query(sf_dir: str):
 
     cfg, _ = ensure_outputs(sf_dir)
     pages = spatial.read_stage(cfg.out_root, "captures",
-                               ["url", "lat", "lon", "has_geo", "is_latest"])
-    pages = pages.map_batches(
-        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(
-            ["has_geo", "is_latest"]),
-        batch_format="pyarrow",
-    )
-    return radius.radius_pairs(pages, RADIUS_MICRODEG, default_partitions())
+                               ["url", "lat", "lon", "warc_ts",
+                                "has_geo", "is_latest"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        # unique int64 identity for the ghost exchange (urls never ship):
+        # kept doc_id inverted from the kept capture's OWN timestamp —
+        # the q89 rule (warc_ts = 2024-01-01 + doc_id*977 s, exact).
+        ts_us = np.asarray(t["warc_ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        doc = (ts_us - 1704067200000000) // (977 * 1000000)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()), "url": t["url"],
+                         "lat": t["lat"], "lon": t["lon"]})
+
+    pages = pages.map_batches(keyed, batch_format="pyarrow")
+    # hot_threshold ~ chunked-enumeration budget: squares beyond it split
+    # into salt chunks (output-identical; planted-skew test in test_radius)
+    return radius.radius_pairs(pages, RADIUS_MICRODEG, default_partitions(),
+                               hot_threshold=100_000)
 
 
 def cell_centers_query(sf_dir: str):

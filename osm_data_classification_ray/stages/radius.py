@@ -19,16 +19,27 @@ Shape (the 100-TB contract):
   two home squares — so no global pair-dedup exchange is needed
   (contrast: the LSH band path must dedup because a pair can collide in
   many bands);
+- the exchange ships ONLY ``(key, salt, flags, doc_id, ilat, ilon)`` —
+  int64s, never the url payload (round-3 verdict: strings ×5 copies
+  through the shuffle). urls are re-joined onto the (much smaller) pair
+  table afterwards from the narrow ``(doc_id, url)`` projection — the
+  same id-carrier pattern textdedup/ann use;
 - ONE key-hash exchange co-locates squares; pair enumeration is a
-  vectorized home x all candidate matrix per square, chunked on the home
+  vectorized left x all candidate matrix per square, chunked on the left
   side so a dense square streams in bounded memory.
 
-Skew: a hot square (a dense city block) serializes its own enumeration;
-the drop-in fix at scale is the PIP join's salt (stages/pip.py) — split
-the HOME side of a hot square into salt chunks and replicate its
-candidates per chunk. Not wired here because enumeration cost per square
-is bounded by the chunking; wire the salt when a profile shows one square
-dominating a reducer.
+Skew: a hot square (a dense city block) would serialize its own
+enumeration on one reducer. With ``hot_threshold`` set, a cheap pre-pass
+square histogram builds ``salt_map[key] = S`` and every copy targeting a
+hot square is replicated into all S salt chunks; a point is LEFT
+(enumerating) only in its own ``hash(doc_id) % S`` chunk, so each pair is
+still enumerated exactly once:
+
+- same-square pair (a, b): both are candidates in every chunk, but the
+  ``id_left < id_candidate`` rule fires only in a's chunk (a left, b
+  candidate) — b's chunk sees the mirrored comparison fail;
+- cross-square pair: the ghost side is never left, and the home side is
+  left in exactly one chunk.
 
 Antimeridian: the metric is planar degree space (consistent with the
 oracle); pairs straddling lon = ±180 are by definition far apart.
@@ -40,14 +51,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..fixtures.gen import hash_u64
+
 # ghosts go to the 4 row-major-smaller neighbor squares (dy, dx):
 # key(sy+dy, sx+dx) < key(sy, sx) for all four, so a cross-square pair is
 # enumerated only in the smaller square's group.
 _GHOSTS = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
-_HOME_CHUNK = 2048  # home rows per enumeration chunk (bounds the pair matrix)
+_HOME_CHUNK = 2048  # left rows per enumeration chunk (bounds the pair matrix)
+_SALT_STREAM = 85  # hash_u64 stream for the salt chunk assignment
 
 _PAIR_SCHEMA = pa.schema(
     [("url_a", pa.string()), ("url_b", pa.string()), ("d2", pa.int64())]
+)
+_IDPAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("d2", pa.int64())]
 )
 
 
@@ -57,104 +74,254 @@ def _pack_square(sy: np.ndarray, sx: np.ndarray) -> np.ndarray:
     return (sy + 8192) * 32768 + (sx + 16384)
 
 
-def emit_copies(t: pa.Table, radius: int) -> pa.Table:
-    """Per-batch map: (url, lat, lon) -> 5 keyed copies per point."""
+def _squares(t: pa.Table, radius: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ilat, ilon, home square key) for a (lat, lon) batch."""
     lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False), dtype=np.float64)
     lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False), dtype=np.float64)
     ilat = np.rint(lat * 1e6).astype(np.int64)
     ilon = np.rint(lon * 1e6).astype(np.int64)
+    return ilat, ilon, _pack_square(ilat // radius, ilon // radius)
+
+
+def emit_copies(t: pa.Table, radius: int,
+                salt_map: dict[int, int] | None = None) -> pa.Table:
+    """Per-batch map: (doc_id, lat, lon) -> 5 keyed int copies per point
+    (× the salt fan for copies targeting a hot square). ``is_left`` marks
+    the one copy that enumerates; ``same_sq`` marks home-square membership
+    (the exactly-once rule needs both — a replica of a home row in a
+    sibling salt chunk is same-square but NOT left)."""
+    ilat, ilon, home = _squares(t, radius)
+    n = len(ilat)
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     sy = ilat // radius
     sx = ilon // radius
-    home = _pack_square(sy, sx)
-    n = len(ilat)
     keys = [home]
     for dy, dx in _GHOSTS:
         keys.append(_pack_square(sy + dy, sx + dx))
     key = np.concatenate(keys)
-    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 5))
-    is_home = np.zeros(5 * n, dtype=bool)
-    is_home[:n] = True
-    return pa.table(
-        {
-            "key": pa.array(key, pa.int64()),
-            "is_home": pa.array(is_home, pa.bool_()),
-            "ilat": pa.array(np.tile(ilat, 5), pa.int64()),
-            "ilon": pa.array(np.tile(ilon, 5), pa.int64()),
-            "url": pc.take(t["url"].combine_chunks(), idx),
-        }
-    )
+    ids5 = np.tile(ids, 5)
+    ilat5 = np.tile(ilat, 5)
+    ilon5 = np.tile(ilon, 5)
+    same_sq = np.zeros(5 * n, dtype=bool)
+    same_sq[:n] = True
+    if salt_map:
+        hot_keys = np.fromiter(salt_map.keys(), dtype=np.int64, count=len(salt_map))
+        hot_fans = np.fromiter(salt_map.values(), dtype=np.int64, count=len(salt_map))
+        order = np.argsort(hot_keys)
+        hot_keys, hot_fans = hot_keys[order], hot_fans[order]
+        pos = np.searchsorted(hot_keys, key)
+        pos[pos == len(hot_keys)] = 0
+        fan = np.where(hot_keys[pos] == key, hot_fans[pos], 1) if len(hot_keys) else None
+        if fan is not None and (fan > 1).any():
+            total = int(fan.sum())
+            key = np.repeat(key, fan)
+            ids5 = np.repeat(ids5, fan)
+            ilat5 = np.repeat(ilat5, fan)
+            ilon5 = np.repeat(ilon5, fan)
+            same_sq = np.repeat(same_sq, fan)
+            starts = np.r_[0, np.cumsum(fan)[:-1]]
+            salt = (np.arange(total, dtype=np.int64)
+                    - np.repeat(starts, fan)).astype(np.int64)
+            own = (hash_u64(ids5.view(np.uint64), _SALT_STREAM)
+                   % np.repeat(fan, fan).astype(np.uint64)).astype(np.int64)
+            is_left = same_sq & (salt == own)
+            return pa.table({
+                "key": pa.array(key, pa.int64()),
+                "salt": pa.array(salt, pa.int64()),
+                "is_left": pa.array(is_left, pa.bool_()),
+                "same_sq": pa.array(same_sq, pa.bool_()),
+                "ilat": pa.array(ilat5, pa.int64()),
+                "ilon": pa.array(ilon5, pa.int64()),
+                "doc_id": pa.array(ids5, pa.int64()),
+            })
+    return pa.table({
+        "key": pa.array(key, pa.int64()),
+        "salt": pa.array(np.zeros(5 * n, np.int64), pa.int64()),
+        "is_left": pa.array(same_sq, pa.bool_()),
+        "same_sq": pa.array(same_sq, pa.bool_()),
+        "ilat": pa.array(ilat5, pa.int64()),
+        "ilon": pa.array(ilon5, pa.int64()),
+        "doc_id": pa.array(ids5, pa.int64()),
+    })
 
 
 def pairs_block(t: pa.Table, radius: int, home_chunk: int = _HOME_CHUNK) -> pa.Table:
-    """Per-partition reduce (input sorted by key): enumerate qualifying
-    pairs per square. Output pairs are url-ordered (url_a < url_b)."""
+    """Per-partition reduce (input sorted by (key, salt)): enumerate
+    qualifying pairs per square chunk. Pure int64 kernel — no strings."""
     if t.num_rows == 0:
-        return _PAIR_SCHEMA.empty_table()
+        return _IDPAIR_SCHEMA.empty_table()
     key = np.asarray(t["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    is_home = np.asarray(t["is_home"].to_numpy(zero_copy_only=False), dtype=bool)
+    salt = np.asarray(t["salt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    is_left = np.asarray(t["is_left"].to_numpy(zero_copy_only=False), dtype=bool)
+    same_sq = np.asarray(t["same_sq"].to_numpy(zero_copy_only=False), dtype=bool)
     ilat = np.asarray(t["ilat"].to_numpy(zero_copy_only=False), dtype=np.int64)
     ilon = np.asarray(t["ilon"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    urls = np.asarray(t["url"].to_pylist(), dtype=str)
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     r2 = np.int64(radius) * np.int64(radius)
 
-    bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1], True])
+    grp = np.r_[True, (key[1:] != key[:-1]) | (salt[1:] != salt[:-1]), True]
+    bounds = np.flatnonzero(grp)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_d2: list[np.ndarray] = []
     for s, e in zip(bounds[:-1], bounds[1:]):
-        h = s + np.flatnonzero(is_home[s:e])
+        h = s + np.flatnonzero(is_left[s:e])
         if h.size == 0 or e - s < 2:
             continue
-        # same-square order via rank (urls are globally unique post-dedup)
-        order = np.argsort(urls[s:e])
-        rank = np.empty(e - s, dtype=np.int64)
-        rank[order] = np.arange(e - s)
-        b_home = is_home[s:e]
+        b_same = same_sq[s:e]
         for c0 in range(0, h.size, home_chunk):
             ha = h[c0 : c0 + home_chunk]
             dlat = ilat[ha, None] - ilat[None, s:e]
             dlon = ilon[ha, None] - ilon[None, s:e]
             d2 = dlat * dlat + dlon * dlon
             keep = d2 <= r2
-            # emit once: home b -> lower rank wins; ghost b -> this group is
-            # the unique smaller-key group containing both, always emit
-            keep &= np.where(b_home[None, :], rank[ha - s, None] < rank[None, :], True)
+            # emit once: same-square candidate -> lower doc_id wins; ghost
+            # candidate -> this group is the unique smaller-key group
+            # containing both, always emit
+            keep &= np.where(b_same[None, :], ids[ha, None] < ids[None, s:e], True)
             ai, bi = np.nonzero(keep)
             if not ai.size:
                 continue
-            ua = urls[ha[ai]]
-            ub = urls[s + bi]
-            swap = ua > ub  # normalize cross-square pairs to url_a < url_b
-            out_a.append(np.where(swap, ub, ua))
-            out_b.append(np.where(swap, ua, ub))
+            out_a.append(ids[ha[ai]])
+            out_b.append(ids[s + bi])
             out_d2.append(d2[ai, bi])
     if not out_a:
-        return _PAIR_SCHEMA.empty_table()
+        return _IDPAIR_SCHEMA.empty_table()
     return pa.table(
         {
-            "url_a": pa.array(np.concatenate(out_a)),
-            "url_b": pa.array(np.concatenate(out_b)),
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
             "d2": pa.array(np.concatenate(out_d2), pa.int64()),
         }
     )
 
 
+def _square_histogram(pages, radius: int, num_partitions: int,
+                      hot_threshold: int, max_salt: int) -> dict[int, int]:
+    """Pre-pass salt map: per-block partial square counts -> one small
+    keyed aggregate -> collect ONLY the squares above threshold (bounded
+    by the number of hot squares, not by the data)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, home = _squares(t, radius)
+        uniq, cnt = np.unique(home, return_counts=True)
+        return pa.table({"key": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = (pages.map_batches(partial, batch_format="pyarrow")
+           .groupby("key", num_partitions=num_partitions)
+           .aggregate(Sum("n", alias_name="n")))
+    hot = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], pa.scalar(hot_threshold, pa.int64()))),
+        batch_format="pyarrow",
+    ).take_all()
+    return {int(r["key"]): int(min(max_salt, -(-r["n"] // hot_threshold)))
+            for r in hot}
+
+
 def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
-                 home_chunk: int = _HOME_CHUNK):
-    """Dataset of (url, lat, lon) -> Dataset of (url_a, url_b, d2) for all
-    pairs with squared microdegree distance <= radius^2."""
+                 home_chunk: int = _HOME_CHUNK,
+                 hot_threshold: int | None = None, max_salt: int = 16):
+    """Dataset of (doc_id, url, lat, lon) -> Dataset of (url_a, url_b, d2)
+    for all pairs with squared microdegree distance <= radius^2.
+
+    ``doc_id`` must be a unique int64 per row — it is the only identity
+    that crosses the ghost exchange; urls are re-joined at the end and the
+    output pair is normalized to ``url_a < url_b``. With ``hot_threshold``
+    set, squares holding more rows than the threshold are salt-split (see
+    module docstring) — output-identical, pinned by the planted hot-square
+    test."""
     if radius_microdeg < 25_000:
         # _pack_square's bias fields hold |sy| <= 90e6/R, |sx| <= 180e6/R;
         # below 25k microdeg the sx field overflows and far-apart squares
         # would silently share a reducer group (correct output, quadratic
         # wasted enumeration). Widen the packing before lowering the bound.
         raise ValueError(f"radius_microdeg must be >= 25000, got {radius_microdeg}")
+    salt_map = (_square_histogram(pages, radius_microdeg, num_partitions,
+                                  hot_threshold, max_salt)
+                if hot_threshold else None)
     ds = pages.map_batches(
-        lambda t: emit_copies(t, radius_microdeg), batch_format="pyarrow"
+        lambda t: emit_copies(t, radius_microdeg, salt_map),
+        batch_format="pyarrow",
     )
-    ds = ds.repartition(num_partitions, keys=["key"], sort=True)
-    return ds.map_batches(
+    ds = ds.repartition(num_partitions, keys=["key", "salt"], sort=True)
+    idpairs = ds.map_batches(
         lambda t: pairs_block(t, radius_microdeg, home_chunk),
         batch_format="pyarrow",
         batch_size=None,
     )
+    names = pages.map_batches(
+        lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow")
+    cols1 = [("id_a", pa.int64()), ("id_b", pa.int64()), ("d2", pa.int64())]
+    withua = _attach_url(idpairs, names, "id_a", "url_x", cols1, num_partitions)
+    cols2 = cols1 + [("url_x", pa.string())]
+    withub = _attach_url(withua, names, "id_b", "url_y", cols2, num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        ua = t["url_x"].combine_chunks()
+        ub = t["url_y"].combine_chunks()
+        swap = pc.greater(ua, ub)  # normalize (ids can order differently)
+        return pa.table(
+            {
+                "url_a": pc.if_else(swap, ub, ua),
+                "url_b": pc.if_else(swap, ua, ub),
+                "d2": t["d2"],
+            }
+        )
+
+    return withub.map_batches(finish, batch_format="pyarrow")
+
+
+def _attach_url(pairs_ds, names_ds, key: str, out: str,
+                cols: list[tuple[str, pa.DataType]], num_partitions: int):
+    """Distributed id→url lookup join: tag both sides, union, colocate by
+    ``key``, attach the url via a per-block searchsorted lookup — the
+    relational._semi_anti_shuffle pattern. Used instead of ``Dataset.join``
+    because the pair table is SPARSE: a hash partition that receives zero
+    left rows makes Ray's join aggregator build a schema-less empty table
+    and pyarrow rejects the key reference. Every pair id is present in
+    ``names`` by construction (both derive from the same pages input)."""
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        d = {n: t[n] for n, _ in cols}
+        d[out] = pa.nulls(t.num_rows, pa.string())
+        d["__side"] = pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+        return pa.table(d)
+
+    def pad_names(t: pa.Table) -> pa.Table:
+        d = {}
+        for n, typ in cols:
+            d[n] = (t["doc_id"].cast(pa.int64()) if n == key
+                    else pa.nulls(t.num_rows, typ))
+        d[out] = t["url"]
+        d["__side"] = pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        return pa.table(d)
+
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        names_ds.map_batches(pad_names, batch_format="pyarrow"))
+    both = both.repartition(num_partitions, keys=[key], sort=True)
+    out_schema = pa.schema([*cols, (out, pa.string())])
+
+    def merge(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        side = np.asarray(block["__side"].to_numpy(zero_copy_only=False),
+                          dtype=np.int8)
+        ids = np.asarray(block[key].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        nm = side == 1
+        left = block.filter(pa.array(~nm))
+        if left.num_rows == 0:
+            return out_schema.empty_table()
+        nids = ids[nm]
+        order = np.argsort(nids)
+        urls = block[out].combine_chunks().filter(pa.array(nm)).take(
+            pa.array(order))
+        pos = np.searchsorted(nids[order], ids[~nm])
+        return pa.table({**{n: left[n] for n, _ in cols},
+                         out: urls.take(pa.array(pos))})
+
+    return both.map_batches(merge, batch_format="pyarrow", batch_size=None)

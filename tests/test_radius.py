@@ -28,16 +28,20 @@ def _brute(urls, lat, lon, r):
     return out
 
 
-def _run(urls, lat, lon, r, parts=4, home_chunk=2048):
+def _run(urls, lat, lon, r, parts=4, home_chunk=2048, hot_threshold=None,
+         max_salt=16):
     import ray.data as rd
 
     pages = rd.from_arrow(
-        pa.table({"url": pa.array(urls, pa.string()),
+        pa.table({"doc_id": pa.array(np.arange(len(urls)), pa.int64()),
+                  "url": pa.array(urls, pa.string()),
                   "lat": pa.array(lat, pa.float64()),
                   "lon": pa.array(lon, pa.float64())})
     )
     t = pa.concat_tables(
-        rad.radius_pairs(pages, r, parts, home_chunk).iter_batches(
+        rad.radius_pairs(pages, r, parts, home_chunk,
+                         hot_threshold=hot_threshold,
+                         max_salt=max_salt).iter_batches(
             batch_format="pyarrow", batch_size=None)
     )
     got = set(zip(t["url_a"].to_pylist(), t["url_b"].to_pylist(), t["d2"].to_pylist()))
@@ -112,6 +116,43 @@ def test_points_on_square_boundary(ray_session):
     lons = [2.0, 2.0, 1.9999, 2.0]          # 2.0 is the x-border
     got = _run(urls, lats, lons, R)
     assert got == _brute(urls, lats, lons, R)
+
+
+def test_hot_square_salt_identical(ray_session):
+    """Planted hot square + tiny threshold → the salt fan-out path must
+    engage (asserted via the histogram) and stay output-identical,
+    including cross-border pairs into and out of the salted square and
+    same-square pairs split across salt chunks."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n_hot = 40
+    urls = [f"h{i:03d}" for i in range(n_hot)]
+    lats = (33.05 + rng.uniform(0, 0.9, n_hot)).tolist()
+    lons = (44.05 + rng.uniform(0, 0.9, n_hot)).tolist()
+    # neighbors just across each border of square (33, 44), within R of
+    # planted hot-square points near the edges
+    urls += ["e_lo", "e_hi", "e_left", "e_up"]
+    lats += [32.9995, 33.9, 33.5, 34.0005]
+    lons += [44.5, 45.0005, 43.9995, 44.5]
+    lats[0], lons[0] = 33.0005, 44.5       # near low-lat border
+    lats[1], lons[1] = 33.9, 44.9995       # near high-lon border
+    lats[2], lons[2] = 33.5, 44.0005       # near low-lon border
+    lats[3], lons[3] = 33.9995, 44.5       # near high-lat border
+
+    pages = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(len(urls)), pa.int64()),
+                  "url": pa.array(urls, pa.string()),
+                  "lat": pa.array(lats, pa.float64()),
+                  "lon": pa.array(lons, pa.float64())})
+    )
+    salt_map = rad._square_histogram(pages, R, 4, hot_threshold=8, max_salt=4)
+    assert salt_map and max(salt_map.values()) > 1, "salt must engage"
+
+    got = _run(urls, lats, lons, R, hot_threshold=8, max_salt=4)
+    assert got == _brute(urls, lats, lons, R)
+    # and identical to the unsalted path
+    assert got == _run(urls, lats, lons, R)
 
 
 def test_negative_coordinates(ray_session):
