@@ -42,6 +42,12 @@ _DRIVER_WINDOW = [
     "q36_tiles_rollup", "q37_dedup_urls", "q38_page_cells",
     "q51_cell_features_packed", "q63_page_cells_hex", "q85_radius_pairs",
     "q87_rasterize_admin", "q88_cell_centers", "q89_cell_prototypes",
+    # round-4 rotation: q90 (spatial anti-join coverage gap) and q91
+    # (per-admin profile: join-after-PIP rollup + exact two-level distinct)
+    # enter the window; q01 leaves (q11 covers groupby-rollup) and q56
+    # leaves (q39 covers sketches) — both keep repo oracle tests and
+    # CORRECTNESS_r02/r03 green rows
+    "q90_coverage_gap", "q91_admin_profile",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
     "q19_bpe_tokens", "q20_minhash_near_dup", "q21_simhash_near_dup",
@@ -61,9 +67,11 @@ _DRIVER_WINDOW = [
     # families stay in-window via q58/q69 (semi), q33's chain-derived
     # n_changed/n_dupes features (M3) and q37 (D1 dedup); all three keep
     # their repo oracle tests and CORRECTNESS_r02 green rows)
-    "q01_pricing_summary", "q03_top_revenue_orders", "q05_region_customers",
+    # (q01 rotated out round 4: q11 exercises the same groupby-rollup class;
+    # q56 rotated out: q39 covers the sketch family)
+    "q03_top_revenue_orders", "q05_region_customers",
     "q08_anti_join", "q11_events_rollup", "q42_asof_join",
-    "q43_sessionize", "q56_heavy_hitters", "q58_bloom_semi_join",
+    "q43_sessionize", "q58_bloom_semi_join",
     "q59_pack_sequences", "q67_rollup", "q68_split_stats",
 ]
 
