@@ -106,23 +106,34 @@ def _amplified_docs_source(sf_dir: str, amp: int):
 
     def amplify(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        texts = batch["text"].to_pylist()
         rep_ids = np.repeat(ids, amp) * amp + np.tile(np.arange(amp), len(ids))
-        rep_texts = [t for t in texts for _ in range(amp)]
+        # Arrow-level repetition: take with repeated indices (no Python list)
+        rep_texts = batch["text"].combine_chunks().take(
+            np.repeat(np.arange(len(ids)), amp))
         return gen.docs_from_doc_ids(rep_ids, rep_texts)
 
     def src():
-        # the source file is one tiny block — split at the READ so
-        # amplify+extract parallelize without an extra all-to-all op.
-        # batch_size here counts PRE-amplification rows (fused operators
-        # bundle by input rows): 64 docs/task → 64×amp extracted pages/task.
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"],
-                             override_num_blocks=NUM_CPUS * 6)
+        # The source is ONE tiny parquet file (5k rows, ~1.5 MB): read it on
+        # the driver and seed the Dataset from pre-split Arrow slices. A lazy
+        # read_parquet here is a single read task whose streaming-generator
+        # backpressure dribbles blocks out one at a time and serializes the
+        # whole downstream DAG (measured: amplify ran at concurrency ~1,
+        # 8.7 s vs 0.96 s for identical work — ds.stats() round 4). Real
+        # corpus reads are many files/row groups and don't have this single-
+        # generator gate; this is purely the amplified-bench seed path.
+        # Slice size counts PRE-amplification rows: 64 docs/slice →
+        # 64×amp ≈ 26k extracted pages (~27 MB) per downstream task.
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+        step = 64
+        slices = [tab.slice(k, step) for k in range(0, tab.num_rows, step)]
+        ds = rd.from_arrow(slices)
         # num_cpus=0.9 prevents operator fusion with the downstream extract
         # stage: fused, the chain runs amplify+extract serially inside each
         # task (measured 2x slower than the pipelined unfused form)
-        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=64,
+        return ds.map_batches(amplify, batch_format="pyarrow", batch_size=None,
                               num_cpus=0.9)
 
     return src

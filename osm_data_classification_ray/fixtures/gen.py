@@ -161,16 +161,84 @@ def gen_documents(n: int, seed: int = SEED) -> pa.Table:
     return documents_batch(np.arange(n, dtype=np.int64), n_hosts_for(n), seed)
 
 
-def docs_from_doc_ids(doc_ids: np.ndarray, texts: list[str], seed: int = SEED) -> pa.Table:
+def _format6(x: np.ndarray) -> "pa.Array":
+    """Vectorized ``f"{x:.6f}"`` for coordinates that are ``np.round(·, 6)``
+    values. For such x the true value is within ~3e-8 microdegrees of an
+    integer, so ``rint(x*1e6)`` equals the correctly-rounded 6-decimal
+    integer (the same exactness contract q85's radius join relies on) and
+    the decimal string can be assembled from integer casts. Parity with the
+    Python formatter is asserted in test_fixtures_extract.py over the full
+    coordinate fixture domain."""
+    import pyarrow.compute as pc
+
+    micro = np.rint(x * 1e6).astype(np.int64)
+    neg = micro < 0
+    a = np.abs(micro)
+    sign = pc.if_else(pa.array(neg), pa.scalar("-"), pa.scalar(""))
+    ip = pc.cast(pa.array(a // 1_000_000), pa.string())
+    # zero-pad the fraction to 6 digits: str(1_000_000 + fp)[1:]
+    fp = pc.utf8_slice_codeunits(
+        pc.cast(pa.array(a % 1_000_000 + 1_000_000), pa.string()), 1)
+    return pc.binary_join_element_wise(sign, ip, ".", fp, "")
+
+
+def docs_from_doc_ids(doc_ids: np.ndarray, texts, seed: int = SEED) -> pa.Table:
     """Derive engine-shaped documents from driver relational ``documents`` rows.
 
     Used by bench/correctness pipelines over /root/testdata: doc_id plays the
     row index (coords, hosts, dup structure all derive from it), the driver's
     ``text`` is embedded as the page body. Deterministic; streaming-safe.
+
+    Fully vectorized (Arrow casts + element-wise joins; the per-row f-string
+    loop cost 22 CPU-s of the round-4 bench — kept as
+    ``_docs_from_doc_ids_rowloop`` solely as the parity oracle). ``texts``
+    may be a Python list or a pyarrow string array.
     """
+    import pyarrow.compute as pc
+
     i = np.asarray(doc_ids, dtype=np.int64)
     n_hosts = 97
-    h = (i % n_hosts).astype(np.int64)
+    dup = (i % 37 == 0) & (i > 0)
+    url_i = np.where(dup, i - 1, i)
+    url_h = (url_i % n_hosts).astype(np.int64)
+    urls = pc.binary_join_element_wise(
+        "https://host", pc.cast(pa.array(url_h), pa.string()),
+        ".example/p", pc.cast(pa.array(url_i), pa.string()), "")
+    ts = EPOCH_US + i * np.int64(977) * np.int64(1_000_000)
+    lang = pa.array(np.asarray(LANG_CYCLE)[(i % 10)], type=pa.string())
+    lat, lon = page_coords(url_i.astype(np.uint64), url_h.astype(np.uint64), n_hosts, seed)
+    no_geo = (i % 10) == 7
+    body = pc.fill_null(texts if isinstance(texts, (pa.Array, pa.ChunkedArray))
+                        else pa.array(texts, type=pa.string()), "")
+    geo = pc.if_else(
+        pa.array(no_geo), pa.scalar(""),
+        pc.binary_join_element_wise(
+            '\n<meta name="geo.position" content="', _format6(lat), ";",
+            _format6(lon), '">', ""))
+    title = pc.binary_join_element_wise(
+        "doc ", pc.cast(pa.array(i), pa.string()), "")
+    html = pc.binary_join_element_wise(
+        "<html><head><title>", title, "</title>", geo,
+        "\n<script>var x=1;</script><style>.a{}</style></head>\n<body><h1>",
+        title, "</h1><p>", body, "</p></body></html>", "")
+    out_texts = pc.binary_join_element_wise(title, " ", body, "")
+    return pa.table(
+        {
+            "url": urls,
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": html.cast(pa.binary()),
+            "text": out_texts,
+            "lang": lang,
+            "part_id": pa.array((i % 16).astype(np.int32), type=pa.int32()),
+        }
+    )
+
+
+def _docs_from_doc_ids_rowloop(doc_ids: np.ndarray, texts: list[str], seed: int = SEED) -> pa.Table:
+    """Original per-row implementation — the parity oracle for the
+    vectorized ``docs_from_doc_ids`` (asserted equal in tests)."""
+    i = np.asarray(doc_ids, dtype=np.int64)
+    n_hosts = 97
     dup = (i % 37 == 0) & (i > 0)
     url_i = np.where(dup, i - 1, i)
     url_h = (url_i % n_hosts).astype(np.int64)

@@ -62,8 +62,18 @@ def extract_text_vectorized(html_strs: pa.Array) -> pa.Array:
     s = pc.replace_substring_regex(s, pattern=r"(?is)<style\b[^>]*>.*?</style\s*>", replacement="")
     s = pc.replace_substring_regex(s, pattern=r"(?s)<!--.*?-->", replacement="")
     s = pc.replace_substring_regex(s, pattern=r"<[^>]*>", replacement="\n")
-    s = pc.replace_substring_regex(s, pattern=r"[^\S\n]+", replacement=" ")
-    s = pc.replace_substring_regex(s, pattern=r" ?\n[ \n]* ?", replacement="\n")
+    # Step-4 rewrite: ``[^\S\n]+`` matches EVERY single space between words
+    # and rewrites it to itself — ~30% of extract wall was no-op single-space
+    # replacements (measured 27→3 ms / 4096 docs). Match only runs that
+    # actually change: length ≥ 2, or a lone non-space ws char. RE2's \s is
+    # ASCII [\t\n\f\r ] (NO \v — \v is \S for RE2), so the singleton class
+    # is [\t\f\r]. Byte-identical to the old pattern by exhaustive
+    # enumeration over the ws alphabet (tests/test_fixtures_extract.py).
+    s = pc.replace_substring_regex(s, pattern=r"[^\S\n]{2,}|[\t\f\r]", replacement=" ")
+    # Step-5 rewrite, same idea: the old `` ?\n[ \n]* ?`` matched every lone
+    # newline and rewrote it to itself. Match only runs where something
+    # changes: a space before the \n, or ≥1 ws char after it.
+    s = pc.replace_substring_regex(s, pattern=r"(?: \n|\n[ \n])[ \n]*", replacement="\n")
     s = pc.utf8_trim_whitespace(s)
     for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         s = pc.replace_substring(s, pattern=ent, replacement=rep)

@@ -60,7 +60,15 @@ def extract_geocode_cells(batch: pa.Table, compute_s2: bool = True) -> pa.Table:
     n_chars = np.fromiter((len(t) for t in text_list), dtype=np.int64, count=len(text_list))
     has_geo = ~np.isnan(lat)
 
-    n_tokens = pc.count_substring_regex(texts, pattern=r"\S+").cast(pa.int64())
+    # n_tokens = #(\S+ runs). Post-extraction text has only ISOLATED single
+    # ' ' / '\n' separators (steps 4-6 collapse all ws runs; trim removes
+    # boundary ws), so token count = spaces + newlines + 1 for non-empty
+    # text. Two literal count kernels replace the \S+ regex scan (28→5 ms
+    # per 4096 docs); equivalence is exhaustive-tested in test_fixtures_extract.py.
+    n_sep = pc.add(pc.count_substring(texts, pattern=" "),
+                   pc.count_substring(texts, pattern="\n")).cast(pa.int64())
+    n_tokens = pc.if_else(pc.greater(pc.binary_length(texts), 0),
+                          pc.add(n_sep, 1), pa.scalar(0, pa.int64()))
     host = host_from_url(batch["url"])
 
     # encode only geocoded rows; placeholder 0 elsewhere (filtered downstream)

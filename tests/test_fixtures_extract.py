@@ -114,6 +114,76 @@ def test_vectorized_extract_byte_identical():
     assert extract_text_vectorized(edge).to_pylist() == [extract_text(x.as_py()) for x in edge]
 
 
+def test_docs_from_doc_ids_vectorized_parity():
+    """The Arrow-vectorized docs_from_doc_ids must be byte-identical to the
+    original per-row f-string implementation (kept as the parity oracle),
+    including the %.6f coordinate formatting, empty/None bodies, and the
+    dup-url structure, over a wide doc_id range."""
+    rng = np.random.default_rng(7)
+    ids = np.unique(np.concatenate([
+        np.arange(0, 500, dtype=np.int64),
+        rng.integers(0, 50_000_000, 5000).astype(np.int64),
+    ]))
+    texts = [f"body {k} alpha beta" if k % 5 else "" for k in range(len(ids))]
+    texts[10] = None
+    vec = gen.docs_from_doc_ids(ids, texts)
+    ref = gen._docs_from_doc_ids_rowloop(ids, [t or "" for t in texts])
+    assert vec.equals(ref)
+
+
+def test_ws_nl_pattern_rewrites_exhaustive():
+    """Round-4 perf rewrite: the step-4/5 patterns were changed to skip
+    no-op matches (single space / lone newline). Prove byte-identity to the
+    ORIGINAL RE2 patterns over every 0–4 char string on the whitespace
+    alphabet (2801 strings, covers \\v which RE2 treats as \\S)."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    alpha = [" ", "\t", "\n", "\r", "\f", "\v", "a"]
+    strs = [""]
+    for L in (1, 2, 3, 4):
+        strs += ["".join(p) for p in itertools.product(alpha, repeat=L)]
+    arr = pa.array(strs)
+    ws_old = pc.replace_substring_regex(arr, pattern=r"[^\S\n]+", replacement=" ")
+    ws_new = pc.replace_substring_regex(arr, pattern=r"[^\S\n]{2,}|[\t\f\r]", replacement=" ")
+    assert ws_old.equals(ws_new)
+    nl_old = pc.replace_substring_regex(ws_old, pattern=r" ?\n[ \n]* ?", replacement="\n")
+    nl_new = pc.replace_substring_regex(ws_old, pattern=r"(?: \n|\n[ \n])[ \n]*", replacement="\n")
+    assert nl_old.equals(nl_new)
+
+
+def test_n_tokens_literal_count_equivalence():
+    """n_tokens via literal ' '/'\\n' counts must equal the \\S+ regex count
+    on post-extraction text (isolated-separator property), on the fixture
+    corpus AND on the exhaustively ws-collapsed strings."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osm_data_classification_ray.functions.extract import extract_text_vectorized
+
+    def literal(texts):
+        n_sep = pc.add(pc.count_substring(texts, pattern=" "),
+                       pc.count_substring(texts, pattern="\n")).cast(pa.int64())
+        return pc.if_else(pc.greater(pc.binary_length(texts), 0),
+                          pc.add(n_sep, 1), pa.scalar(0, pa.int64()))
+
+    t = gen.gen_documents(300)
+    texts = extract_text_vectorized(t["html"].combine_chunks().cast(pa.string()))
+    assert pc.count_substring_regex(texts, pattern=r"\S+").cast(pa.int64()).equals(literal(texts))
+
+    alpha = [" ", "\t", "\n", "\v", "a"]
+    strs = ["".join(p) for L in (1, 2, 3, 4) for p in itertools.product(alpha, repeat=L)]
+    arr = pa.array(strs)
+    collapsed = pc.replace_substring_regex(arr, pattern=r"[^\S\n]{2,}|[\t\f\r]", replacement=" ")
+    collapsed = pc.replace_substring_regex(collapsed, pattern=r"(?: \n|\n[ \n])[ \n]*", replacement="\n")
+    collapsed = pc.utf8_trim_whitespace(collapsed)
+    assert pc.count_substring_regex(collapsed, pattern=r"\S+").cast(pa.int64()).equals(literal(collapsed))
+
+
 def test_vectorized_geocode_identical():
     import pyarrow as pa
 
