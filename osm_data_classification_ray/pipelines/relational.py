@@ -26,6 +26,30 @@ def default_partitions() -> int:
     return max(4, min(16, int(os.environ.get("RAY_GRAFT_CPUS", "8")) // 2))
 
 
+#: dim tables at or below this parquet size take the broadcast join path
+#: (one ray.put, read zero-copy in every task); larger dims go through the
+#: distributed hash join. Mirrors the broadcast threshold every shuffle
+#: engine carries; env-tunable so the 100-TB profile can drop it to 0.
+_BROADCAST_JOIN_LIMIT_BYTES = int(
+    os.environ.get("GRAFT_BROADCAST_JOIN_LIMIT_MB", "128")) * 1024 * 1024
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return 1 << 62  # unknown size → never broadcast
+
+
+def _read_table_sorted(sf_dir: str, table: str, columns: list[str], key: str) -> pa.Table:
+    """Driver-side dim read for the broadcast path (bounded by the
+    broadcast threshold), sorted by the join key for searchsorted."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return t.sort_by(key).combine_chunks()
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
@@ -190,7 +214,6 @@ def q03_top_revenue_orders(sf_dir: str):
                              pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     # aggregate revenue per orderkey BEFORE the join: the join then moves
     # one row per order instead of one per lineitem (~4x fewer rows through
     # the exchange), and the post-join groupby on (key, date) disappears —
@@ -198,6 +221,39 @@ def q03_top_revenue_orders(sf_dir: str):
     rev = li.map_batches(prep, batch_format="pyarrow").groupby(
         "l_orderkey", num_partitions=default_partitions()
     ).aggregate(Sum("rev_e4", alias_name="rev_e4_sum"))
+
+    if _table_bytes(sf_dir, "orders") <= _BROADCAST_JOIN_LIMIT_BYTES:
+        # size-aware broadcast dim join (J2): below the threshold the dim
+        # side ships ONCE via ray.put and each block joins against the
+        # sorted key vector with searchsorted — one shuffle (the groupby)
+        # instead of two actor-pool exchanges. Above the threshold (the
+        # 100-TB regime) the distributed hash join below runs instead.
+        import ray
+
+        dim = _read_table_sorted(sf_dir, "orders", ["o_orderkey", "o_orderdate"], "o_orderkey")
+        dim_ref = ray.put(dim)
+
+        def bjoin(t: pa.Table, ref) -> pa.Table:
+            dim_t = ray.get(ref)  # zero-copy Arrow view of the shared object
+            keys = np.asarray(dim_t["o_orderkey"].to_numpy(zero_copy_only=False))
+            lk = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(keys, lk)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == lk
+            t = t.filter(pa.array(hit))
+            dates = dim_t["o_orderdate"].take(pa.array(pos_c[hit]))
+            return pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "o_orderdate": dates,
+                    "revenue": pc.divide(pc.cast(t["rev_e4_sum"], pa.float64()), pa.scalar(10_000.0)),
+                }
+            )
+
+        out = rev.map_batches(bjoin, fn_args=(dim_ref,), batch_format="pyarrow")
+        return _topk_table(out, 10, ["revenue", "o_orderkey"], [False, True])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     agg = rev.join(
         orders,
         join_type="inner",

@@ -582,17 +582,30 @@ def r5_histogram(cfg: EngineConfig) -> dict[int, int]:
     except (FileNotFoundError, json.JSONDecodeError):
         pass
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        t = t.filter(t["has_geo"])
-        cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        vals, cnts = np.unique(cells, return_counts=True)
-        return pa.table({"cell": pa.array(vals.view(np.int64), pa.int64()),
-                         "n": pa.array(cnts, pa.int64())})
+    # Plain Ray tasks over file chunks, not a Dataset: the output is tiny
+    # (cell universe × chunks) and a full streaming-executor spin-up cost
+    # 5x the actual scan (measured 2.06 s vs 0.4 s at 2M rows). Chunking
+    # bounds the task count at scale; each task reads only the two
+    # pruned columns of its files.
+    @ray.remote
+    def _chunk_counts(paths: list[str]) -> pa.Table:
+        import pyarrow.parquet as pq
 
-    ds = read_stage(cfg.out_root, "captures", ["h3_r5", "has_geo"],
-                    num_blocks=cfg.num_partitions)
-    ds = ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
-    tabs = [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows]
+        partials: dict[int, int] = {}
+        for p in paths:
+            t = pq.read_table(p, columns=["h3_r5", "has_geo"])
+            t = t.filter(t["has_geo"])
+            cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            vals, cnts = np.unique(cells, return_counts=True)
+            for v, c in zip(vals.tolist(), cnts.tolist()):
+                partials[v] = partials.get(v, 0) + c
+        return pa.table({"cell": pa.array(np.array(list(partials), dtype=np.uint64).view(np.int64), pa.int64()),
+                         "n": pa.array(list(partials.values()), pa.int64())})
+
+    files = ckpt.stage_files(cfg.out_root, "captures")
+    n_chunks = max(1, min(len(files), cfg.num_partitions * 4))
+    chunks = [files[k::n_chunks] for k in range(n_chunks) if files[k::n_chunks]]
+    tabs = [x for x in ray.get([_chunk_counts.remote(c) for c in chunks]) if x.num_rows]
     counts: dict[int, int] = {}
     if tabs:
         h = pa.concat_tables(tabs).to_pandas().groupby("cell")["n"].sum()
