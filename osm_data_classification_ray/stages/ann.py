@@ -315,28 +315,11 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
         dedup_pairs_block, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    ids_ds = pairs_ds.map_batches(
-        lambda t: pa.table({"vec_id": pa.concat_arrays(
-            [t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"],
-             t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]])}),
-        batch_format="pyarrow",
-    ).groupby("vec_id", num_partitions=num_partitions).count()
-    ids_ds = ids_ds.map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
-
     def vec_blob(t: pa.Table) -> pa.Table:
         # binary blobs: Arrow joins reject list-typed payload columns
         X = _normalize_rows(_emb_matrix(t))
         return pa.table({"vec_id": t["vec_id"],
                          "vec": pa.array([r.tobytes() for r in X], pa.binary())})
-
-    vecs = emb_ds.map_batches(vec_blob, batch_format="pyarrow").join(
-        ids_ds, join_type="inner", num_partitions=num_partitions, on=("vec_id",)
-    ).materialize()
-    va = vecs.map_batches(lambda t: t.rename_columns(["doc_a", "vec_a_"]), batch_format="pyarrow")
-    j1 = pairs_ds.join(va, join_type="inner", num_partitions=num_partitions,
-                       on=("doc_a",)).materialize()
-    vb = vecs.map_batches(lambda t: t.rename_columns(["doc_b", "vec_b_"]), batch_format="pyarrow")
-    j2 = j1.join(vb, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -356,9 +339,68 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
             }
         )
 
-    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
     empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
                       "cosine_sim": pa.array([], pa.float64())})
+
+    from .textdedup import FAST_VERIFY_PAIR_LIMIT
+
+    n_pairs = pairs_ds.count()
+    if n_pairs <= FAST_VERIFY_PAIR_LIMIT:
+        # Size-aware fast verify (same rationale and limit as the minhash
+        # pipeline, stages/textdedup.py): the pair table is the bounded
+        # driver-collected result, so broadcast the candidate-id set, run
+        # ONE filtered scan computing candidate blobs, and feed the SAME
+        # verify kernel — replaces a groupby + 3 hash joins.
+        import ray
+
+        pt = pa.concat_tables([x for x in ray.get(pairs_ds.to_arrow_refs())]).combine_chunks()
+        if pt.num_rows == 0:
+            return empty
+        pa_ids = np.asarray(pt["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pb_ids = np.asarray(pt["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cand = np.unique(np.concatenate([pa_ids, pb_ids]))
+        cand_ref = ray.put(cand)
+
+        def blob_filter(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            c = _ray.get(cand_ref)
+            ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            pos = np.minimum(np.searchsorted(c, ids), len(c) - 1)
+            return vec_blob(t.filter(pa.array(c[pos] == ids)))
+
+        vt = pa.concat_tables(
+            [x for x in ray.get(emb_ds.map_batches(
+                blob_filter, batch_format="pyarrow").to_arrow_refs())]
+        ).combine_chunks()
+        v_ids = np.asarray(vt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(v_ids, kind="stable")
+        v_ids = v_ids[order]
+        v_col = vt["vec"].take(pa.array(order))
+        verify_t = pa.table({
+            "doc_a": pt["doc_a"], "doc_b": pt["doc_b"],
+            "vec_a_": v_col.take(pa.array(np.searchsorted(v_ids, pa_ids))),
+            "vec_b_": v_col.take(pa.array(np.searchsorted(v_ids, pb_ids))),
+        })
+        out = verify(verify_t).to_pandas()
+    else:
+        ids_ds = pairs_ds.map_batches(
+            lambda t: pa.table({"vec_id": pa.concat_arrays(
+                [t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"],
+                 t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]])}),
+            batch_format="pyarrow",
+        ).groupby("vec_id", num_partitions=num_partitions).count()
+        ids_ds = ids_ds.map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+
+        vecs = emb_ds.map_batches(vec_blob, batch_format="pyarrow").join(
+            ids_ds, join_type="inner", num_partitions=num_partitions, on=("vec_id",)
+        ).materialize()
+        va = vecs.map_batches(lambda t: t.rename_columns(["doc_a", "vec_a_"]), batch_format="pyarrow")
+        j1 = pairs_ds.join(va, join_type="inner", num_partitions=num_partitions,
+                           on=("doc_a",)).materialize()
+        vb = vecs.map_batches(lambda t: t.rename_columns(["doc_b", "vec_b_"]), batch_format="pyarrow")
+        j2 = j1.join(vb, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+        out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:  # an empty Dataset's to_pandas loses the schema
         return empty
     out = out.sort_values(["vec_a", "vec_b"])

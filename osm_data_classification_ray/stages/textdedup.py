@@ -13,6 +13,8 @@ Pipeline shape (the guide's canonical near-dup pattern):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -187,6 +189,13 @@ def minhash_band_rows(batch: pa.Table, shingle: str = "word") -> pa.Table:
 #: (n² pairs) streams through the object store instead of materializing
 #: in one worker heap
 _PAIR_CHUNK = 1 << 20
+#: at or below this many CANDIDATE PAIRS the near-dup verify takes the
+#: broadcast fast path (candidate-id set via ray.put + one filtered scan +
+#: driver-side verify with the same kernel — 4 fewer exchanges). The pair
+#: table is the driver-collected query result either way, so the fast path
+#: adds only the candidate payloads (≤ 2×pairs docs) to driver memory;
+#: beyond the limit the fully distributed join path runs.
+FAST_VERIFY_PAIR_LIMIT = int(os.environ.get("GRAFT_FAST_VERIFY_PAIR_LIMIT", "10000"))
 #: log buckets larger than this (no-silent-caps policy; nothing is dropped)
 _HOT_BUCKET_LOG = 10_000
 
@@ -200,32 +209,50 @@ def bucket_pairs_block(block: pa.Table):
 
     EXACT: every co-bucketed pair is emitted (the round-1 200-doc silent
     truncation is gone — a duplicate cluster of any size yields its full
-    pair set). Pair generation is vectorized (np.triu_indices per bucket,
-    chunked along rows) and yielded in bounded chunks; a bucket of n docs
-    inherently costs O(n²) pairs, so hot buckets are LOGGED and streamed,
-    never dropped. Cross-band duplicate pairs are removed downstream by a
-    key-colocated repartition + per-block dedup (global, distributed)."""
-    import pandas as pd
-
-    df = block.to_pandas()
+    pair set). Bucket boundaries come from one lexsort + run-length scan,
+    so the Python loop visits ONLY buckets with ≥2 distinct docs (the old
+    pandas groupby iterated every bucket — ~70k mostly-singleton groups
+    per q70 block, the kernel's entire wall). A bucket of n docs
+    inherently costs O(n²) pairs, so hot buckets are LOGGED and streamed
+    in bounded chunks, never dropped. Cross-band duplicate pairs are
+    removed downstream by a key-colocated repartition + per-block dedup
+    (global, distributed)."""
+    if block.num_rows == 0:
+        yield _empty_pairs()
+        return
+    band_v = np.asarray(block["band"].to_numpy(zero_copy_only=False))
+    bucket_v = np.asarray(block["bucket"].to_numpy(zero_copy_only=False))
+    doc_v = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((doc_v, bucket_v, band_v))
+    band_v, bucket_v, doc_v = band_v[order], bucket_v[order], doc_v[order]
+    # drop repeated (band, bucket, doc) rows, then find bucket run bounds
+    new_key = np.empty(len(doc_v), dtype=bool)
+    new_key[0] = True
+    np.logical_or(band_v[1:] != band_v[:-1], bucket_v[1:] != bucket_v[:-1],
+                  out=new_key[1:])
+    keep = new_key.copy()
+    keep[1:] |= doc_v[1:] != doc_v[:-1]
+    band_v, bucket_v, doc_v, new_key = (band_v[keep], bucket_v[keep],
+                                        doc_v[keep], new_key[keep])
+    starts = np.flatnonzero(new_key)
+    counts = np.diff(np.append(starts, len(doc_v)))
+    multi = np.flatnonzero(counts >= 2)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     buffered = 0
-    for (band, bucket), g in df.groupby(["band", "bucket"], sort=False):
-        ids = np.unique(g["doc_id"].to_numpy())
-        n = len(ids)
-        if n < 2:
-            continue
+    for g in multi:
+        s, n = int(starts[g]), int(counts[g])
+        ids = doc_v[s:s + n]  # sorted distinct docs of this bucket
         if n > _HOT_BUCKET_LOG:
-            print(f"[textdedup] hot LSH bucket band={band} bucket={bucket}: "
+            print(f"[textdedup] hot LSH bucket band={band_v[s]} bucket={bucket_v[s]}: "
                   f"{n} docs -> {n*(n-1)//2} candidate pairs (streamed, not capped)")
         # chunk along the first index so one yield never exceeds ~_PAIR_CHUNK
         rows_per_chunk = max(1, _PAIR_CHUNK // n)
         for i0 in range(0, n - 1, rows_per_chunk):
             i1 = min(i0 + rows_per_chunk, n - 1)
             # pairs (i, j) with i in [i0, i1), j > i — vectorized
-            counts = n - 1 - np.arange(i0, i1)
-            a = np.repeat(ids[i0:i1], counts)
+            reps = n - 1 - np.arange(i0, i1)
+            a = np.repeat(ids[i0:i1], reps)
             j_idx = np.concatenate([np.arange(i + 1, n) for i in range(i0, i1)]) if i1 > i0 else np.zeros(0, np.int64)
             b = ids[j_idx]
             out_a.append(a)
@@ -322,29 +349,75 @@ def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
         dedup_pairs_block, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    # distinct candidate ids (narrow union of both pair sides)
-    ids_ds = pairs_ds.map_batches(
-        lambda t: pa.table({"doc_id": pa.concat_arrays(
-            [t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"],
-             t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]])}),
-        batch_format="pyarrow",
-    ).groupby("doc_id", num_partitions=num_partitions).count()
-    ids_ds = ids_ds.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    n_pairs = pairs_ds.count()
+    if n_pairs <= FAST_VERIFY_PAIR_LIMIT:
+        # Size-aware fast verify: the pair table is ALREADY the (bounded,
+        # driver-collected) query result, so under the limit the candidate
+        # id set (≤ 2×pairs) broadcasts via ray.put, ONE filtered scan of
+        # the docs side computes shingle sets for candidates only (no
+        # groupby, no joins — 4 fewer actor-pool exchanges), and the SAME
+        # verify kernel runs on the assembled pair batch. Output is
+        # bit-identical to the join path (tested both ways).
+        import ray
 
-    cand_docs = docs_ds.join(ids_ds, join_type="inner", num_partitions=num_partitions,
-                             on=("doc_id",))
-    sh_ds = cand_docs.map_batches(lambda t: _shingle_sets_tab(t, shingle),
-                                  batch_format="pyarrow").materialize()
+        pt = (pa.concat_tables([x for x in ray.get(pairs_ds.to_arrow_refs())])
+              .combine_chunks())
+        if pt.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        pa_ids = np.asarray(pt["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pb_ids = np.asarray(pt["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cand = np.unique(np.concatenate([pa_ids, pb_ids]))
+        cand_ref = ray.put(cand)
 
-    sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow")
-    j1 = pairs_ds.join(sh_a, join_type="inner", num_partitions=num_partitions,
-                       on=("doc_a",)).materialize()
-    sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]), batch_format="pyarrow")
-    j2 = j1.join(sh_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
-    verified = j2.map_batches(lambda t: _jaccard_verify_tab(t, threshold),
-                              batch_format="pyarrow")
+        def sh_filter(t: pa.Table) -> pa.Table:
+            import ray as _ray
 
-    out = verified.to_pandas()
+            c = _ray.get(cand_ref)
+            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            pos = np.minimum(np.searchsorted(c, ids), len(c) - 1)
+            t = t.filter(pa.array(c[pos] == ids))
+            return _shingle_sets_tab(t, shingle)
+
+        sh_tab = pa.concat_tables(
+            [x for x in ray.get(docs_ds.map_batches(
+                sh_filter, batch_format="pyarrow").to_arrow_refs())]
+        ).combine_chunks()
+        sh_ids = np.asarray(sh_tab["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(sh_ids, kind="stable")
+        sh_ids = sh_ids[order]
+        sh_col = sh_tab["sh"].take(pa.array(order))
+        verify_t = pa.table({
+            "doc_a": pt["doc_a"], "doc_b": pt["doc_b"],
+            "sh_a": sh_col.take(pa.array(np.searchsorted(sh_ids, pa_ids))),
+            "sh_b": sh_col.take(pa.array(np.searchsorted(sh_ids, pb_ids))),
+        })
+        out_t = _jaccard_verify_tab(verify_t, threshold)
+        out = out_t.to_pandas()
+    else:
+        # distinct candidate ids (narrow union of both pair sides)
+        ids_ds = pairs_ds.map_batches(
+            lambda t: pa.table({"doc_id": pa.concat_arrays(
+                [t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"],
+                 t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]])}),
+            batch_format="pyarrow",
+        ).groupby("doc_id", num_partitions=num_partitions).count()
+        ids_ds = ids_ds.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+        cand_docs = docs_ds.join(ids_ds, join_type="inner", num_partitions=num_partitions,
+                                 on=("doc_id",))
+        sh_ds = cand_docs.map_batches(lambda t: _shingle_sets_tab(t, shingle),
+                                      batch_format="pyarrow").materialize()
+
+        sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow")
+        j1 = pairs_ds.join(sh_a, join_type="inner", num_partitions=num_partitions,
+                           on=("doc_a",)).materialize()
+        sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]), batch_format="pyarrow")
+        j2 = j1.join(sh_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+        verified = j2.map_batches(lambda t: _jaccard_verify_tab(t, threshold),
+                                  batch_format="pyarrow")
+        out = verified.to_pandas()
     if out.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})

@@ -394,3 +394,64 @@ def test_clean_corpus_composite(ray_session):
     assert (a["n_docs"] > 0).all() and (a["total_tokens"] > 0).all()
     # kept docs cannot exceed the corpus
     assert a["n_docs"].sum() <= 500
+
+
+def test_bucket_pairs_block_vectorized_parity():
+    """Round-4 rewrite: lexsort + run-length bucket bounds (Python loop only
+    over buckets with >=2 distinct docs) must emit exactly the pair set of
+    the original per-group enumeration, incl. duplicate (band,bucket,doc)
+    rows and singleton-heavy blocks."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_data_classification_ray.stages.textdedup import bucket_pairs_block
+
+    def ref_pairs(block):
+        import pandas as pd
+
+        out = []
+        for (_, _), g in block.to_pandas().groupby(["band", "bucket"], sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.append((ids[i], ids[j]))
+        return sorted(out)
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    block = pa.table({
+        "band": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+        "bucket": pa.array(rng.integers(0, 8_000, n).astype(np.int64)),
+        "doc_id": pa.array(rng.integers(0, 5_000, n).astype(np.int64)),
+    })
+    got = sorted(sum((list(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+                      for t in bucket_pairs_block(block)), []))
+    assert got == ref_pairs(block)
+    empty = pa.table({"band": pa.array([], pa.int32()),
+                      "bucket": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    assert sum(t.num_rows for t in bucket_pairs_block(empty)) == 0
+
+
+def test_near_dup_fast_verify_matches_join_path(ray_session, monkeypatch):
+    """Round-4 size-aware verify: the broadcast fast path (candidate-id set
+    + one filtered scan + driver verify) must return exactly the join
+    path's table for both the minhash (q20) and embedding-LSH (q24)
+    pipelines."""
+    import ray.data as rd
+
+    import osm_data_classification_ray.stages.textdedup as td
+    from osm_data_classification_ray.pipelines.textqueries import (
+        q20_minhash_near_dup,
+        q24_embedding_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast20 = q20_minhash_near_dup(sf)
+    fast24 = q24_embedding_near_dup(sf)
+    monkeypatch.setattr(td, "FAST_VERIFY_PAIR_LIMIT", -1)  # force join path
+    join20 = q20_minhash_near_dup(sf)
+    join24 = q24_embedding_near_dup(sf)
+    assert fast20.equals(join20)
+    assert fast24.equals(join24)
+    assert fast20.num_rows > 0  # the fixture plants near-dups
