@@ -242,14 +242,23 @@ def main() -> None:
     threading.Thread(target=_bw_sampler, args=(bw_samples, stop_evt),
                      daemon=True).start()
     head = run_headline(out_root)
-    stop_evt.set()
+    n_head = len(bw_samples)
     queries = {"headline_spatial": round(head["sec"], 3)}
+    # the trace keeps running through the query section: per-query walls
+    # here have shown 4x swings at identical code (q03 4.2 s standalone vs
+    # 39 s in one bench window) and without in-window samples the regime
+    # behind a recorded spike is unknowable
     queries.update(run_relational())
+    stop_evt.set()
+    head_vals = sorted(s[1] for s in bw_samples[:n_head])
     bw_vals = sorted(s[1] for s in bw_samples)
     bw_summary = {
         "bw_samples": bw_samples,
-        "bw_min_gbs": bw_vals[0] if bw_vals else None,
-        "bw_median_gbs": bw_vals[len(bw_vals) // 2] if bw_vals else None,
+        "bw_min_gbs": head_vals[0] if head_vals else None,
+        "bw_median_gbs": head_vals[len(head_vals) // 2] if head_vals else None,
+        "bw_min_gbs_full": bw_vals[0] if bw_vals else None,
+        "bw_median_gbs_full": bw_vals[len(bw_vals) // 2] if bw_vals else None,
+        "bw_headline_samples": n_head,
     }
 
     print(json.dumps({

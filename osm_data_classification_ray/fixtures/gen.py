@@ -65,6 +65,18 @@ def uniform01(i, stream: int, seed: int = SEED) -> np.ndarray:
     return (hash_u64(i, stream, seed) >> np.uint64(11)).astype(np.float64) * (2.0**-53)
 
 
+#: warc_ts stride: row i's timestamp is EPOCH_US + i * TS_STRIDE_S seconds
+TS_STRIDE_S = np.int64(977)
+
+
+def doc_id_from_warc_ts(ts_us: np.ndarray) -> np.ndarray:
+    """Exact inversion of the fixture timestamp rule
+    ``warc_ts = EPOCH_US + doc_id * 977 s`` (int64 microseconds in/out).
+    The single shared copy of the rule — q85's ghost-exchange identity and
+    q89's vec_id derivation both invert through here."""
+    return (np.asarray(ts_us, dtype=np.int64) - EPOCH_US) // (TS_STRIDE_S * 1_000_000)
+
+
 def n_hosts_for(n: int) -> int:
     return 50 if n <= 1000 else max(50, n // 200)
 
@@ -172,7 +184,9 @@ def _format6(x: np.ndarray) -> "pa.Array":
     import pyarrow.compute as pc
 
     micro = np.rint(x * 1e6).astype(np.int64)
-    neg = micro < 0
+    # sign from the FLOAT, not micro: np.round can produce -0.0 (micro 0)
+    # and f"{-0.0:.6f}" prints "-0.000000" — micro<0 would drop that sign
+    neg = np.signbit(x)
     a = np.abs(micro)
     sign = pc.if_else(pa.array(neg), pa.scalar("-"), pa.scalar(""))
     ip = pc.cast(pa.array(a // 1_000_000), pa.string())

@@ -268,7 +268,7 @@ def radius_pairs_query(sf_dir: str):
         # the q89 rule (warc_ts = 2024-01-01 + doc_id*977 s, exact).
         ts_us = np.asarray(t["warc_ts"].cast(pa.int64()).to_numpy(
             zero_copy_only=False), dtype=np.int64)
-        doc = (ts_us - 1704067200000000) // (977 * 1000000)
+        doc = gen.doc_id_from_warc_ts(ts_us)
         return pa.table({"doc_id": pa.array(doc, pa.int64()), "url": t["url"],
                          "lat": t["lat"], "lon": t["lon"]})
 
@@ -409,7 +409,7 @@ def cell_prototypes_query(sf_dir: str):
         ts_us = np.asarray(
             t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
             dtype=np.int64)
-        doc = (ts_us - 1704067200000000) // (977 * 1000000)
+        doc = gen.doc_id_from_warc_ts(ts_us)
         return pa.table({"vec_id": pa.array(doc, pa.int64()), "h3_r5": t["h3_r5"]})
 
     keyed = pages.map_batches(derive, batch_format="pyarrow")

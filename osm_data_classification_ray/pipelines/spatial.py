@@ -561,6 +561,29 @@ def read_pages(cfg: EngineConfig, columns: list[str] | None = None):
 # job 2 part A: cell features + tiles (ONE r5 hash shuffle for res 5..9)
 # ---------------------------------------------------------------------------
 
+_CHUNK_COUNTS_REMOTE = None
+
+
+def _chunk_counts_task(paths: list[str]) -> pa.Table:
+    """One r5-histogram chunk: pruned 2-column read of its files, one
+    vectorized unique-count over the concatenated cells. Runs as a plain
+    Ray task (module-level so the remote function registers once, not per
+    r5_histogram call); output bounded by the cell universe."""
+    import pyarrow.parquet as pq
+
+    cells_parts = []
+    for p in paths:
+        t = pq.read_table(p, columns=["h3_r5", "has_geo"])
+        t = t.filter(t["has_geo"])
+        cells_parts.append(np.asarray(
+            t["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64))
+    cells = (np.concatenate(cells_parts) if cells_parts
+             else np.zeros(0, np.uint64))
+    vals, cnts = np.unique(cells, return_counts=True)
+    return pa.table({"cell": pa.array(vals.view(np.int64), pa.int64()),
+                     "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+
 def r5_histogram(cfg: EngineConfig) -> dict[int, int]:
     """Geo-capture counts per r5 cell (all versions), computed ONCE per
     captures checkpoint via per-block partial value counts (8-byte keys,
@@ -585,27 +608,15 @@ def r5_histogram(cfg: EngineConfig) -> dict[int, int]:
     # Plain Ray tasks over file chunks, not a Dataset: the output is tiny
     # (cell universe × chunks) and a full streaming-executor spin-up cost
     # 5x the actual scan (measured 2.06 s vs 0.4 s at 2M rows). Chunking
-    # bounds the task count at scale; each task reads only the two
-    # pruned columns of its files.
-    @ray.remote
-    def _chunk_counts(paths: list[str]) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        partials: dict[int, int] = {}
-        for p in paths:
-            t = pq.read_table(p, columns=["h3_r5", "has_geo"])
-            t = t.filter(t["has_geo"])
-            cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-            vals, cnts = np.unique(cells, return_counts=True)
-            for v, c in zip(vals.tolist(), cnts.tolist()):
-                partials[v] = partials.get(v, 0) + c
-        return pa.table({"cell": pa.array(np.array(list(partials), dtype=np.uint64).view(np.int64), pa.int64()),
-                         "n": pa.array(list(partials.values()), pa.int64())})
-
+    # bounds the task count at scale.
     files = ckpt.stage_files(cfg.out_root, "captures")
     n_chunks = max(1, min(len(files), cfg.num_partitions * 4))
     chunks = [files[k::n_chunks] for k in range(n_chunks) if files[k::n_chunks]]
-    tabs = [x for x in ray.get([_chunk_counts.remote(c) for c in chunks]) if x.num_rows]
+    global _CHUNK_COUNTS_REMOTE
+    if _CHUNK_COUNTS_REMOTE is None:  # register the remote fn once per process
+        _CHUNK_COUNTS_REMOTE = ray.remote(_chunk_counts_task)
+    tabs = [x for x in ray.get([_CHUNK_COUNTS_REMOTE.remote(c) for c in chunks])
+            if x.num_rows]
     counts: dict[int, int] = {}
     if tabs:
         h = pa.concat_tables(tabs).to_pandas().groupby("cell")["n"].sum()

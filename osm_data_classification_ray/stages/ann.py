@@ -80,7 +80,7 @@ def _final_topk(cands, k: int, exclude_self: bool = True) -> pa.Table:
     on the UNrounded float), and no other oracle reads this column. If a
     future oracle compares cosine_sim, switch both sides to the repo's
     explicit half-up rule floor(x*1e6+0.5)/1e6 (q74/q77/q89 pattern)."""
-    df = cands.to_pandas() if not isinstance(cands, pa.Table) else cands.to_pandas()
+    df = cands.to_pandas()
     if exclude_self:
         df = df[df["neighbor_id"] != df["query_id"]]
     df = df.sort_values(["query_id", "cosine_sim", "neighbor_id"],
@@ -342,46 +342,18 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
     empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
                       "cosine_sim": pa.array([], pa.float64())})
 
-    from .textdedup import FAST_VERIFY_PAIR_LIMIT
+    from .textdedup import FAST_VERIFY_PAIR_LIMIT, fast_verify_table
 
     n_pairs = pairs_ds.count()
     if n_pairs <= FAST_VERIFY_PAIR_LIMIT:
-        # Size-aware fast verify (same rationale and limit as the minhash
-        # pipeline, stages/textdedup.py): the pair table is the bounded
-        # driver-collected result, so broadcast the candidate-id set, run
-        # ONE filtered scan computing candidate blobs, and feed the SAME
-        # verify kernel — replaces a groupby + 3 hash joins.
-        import ray
-
-        pt = pa.concat_tables([x for x in ray.get(pairs_ds.to_arrow_refs())]).combine_chunks()
-        if pt.num_rows == 0:
+        # Size-aware fast verify (same rationale, limit and shared assembly
+        # as the minhash pipeline, stages/textdedup.py): broadcast the
+        # candidate-id set, one filtered scan building candidate blobs,
+        # SAME verify kernel — replaces a groupby + 3 hash joins.
+        verify_t = fast_verify_table(pairs_ds, emb_ds, "vec_id", vec_blob,
+                                     "vec_a_", "vec_b_")
+        if verify_t is None:
             return empty
-        pa_ids = np.asarray(pt["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        pb_ids = np.asarray(pt["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cand = np.unique(np.concatenate([pa_ids, pb_ids]))
-        cand_ref = ray.put(cand)
-
-        def blob_filter(t: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            c = _ray.get(cand_ref)
-            ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            pos = np.minimum(np.searchsorted(c, ids), len(c) - 1)
-            return vec_blob(t.filter(pa.array(c[pos] == ids)))
-
-        vt = pa.concat_tables(
-            [x for x in ray.get(emb_ds.map_batches(
-                blob_filter, batch_format="pyarrow").to_arrow_refs())]
-        ).combine_chunks()
-        v_ids = np.asarray(vt["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(v_ids, kind="stable")
-        v_ids = v_ids[order]
-        v_col = vt["vec"].take(pa.array(order))
-        verify_t = pa.table({
-            "doc_a": pt["doc_a"], "doc_b": pt["doc_b"],
-            "vec_a_": v_col.take(pa.array(np.searchsorted(v_ids, pa_ids))),
-            "vec_b_": v_col.take(pa.array(np.searchsorted(v_ids, pb_ids))),
-        })
         out = verify(verify_t).to_pandas()
     else:
         ids_ds = pairs_ds.map_batches(

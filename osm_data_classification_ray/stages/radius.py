@@ -238,6 +238,11 @@ def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
         # would silently share a reducer group (correct output, quadratic
         # wasted enumeration). Widen the packing before lowering the bound.
         raise ValueError(f"radius_microdeg must be >= 25000, got {radius_microdeg}")
+    # The input lineage is consumed up to FOUR times (salt histogram, ghost
+    # emission, and the two url re-join projections) and Ray Data has no
+    # common-subplan elimination — pin the narrow (doc_id, url, lat, lon)
+    # table once instead of re-running the upstream read+filter per branch.
+    pages = pages.materialize()
     salt_map = (_square_histogram(pages, radius_microdeg, num_partitions,
                                   hot_threshold, max_salt)
                 if hot_threshold else None)

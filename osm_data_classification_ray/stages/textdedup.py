@@ -196,6 +196,48 @@ _PAIR_CHUNK = 1 << 20
 #: adds only the candidate payloads (≤ 2×pairs docs) to driver memory;
 #: beyond the limit the fully distributed join path runs.
 FAST_VERIFY_PAIR_LIMIT = int(os.environ.get("GRAFT_FAST_VERIFY_PAIR_LIMIT", "10000"))
+
+
+def fast_verify_table(pairs_ds, source_ds, id_col: str, payload_builder,
+                      out_a: str, out_b: str) -> pa.Table | None:
+    """Shared fast-verify assembly (minhash + embedding-LSH pipelines):
+    collect the (bounded) pair table, broadcast its candidate-id set, run
+    ONE filtered scan of ``source_ds`` building per-candidate payloads via
+    ``payload_builder`` (a batch fn returning an (id, payload) table —
+    id column first), and return the verify-ready table with columns
+    (doc_a, doc_b, ``out_a``, ``out_b``). Returns None when there are no
+    pairs. Caller feeds the result to its own verify kernel, so fast and
+    join paths share verification bit-for-bit."""
+    import ray
+
+    pt = pa.concat_tables([x for x in ray.get(pairs_ds.to_arrow_refs())]).combine_chunks()
+    if pt.num_rows == 0:
+        return None
+    pa_ids = np.asarray(pt["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    pb_ids = np.asarray(pt["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    cand_ref = ray.put(np.unique(np.concatenate([pa_ids, pb_ids])))
+
+    def filt(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(cand_ref)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(c, ids), len(c) - 1)
+        return payload_builder(t.filter(pa.array(c[pos] == ids)))
+
+    tab = pa.concat_tables(
+        [x for x in ray.get(source_ds.map_batches(
+            filt, batch_format="pyarrow").to_arrow_refs())]
+    ).combine_chunks()
+    ids = np.asarray(tab.column(0).to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    payload = tab.column(1).take(pa.array(order))
+    return pa.table({
+        "doc_a": pt["doc_a"], "doc_b": pt["doc_b"],
+        out_a: payload.take(pa.array(np.searchsorted(ids, pa_ids))),
+        out_b: payload.take(pa.array(np.searchsorted(ids, pb_ids))),
+    })
 #: log buckets larger than this (no-silent-caps policy; nothing is dropped)
 _HOT_BUCKET_LOG = 10_000
 
@@ -352,49 +394,19 @@ def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
     n_pairs = pairs_ds.count()
     if n_pairs <= FAST_VERIFY_PAIR_LIMIT:
         # Size-aware fast verify: the pair table is ALREADY the (bounded,
-        # driver-collected) query result, so under the limit the candidate
-        # id set (≤ 2×pairs) broadcasts via ray.put, ONE filtered scan of
-        # the docs side computes shingle sets for candidates only (no
-        # groupby, no joins — 4 fewer actor-pool exchanges), and the SAME
-        # verify kernel runs on the assembled pair batch. Output is
-        # bit-identical to the join path (tested both ways).
-        import ray
-
-        pt = (pa.concat_tables([x for x in ray.get(pairs_ds.to_arrow_refs())])
-              .combine_chunks())
-        if pt.num_rows == 0:
+        # driver-collected) query result, so under the limit the shared
+        # fast_verify_table assembly (broadcast candidate ids + one
+        # filtered scan — 4 fewer actor-pool exchanges) feeds the SAME
+        # verify kernel. Output is bit-identical to the join path (tested
+        # both ways).
+        verify_t = fast_verify_table(
+            pairs_ds, docs_ds, "doc_id",
+            lambda t: _shingle_sets_tab(t, shingle), "sh_a", "sh_b")
+        if verify_t is None:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "jaccard": pa.array([], pa.float64())})
-        pa_ids = np.asarray(pt["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        pb_ids = np.asarray(pt["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cand = np.unique(np.concatenate([pa_ids, pb_ids]))
-        cand_ref = ray.put(cand)
-
-        def sh_filter(t: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            c = _ray.get(cand_ref)
-            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            pos = np.minimum(np.searchsorted(c, ids), len(c) - 1)
-            t = t.filter(pa.array(c[pos] == ids))
-            return _shingle_sets_tab(t, shingle)
-
-        sh_tab = pa.concat_tables(
-            [x for x in ray.get(docs_ds.map_batches(
-                sh_filter, batch_format="pyarrow").to_arrow_refs())]
-        ).combine_chunks()
-        sh_ids = np.asarray(sh_tab["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(sh_ids, kind="stable")
-        sh_ids = sh_ids[order]
-        sh_col = sh_tab["sh"].take(pa.array(order))
-        verify_t = pa.table({
-            "doc_a": pt["doc_a"], "doc_b": pt["doc_b"],
-            "sh_a": sh_col.take(pa.array(np.searchsorted(sh_ids, pa_ids))),
-            "sh_b": sh_col.take(pa.array(np.searchsorted(sh_ids, pb_ids))),
-        })
-        out_t = _jaccard_verify_tab(verify_t, threshold)
-        out = out_t.to_pandas()
+        out = _jaccard_verify_tab(verify_t, threshold).to_pandas()
     else:
         # distinct candidate ids (narrow union of both pair sides)
         ids_ds = pairs_ds.map_batches(
