@@ -50,16 +50,34 @@ def _read_table_sorted(sf_dir: str, table: str, columns: list[str], key: str) ->
     return t.sort_by(key).combine_chunks()
 
 
+#: single-file tables at or below this size seed the Dataset from
+#: driver-read Arrow slices instead of a lazy read task: ONE read task
+#: yielding N SplitBlocks is throttled by streaming-generator backpressure
+#: and serializes the downstream operators (measured concurrency ≈ 1 on the
+#: bench seed — BASELINE.md round 4). Real corpus reads are many files /
+#: row groups and take the lazy path unchanged.
+_DRIVER_READ_LIMIT_BYTES = int(
+    os.environ.get("GRAFT_DRIVER_READ_LIMIT_MB", "64")) * 1024 * 1024
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
     from ..runtime import use_hash_shuffle
 
     use_hash_shuffle()  # before dataset creation: strategy is captured then
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if _table_bytes(sf_dir, table) <= _DRIVER_READ_LIMIT_BYTES:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=columns).replace_schema_metadata(None)
+        n = max(1, default_partitions())
+        step = -(-t.num_rows // n) or 1
+        return rd.from_arrow([t.slice(k, step) for k in range(0, max(t.num_rows, 1), step)])
     # single-file inputs arrive as one block; ask the reader to split so
     # downstream map_batches parallelize (no-op for already-small tables)
     ds = rd.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"),
+        path,
         columns=columns,
         override_num_blocks=default_partitions(),
     )
