@@ -232,6 +232,63 @@ def q03_top_revenue_orders(sf_dir: str):
                              pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
 
+    small_dim = _table_bytes(sf_dir, "orders") <= _BROADCAST_JOIN_LIMIT_BYTES
+    if small_dim and _table_bytes(sf_dir, "lineitem") <= _DRIVER_READ_LIMIT_BYTES:
+        # Zero-exchange variant: when the FACT side itself fits the
+        # driver-read limit, per-block integer partials (sort + reduceat —
+        # same associative int64 sums HashAggregate computes) combine on
+        # the driver, bounded by blocks × dim keys with dim already
+        # broadcast-small. Skips the aggregator actor pool entirely
+        # (measured ~3.7 s fixed for this groupby in-session). Larger
+        # facts take the distributed aggregate below.
+        import ray
+
+        def partial(t: pa.Table) -> pa.Table:
+            p = prep(t)
+            k = np.asarray(p["l_orderkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            v = np.asarray(p["rev_e4"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            order = np.argsort(k, kind="stable")
+            k, v = k[order], v[order]
+            new = np.empty(len(k), dtype=bool)
+            if len(k):
+                new[0] = True
+                np.not_equal(k[1:], k[:-1], out=new[1:])
+            starts = np.flatnonzero(new)
+            sums = np.add.reduceat(v, starts) if len(k) else v
+            return pa.table({"l_orderkey": pa.array(k[starts], pa.int64()),
+                             "rev_e4_sum": pa.array(sums, pa.int64())})
+
+        parts = pa.concat_tables(
+            [x for x in ray.get(li.map_batches(
+                partial, batch_format="pyarrow").to_arrow_refs())]
+        ).combine_chunks()
+        k = np.asarray(parts["l_orderkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = np.asarray(parts["rev_e4_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        dim = _read_table_sorted(sf_dir, "orders", ["o_orderkey", "o_orderdate"], "o_orderkey")
+        if len(k) == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([], dim["o_orderdate"].type),
+                             "revenue": pa.array([], pa.float64())})
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        np.not_equal(k[1:], k[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        keys = k[starts]
+        sums = np.add.reduceat(v, starts)
+        dkeys = np.asarray(dim["o_orderkey"].to_numpy(zero_copy_only=False))
+        pos = np.minimum(np.searchsorted(dkeys, keys), len(dkeys) - 1)
+        hit = dkeys[pos] == keys
+        out_t = pa.table({
+            "o_orderkey": pa.array(keys[hit], pa.int64()),
+            "o_orderdate": dim["o_orderdate"].take(pa.array(pos[hit])),
+            "revenue": pa.array(sums[hit].astype(np.float64) / 10_000.0, pa.float64()),
+        })
+        df = out_t.to_pandas().sort_values(
+            ["revenue", "o_orderkey"], ascending=[False, True], kind="mergesort").head(10)
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
     # aggregate revenue per orderkey BEFORE the join: the join then moves
     # one row per order instead of one per lineitem (~4x fewer rows through
     # the exchange), and the post-join groupby on (key, date) disappears —
@@ -240,7 +297,7 @@ def q03_top_revenue_orders(sf_dir: str):
         "l_orderkey", num_partitions=default_partitions()
     ).aggregate(Sum("rev_e4", alias_name="rev_e4_sum"))
 
-    if _table_bytes(sf_dir, "orders") <= _BROADCAST_JOIN_LIMIT_BYTES:
+    if small_dim:
         # size-aware broadcast dim join (J2): below the threshold the dim
         # side ships ONCE via ray.put and each block joins against the
         # sorted key vector with searchsorted — one shuffle (the groupby)

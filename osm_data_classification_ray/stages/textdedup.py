@@ -312,11 +312,20 @@ def bucket_pairs_block(block: pa.Table):
 
 
 def dedup_pairs_block(block: pa.Table) -> pa.Table:
-    """(doc_a, doc_b)-colocated block → distinct pairs (vectorized)."""
+    """(doc_a, doc_b)-colocated block → distinct pairs (lexsort + run-length
+    keep; block-internal row order is not a contract — every consumer sorts
+    or groups downstream)."""
     if block.num_rows == 0:
         return _empty_pairs()
-    df = block.to_pandas().drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    a = np.asarray(block["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    b = np.asarray(block["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=keep[1:])
+    return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                     "doc_b": pa.array(b[keep], pa.int64())})
 
 
 def _shingle_sets_tab(t: pa.Table, shingle: str) -> pa.Table:

@@ -103,17 +103,21 @@ def test_semi_anti_shuffle_variant_matches_broadcast(ray_session, duck, name, mo
         assert got[col].to_pylist() == want[col].to_pylist(), f"{name}: {col}"
 
 
-def test_q03_shuffle_join_variant_matches_broadcast(ray_session, duck, monkeypatch):
-    """J1 both ways: q03's distributed hash-join path (the 100-TB regime,
-    taken when the dim side exceeds the broadcast threshold) must equal the
-    size-aware broadcast path AND the oracle."""
+def test_q03_all_three_paths_match(ray_session, duck, monkeypatch):
+    """q03's size-aware plans must all agree with each other AND the
+    oracle: (1) zero-exchange (small fact + small dim — map partials +
+    driver combine), (2) distributed aggregate + broadcast-dim join, (3)
+    fully distributed aggregate + hash join (the 100-TB regime)."""
     from osm_data_classification_ray.pipelines import relational as R
 
     fn, sql = ALL_ORACLE_QUERIES["q03_top_revenue_orders"]
+    got_zero = _normalize(_ray_table(fn(SF_DIR)))
+    monkeypatch.setattr(R, "_DRIVER_READ_LIMIT_BYTES", 0)
     got_b = _normalize(_ray_table(fn(SF_DIR)))
     monkeypatch.setattr(R, "_BROADCAST_JOIN_LIMIT_BYTES", 0)
     got_j = _normalize(_ray_table(fn(SF_DIR)))
     want = _normalize(duck.execute(sql).arrow())
+    assert got_zero.equals(got_b)
     assert got_b.equals(got_j)
     for col in got_b.column_names:
         assert got_b[col].to_pylist() == want[col].to_pylist(), col
