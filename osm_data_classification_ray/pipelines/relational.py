@@ -120,6 +120,31 @@ def _topk_table(ds, k: int, by: list[str], ascending: list[bool]) -> pa.Table:
 # q01 — pricing summary (A1/A3 style wide aggregate; TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
 
+def _small_grouped_int_sums(prepped_ds, keys: list[str], sum_cols: list[str]) -> pa.Table:
+    """Zero-exchange grouped aggregate for facts under the driver-read
+    limit: per-block Arrow ``group_by`` partials (int64 sums + row count,
+    any key type) collected and combined in ONE driver-side group_by —
+    exact because integer sums/counts are associative. Skips the
+    HashAggregate actor pool (~1.8 s fixed per execution). Output columns:
+    keys + ``<col>_sum`` per sum col + ``n_rows``."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(keys + sum_cols).group_by(keys)
+                .aggregate([(c, "sum") for c in sum_cols] + [([], "count_all")]))
+
+    parts = pa.concat_tables(
+        [x for x in ray.get(prepped_ds.map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs())]
+    ).combine_chunks()
+    comb = parts.group_by(keys).aggregate(
+        [(f"{c}_sum", "sum") for c in sum_cols] + [("count_all", "sum")])
+    names = keys + [f"{c}_sum" for c in sum_cols] + ["n_rows"]
+    return comb.select([k for k in keys]
+                       + [f"{c}_sum_sum" for c in sum_cols]
+                       + ["count_all_sum"]).rename_columns(names)
+
+
 def q01_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -141,16 +166,25 @@ def q01_pricing_summary(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"], num_partitions=default_partitions())
-        .aggregate(
-            Sum("qty", alias_name="sum_qty_i"),
-            Sum("ext_c", alias_name="ext_c_sum"),
-            Sum("disc_price_e4", alias_name="disc_e4_sum"),
-            Count(alias_name="count_order"),
+    keys = ["l_returnflag", "l_linestatus"]
+    if _table_bytes(sf_dir, "lineitem") <= _DRIVER_READ_LIMIT_BYTES:
+        # zero-exchange plan (small fact): block partials + driver combine
+        comb = _small_grouped_int_sums(
+            ds.map_batches(prep, batch_format="pyarrow"), keys,
+            ["qty", "ext_c", "disc_price_e4"])
+        agg = comb.rename_columns(
+            keys + ["sum_qty_i", "ext_c_sum", "disc_e4_sum", "count_order"])
+    else:
+        agg = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(keys, num_partitions=default_partitions())
+            .aggregate(
+                Sum("qty", alias_name="sum_qty_i"),
+                Sum("ext_c", alias_name="ext_c_sum"),
+                Sum("disc_price_e4", alias_name="disc_e4_sum"),
+                Count(alias_name="count_order"),
+            )
         )
-    )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -166,6 +200,8 @@ def q01_pricing_summary(sf_dir: str):
             }
         )
 
+    if isinstance(agg, pa.Table):
+        return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow")
 
 

@@ -123,6 +123,22 @@ def test_q03_all_three_paths_match(ray_session, duck, monkeypatch):
         assert got_b[col].to_pylist() == want[col].to_pylist(), col
 
 
+def test_q01_zero_exchange_matches_distributed(ray_session, duck, monkeypatch):
+    """q01's zero-exchange small-fact plan (Arrow group_by partials +
+    driver combine — exercises STRING grouping keys) must equal the
+    distributed HashAggregate plan and the oracle."""
+    from osm_data_classification_ray.pipelines import relational as R
+
+    fn, sql = ALL_ORACLE_QUERIES["q01_pricing_summary"]
+    got_zero = _normalize(_ray_table(fn(SF_DIR)))
+    monkeypatch.setattr(R, "_DRIVER_READ_LIMIT_BYTES", 0)
+    got_dist = _normalize(_ray_table(fn(SF_DIR)))
+    want = _normalize(duck.execute(sql).arrow())
+    assert got_zero.equals(got_dist)
+    for col in got_zero.column_names:
+        assert got_zero[col].to_pylist() == want[col].to_pylist(), col
+
+
 @pytest.mark.parametrize("name", sorted(ALL_ORACLE_QUERIES))
 def test_query_matches_oracle(ray_session, duck, name):
     fn, sql = ALL_ORACLE_QUERIES[name]
