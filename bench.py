@@ -252,12 +252,15 @@ def main() -> None:
     stop_evt.set()
     head_vals = sorted(s[1] for s in bw_samples[:n_head])
     bw_vals = sorted(s[1] for s in bw_samples)
+    # key semantics (ADVICE round-4): bw_min_gbs / bw_median_gbs summarize
+    # the FULL run (comparable with BENCH_r01-r03 under the same keys); the
+    # headline-window-only values carry the explicit _headline suffix
     bw_summary = {
         "bw_samples": bw_samples,
-        "bw_min_gbs": head_vals[0] if head_vals else None,
-        "bw_median_gbs": head_vals[len(head_vals) // 2] if head_vals else None,
-        "bw_min_gbs_full": bw_vals[0] if bw_vals else None,
-        "bw_median_gbs_full": bw_vals[len(bw_vals) // 2] if bw_vals else None,
+        "bw_min_gbs": bw_vals[0] if bw_vals else None,
+        "bw_median_gbs": bw_vals[len(bw_vals) // 2] if bw_vals else None,
+        "bw_min_gbs_headline": head_vals[0] if head_vals else None,
+        "bw_median_gbs_headline": head_vals[len(head_vals) // 2] if head_vals else None,
         "bw_headline_samples": n_head,
     }
 

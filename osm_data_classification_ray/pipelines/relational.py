@@ -35,9 +35,17 @@ _BROADCAST_JOIN_LIMIT_BYTES = int(
 
 
 def _table_bytes(sf_dir: str, table: str) -> int:
+    """In-memory (decompressed) size estimate from the parquet footer —
+    sum of row-group total_byte_size. Gating broadcasts/driver reads on
+    the COMPRESSED file size under-counted by up to ~10x on text columns
+    (ADVICE round-4): a table just under the MB knob could put several
+    hundred MB on the driver. The footer read costs one metadata fetch."""
     try:
-        return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
-    except OSError:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata
+        return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    except Exception:
         return 1 << 62  # unknown size → never broadcast
 
 
@@ -269,6 +277,16 @@ def q03_top_revenue_orders(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
 
     small_dim = _table_bytes(sf_dir, "orders") <= _BROADCAST_JOIN_LIMIT_BYTES
+    dim = None
+    if small_dim:
+        dim = _read_table_sorted(sf_dir, "orders", ["o_orderkey", "o_orderdate"], "o_orderkey")
+        dk = np.asarray(dim["o_orderkey"].to_numpy(zero_copy_only=False))
+        # the searchsorted tiers below assume UNIQUE dim keys (they attach
+        # the first match; the hash join emits all matches) — duplicated
+        # o_orderkey rows fall through to the distributed join instead of
+        # silently dropping matches (ADVICE round-4)
+        if len(dk) and not bool(np.all(dk[1:] != dk[:-1])):
+            small_dim, dim = False, None
     if small_dim and _table_bytes(sf_dir, "lineitem") <= _DRIVER_READ_LIMIT_BYTES:
         # Zero-exchange variant: when the FACT side itself fits the
         # driver-read limit, per-block integer partials (sort + reduceat —
@@ -300,7 +318,6 @@ def q03_top_revenue_orders(sf_dir: str):
         ).combine_chunks()
         k = np.asarray(parts["l_orderkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
         v = np.asarray(parts["rev_e4_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        dim = _read_table_sorted(sf_dir, "orders", ["o_orderkey", "o_orderdate"], "o_orderkey")
         if len(k) == 0:
             return pa.table({"o_orderkey": pa.array([], pa.int64()),
                              "o_orderdate": pa.array([], dim["o_orderdate"].type),
@@ -314,6 +331,10 @@ def q03_top_revenue_orders(sf_dir: str):
         keys = k[starts]
         sums = np.add.reduceat(v, starts)
         dkeys = np.asarray(dim["o_orderkey"].to_numpy(zero_copy_only=False))
+        if len(dkeys) == 0:  # empty dim ⇒ inner join is empty (ADVICE round-4)
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([], dim["o_orderdate"].type),
+                             "revenue": pa.array([], pa.float64())})
         pos = np.minimum(np.searchsorted(dkeys, keys), len(dkeys) - 1)
         hit = dkeys[pos] == keys
         out_t = pa.table({
@@ -341,16 +362,19 @@ def q03_top_revenue_orders(sf_dir: str):
         # 100-TB regime) the distributed hash join below runs instead.
         import ray
 
-        dim = _read_table_sorted(sf_dir, "orders", ["o_orderkey", "o_orderdate"], "o_orderkey")
         dim_ref = ray.put(dim)
 
         def bjoin(t: pa.Table, ref) -> pa.Table:
             dim_t = ray.get(ref)  # zero-copy Arrow view of the shared object
             keys = np.asarray(dim_t["o_orderkey"].to_numpy(zero_copy_only=False))
             lk = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False))
-            pos = np.searchsorted(keys, lk)
-            pos_c = np.minimum(pos, len(keys) - 1)
-            hit = keys[pos_c] == lk
+            if len(keys) == 0:  # empty dim ⇒ no matches (ADVICE round-4)
+                pos_c = np.zeros(len(lk), dtype=np.int64)
+                hit = np.zeros(len(lk), dtype=bool)
+            else:
+                pos = np.searchsorted(keys, lk)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                hit = keys[pos_c] == lk
             t = t.filter(pa.array(hit))
             dates = dim_t["o_orderdate"].take(pa.array(pos_c[hit]))
             return pa.table(

@@ -120,15 +120,22 @@ class CandidateEmitter:
 
 def finalize_topk(cands: pa.Table, queries: pa.Table) -> pa.Table:
     """Exact top-k per query over the pruned candidates; frozen tie order
-    (dist_m, url) ascending. One lexsort + vectorized per-group cumcount
-    (ann._final_topk pattern) — the only Python loop is over the bounded
-    query list, never over candidate rows."""
+    (dist_m, url) ascending. One Arrow multi-key sort + vectorized
+    per-group cumcount (ann._final_topk pattern) — the only Python loop is
+    over the bounded query list, never over candidate rows."""
+    import pyarrow.compute as pc
+
     k_by_q = {int(r["query_id"]): int(r["k"]) for r in queries.to_pylist()}
+    # Arrow-native multi-key sort: same frozen (query_id, dist_m, url)
+    # ascending order as the old np.lexsort, but the url tie-break runs on
+    # the string buffers (UTF-8 byte order == code-point order) instead of
+    # a numpy object array (VERDICT round-4 #5)
+    order = pc.sort_indices(cands, sort_keys=[("query_id", "ascending"),
+                                              ("dist_m", "ascending"),
+                                              ("url", "ascending")])
+    cands = cands.take(order).combine_chunks()
     q = np.asarray(cands["query_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     d = np.asarray(cands["dist_m"].to_numpy(zero_copy_only=False), dtype=np.float64)
-    u = np.asarray(cands["url"].to_pylist(), dtype=object)
-    order = np.lexsort((u, d, q))
-    q, d, u = q[order], d[order], u[order]
     n = len(q)
     # rank within each query run = index − run start + 1
     starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]]) if n else np.zeros(0, np.int64)
@@ -139,10 +146,11 @@ def finalize_topk(cands: pa.Table, queries: pa.Table) -> pa.Table:
     karr = np.fromiter((k_by_q.get(int(x), 0) for x in uq), dtype=np.int64,
                        count=len(uq))
     keep = rank <= karr[inv] if n else np.zeros(0, bool)
+    kept = cands.filter(pa.array(keep))
     return pa.table(
         {
             "query_id": pa.array(q[keep], type=pa.int64()),
-            "url": pa.array(u[keep], type=pa.string()),
+            "url": kept["url"].cast(pa.string()),
             "rank": pa.array(rank[keep], type=pa.int32()),
             "dist_m": pa.array(d[keep], type=pa.float64()),
         }

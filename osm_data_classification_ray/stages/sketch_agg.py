@@ -15,7 +15,20 @@ from ..functions import sketches as sk
 
 def hll_partials(batch: pa.Table, key_col: str, val_col: str) -> pa.Table:
     keys = np.asarray(batch[key_col].to_numpy(zero_copy_only=False))
-    vals = batch[val_col].to_pylist()
+    # hash the whole value column ONCE off the Arrow string buffers
+    # (vectorized FNV-1a + splitmix finalize — bitwise the same stream
+    # hll_create derives per group via fnv1a_list; VERDICT round-4 #4,
+    # the last row-at-a-time to_pylist in the sketch hot path). Non-string
+    # columns keep the per-group list path.
+    if pa.types.is_string(batch[val_col].type) or pa.types.is_large_string(batch[val_col].type):
+        from ..functions.strhash import fnv1a_arrow
+        from ..fixtures.gen import hash_u64
+
+        hv = hash_u64(fnv1a_arrow(batch[val_col]), 931)
+        vals = None
+    else:
+        hv = None
+        vals = batch[val_col].to_pylist()
     out_k, out_s = [], []
     order = np.argsort(keys, kind="stable")
     keys_s = keys[order]
@@ -23,7 +36,8 @@ def hll_partials(batch: pa.Table, key_col: str, val_col: str) -> pa.Table:
     for i in range(len(bounds) - 1):
         rows = order[bounds[i] : bounds[i + 1]]
         out_k.append(keys_s[bounds[i]])
-        out_s.append(sk.hll_create([vals[r] for r in rows]).tobytes())
+        group = hv[rows] if hv is not None else [vals[r] for r in rows]
+        out_s.append(sk.hll_create(group).tobytes())
     # key must be a shuffle-safe type (string / int64); bit-cast uint64 cell
     # ids to int64 upstream (see stages.rollup note on uint64 keys)
     return pa.table(

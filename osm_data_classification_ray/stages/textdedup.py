@@ -233,10 +233,25 @@ def fast_verify_table(pairs_ds, source_ds, id_col: str, payload_builder,
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     payload = tab.column(1).take(pa.array(order))
+    # validated lookup (ADVICE round-4): current callers always derive the
+    # pairs from source_ds, but the helper's contract is INNER-join
+    # semantics — an id absent from the payload table must DROP its pair
+    # (exactly what the distributed join path does), never attach an
+    # adjacent payload (mid-range miss) or raise on take() (beyond-max)
+    if len(ids) == 0:
+        hit = np.zeros(len(pa_ids), dtype=bool)
+        pos_a = pos_b = np.zeros(len(pa_ids), dtype=np.int64)
+    else:
+        pos_a = np.minimum(np.searchsorted(ids, pa_ids), len(ids) - 1)
+        pos_b = np.minimum(np.searchsorted(ids, pb_ids), len(ids) - 1)
+        hit = (ids[pos_a] == pa_ids) & (ids[pos_b] == pb_ids)
+    if not hit.all():
+        pt = pt.filter(pa.array(hit))
+        pos_a, pos_b = pos_a[hit], pos_b[hit]
     return pa.table({
         "doc_a": pt["doc_a"], "doc_b": pt["doc_b"],
-        out_a: payload.take(pa.array(np.searchsorted(ids, pa_ids))),
-        out_b: payload.take(pa.array(np.searchsorted(ids, pb_ids))),
+        out_a: payload.take(pa.array(pos_a)),
+        out_b: payload.take(pa.array(pos_b)),
     })
 #: log buckets larger than this (no-silent-caps policy; nothing is dropped)
 _HOT_BUCKET_LOG = 10_000
