@@ -666,12 +666,45 @@ def run_cell_features(cfg: EngineConfig) -> str:
     return ckpt.run_stage(cfg.out_root, "cell_features", fp, build, extra_meta=chosen)
 
 
+#: cell_features manifest rows at or below which the tiny downstream
+#: stages (tiles, classify) run as the SAME frozen math on the collected
+#: table instead of paying the Dataset executor's fixed cost (~1-2 s per
+#: execution — the dominant wall for 10³-10⁴-row per-cell aggregates;
+#: measured round 5). cell_features is a per-cell rollup, orders of
+#: magnitude smaller than pages, but its cardinality still scales with
+#: occupied cells, so the distributed paths below remain the default
+#: above the bound (the 100-TB regime). Env-tunable; 0 disables the tier.
+_DRIVER_STAGE_LIMIT_ROWS = int(os.environ.get("GRAFT_DRIVER_STAGE_LIMIT_ROWS", "2000000"))
+
+_TILE_COLUMNS = ["cell", "res", "n_pages", "n_hosts", "mean_tokens"]
+
+
 def run_tiles(cfg: EngineConfig) -> str:
     fp = ckpt.fingerprint(cfg.fp({"stage": "tiles"}),
                           [ckpt.manifest_path(cfg.out_root, "cell_features")])
+    if ckpt.is_complete(cfg.out_root, "tiles", fp):
+        return os.path.join(cfg.out_root, "tiles")
+
+    rows_cf = ckpt.stage_rows(cfg.out_root, "cell_features")
+    if rows_cf is not None and 0 < rows_cf <= _DRIVER_STAGE_LIMIT_ROWS:
+        # driver tier: tiles_from_features is row-local, so applying the
+        # very same batch fn to the concatenated (bounded) table is
+        # bit-identical to the Dataset map over per-file blocks
+        import time
+
+        import pyarrow.parquet as pq
+
+        t0 = time.monotonic()
+        tab = pa.concat_tables(
+            pq.read_table(f, columns=_TILE_COLUMNS)
+            for f in ckpt.stage_files(cfg.out_root, "cell_features"))
+        out = features.tiles_from_features(tab)
+        return ckpt.run_stage_table(cfg.out_root, "tiles", fp, out,
+                                    wall_s=time.monotonic() - t0,
+                                    extra_meta={"tier": "driver"})
 
     def build():
-        ds = read_stage(cfg.out_root, "cell_features", ["cell", "res", "n_pages", "n_hosts", "mean_tokens"])
+        ds = read_stage(cfg.out_root, "cell_features", _TILE_COLUMNS)
         return ds.map_batches(features.tiles_from_features, batch_format="pyarrow")
 
     return ckpt.run_stage(cfg.out_root, "tiles", fp, build)
@@ -723,6 +756,58 @@ def run_page_admin(cfg: EngineConfig, admin_table: pa.Table) -> str:
 # job 3: classify — normalize → PCA → KMeans → assignments
 # ---------------------------------------------------------------------------
 
+def _fit_models_local(tbl: pa.Table):
+    """Driver fit on the entity-sorted matrix: bitwise parallelism-
+    invariant (SURVEY.md risk R2). Returns (stats, pca_model, km)."""
+    order = pc.sort_indices(tbl, sort_keys=[("cell", "ascending")])
+    tbl = tbl.take(order)
+    ents, X = features.features_matrix(tbl)
+    Z, mean, std = normalize.normalize_local(X)
+    pca_model = pca.fit_local(Z)
+    pcs = (Z - pca_model.mean) @ pca_model.components.T
+    inertias: dict[int, float] = {}
+    models: dict[int, kmeans.KMeansModel] = {}
+    for k in range(kmeans.K_RANGE[0] - 1, kmeans.K_RANGE[1] + 1):
+        if k < 1:
+            continue
+        m, _ = kmeans.fit_local(pcs, k)
+        inertias[k] = m.inertia
+        models[k] = m
+    km = models[kmeans.choose_k_by_elbow(inertias)]
+    return {"mean": mean, "std": std}, pca_model, km
+
+
+def _run_classify_driver(cfg: EngineConfig, fp: str, model_dir: str) -> dict[str, str]:
+    """Driver tier of classify (size-aware): when the cell_features
+    manifest rows fit the driver bound, fit AND transform/assign run on
+    the collected table — through the very same batch callables the actor
+    pools execute (PCATransformer / KMeansAssigner / make_normalizer), so
+    the output is bit-identical by construction — skipping two Dataset
+    executions of fixed executor + actor-pool cost. The distributed path
+    stays the over-threshold default (pinned equal by tests)."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    t0 = time.monotonic()
+    tab = pa.concat_tables(
+        pq.read_table(f) for f in ckpt.stage_files(cfg.out_root, "cell_features"))
+    feats7 = tab.filter(
+        pc.equal(tab["res"], pa.scalar(features.FEATURE_RES, pa.int8()))).combine_chunks()
+    stats, pca_model, km = _fit_models_local(feats7)
+    os.makedirs(model_dir, exist_ok=True)
+    pq.write_table(pca_model.to_table(), os.path.join(model_dir, "pca_model.parquet"))
+    pq.write_table(km.to_table(), os.path.join(model_dir, "kmeans_model.parquet"))
+    out_tab = kmeans.KMeansAssigner(km)(
+        pca.PCATransformer(pca_model)(normalize.make_normalizer(stats)(feats7)))
+    out = ckpt.run_stage_table(
+        cfg.out_root, "cluster_assignments", fp, out_tab,
+        wall_s=time.monotonic() - t0,
+        extra_meta={"k": int(len(km.centroids)),
+                    "n_entities": int(feats7.num_rows), "tier": "driver"})
+    return {"cluster_assignments": out, "models": model_dir}
+
+
 def run_classify(cfg: EngineConfig) -> dict[str, str]:
     import ray
     import ray.data as rd
@@ -736,6 +821,11 @@ def run_classify(cfg: EngineConfig) -> dict[str, str]:
     ):
         return {"cluster_assignments": done, "models": model_dir}
 
+    rows_cf = ckpt.stage_rows(cfg.out_root, "cell_features")
+    if rows_cf is not None and 0 < rows_cf <= min(_DRIVER_STAGE_LIMIT_ROWS,
+                                                  cfg.fit_collect_limit):
+        return _run_classify_driver(cfg, fp, model_dir)
+
     feats7 = read_stage(cfg.out_root, "cell_features").map_batches(
         lambda t: t.filter(pc.equal(t["res"], pa.scalar(features.FEATURE_RES, pa.int8()))),
         batch_format="pyarrow",
@@ -743,27 +833,10 @@ def run_classify(cfg: EngineConfig) -> dict[str, str]:
     n_entities = feats7.count()
 
     if n_entities <= cfg.fit_collect_limit:
-        # driver fit on the entity-sorted matrix: bitwise parallelism-invariant
-        # (SURVEY.md risk R2). Entities = per-cell aggregates, orders of
-        # magnitude smaller than pages.
+        # driver fit; entities = per-cell aggregates, orders of magnitude
+        # smaller than pages
         tbl = pa.concat_tables(ray.get(feats7.to_arrow_refs()))
-        order = pc.sort_indices(tbl, sort_keys=[("cell", "ascending")])
-        tbl = tbl.take(order)
-        ents, X = features.features_matrix(tbl)
-        Z, mean, std = normalize.normalize_local(X)
-        pca_model = pca.fit_local(Z)
-        pcs = (Z - pca_model.mean) @ pca_model.components.T
-        inertias: dict[int, float] = {}
-        models: dict[int, kmeans.KMeansModel] = {}
-        for k in range(kmeans.K_RANGE[0] - 1, kmeans.K_RANGE[1] + 1):
-            if k < 1:
-                continue
-            m, _ = kmeans.fit_local(pcs, k)
-            inertias[k] = m.inertia
-            models[k] = m
-        k = kmeans.choose_k_by_elbow(inertias)
-        km = models[k]
-        stats = {"mean": mean, "std": std}
+        stats, pca_model, km = _fit_models_local(tbl)
     else:  # distributed fit path (documented fallback; deterministic up to block structure)
         stats = normalize.compute_stats(feats7)
         norm_ds = feats7.map_batches(normalize.make_normalizer(stats), batch_format="pyarrow")

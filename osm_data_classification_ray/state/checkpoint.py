@@ -181,6 +181,43 @@ def finalize_dir_stage(
     return final
 
 
+def run_stage_table(
+    root: str,
+    stage: str,
+    fp: str,
+    table,
+    *,
+    wall_s: float,
+    extra_meta: dict[str, Any] | None = None,
+) -> str:
+    """Checkpoint a DRIVER-computed Arrow table as a stage — the write half
+    of the size-aware driver tiers (tiny per-cell aggregate stages skip the
+    Dataset executor's fixed cost entirely when their input fits the
+    driver bound). Same manifest/_SUCCESS/fingerprint contract as
+    ``run_stage``; callers must have checked ``is_complete`` first."""
+    import pyarrow.parquet as pq
+
+    final = os.path.join(root, stage)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-000000.parquet"), compression="zstd")
+    with open(os.path.join(tmp, "stats.txt"), "w") as f:
+        f.write("driver-tier stage: computed on the driver, no Dataset execution\n")
+    return finalize_dir_stage(root, stage, fp, tmp, wall_s=wall_s, extra_meta=extra_meta)
+
+
+def stage_rows(root: str, stage: str) -> int | None:
+    """Row count from a completed stage's manifest (None if absent) — the
+    cheap size signal the driver tiers gate on."""
+    try:
+        with open(manifest_path(root, stage)) as f:
+            return int(json.load(f)["rows"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def stage_files(root: str, stage: str) -> list[str]:
     d = os.path.join(root, stage)
     return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]

@@ -145,6 +145,47 @@ def test_manifest_lineage(ray_outputs):
     assert os.path.exists(os.path.join(paths["captures"], "_SUCCESS"))
 
 
+def test_driver_tier_stages_match_distributed(golden, ray_outputs, tmp_path_factory):
+    """tiles + classify size-aware driver tiers (round 5) vs the
+    distributed Dataset paths: identical outputs. ``ray_outputs`` runs
+    the driver tiers (small input); this rerun forces the distributed
+    paths by zeroing the tier threshold."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    docs, admin, _ = golden
+    cfg, paths = ray_outputs
+    with open(os.path.join(paths["tiles"], "manifest.json")) as f:
+        assert json.load(f)["meta"].get("tier") == "driver"
+    with open(os.path.join(paths["cluster_assignments"], "manifest.json")) as f:
+        assert json.load(f)["meta"].get("tier") == "driver"
+
+    d2 = tmp_path_factory.mktemp("engine_out_dist")
+    src2 = tmp_path_factory.mktemp("docs_in_dist")
+    pq.write_table(docs, src2 / "documents.parquet")
+    cfg2 = spatial.EngineConfig(out_root=str(d2), num_partitions=4,
+                                pip_concurrency=(1, 2), hot_threshold=100, max_salt=4)
+    old = spatial._DRIVER_STAGE_LIMIT_ROWS
+    spatial._DRIVER_STAGE_LIMIT_ROWS = 0
+    try:
+        paths2 = spatial.run_all(
+            cfg2,
+            lambda: rd.read_parquet(str(src2 / "documents.parquet")).repartition(8),
+            admin,
+        )
+    finally:
+        spatial._DRIVER_STAGE_LIMIT_ROWS = old
+    with open(os.path.join(paths2["tiles"], "manifest.json")) as f:
+        assert json.load(f)["meta"].get("tier") is None
+    for name, keys in [("tiles", ["res", "cell"]),
+                       ("cluster_assignments", ["entity"])]:
+        a = canon(_read(paths, name), keys)
+        b = canon(_read(paths2, name), keys)
+        assert a.equals(b), f"{name} differs between driver tier and distributed"
+
+
 def test_bucketed_dedup_mode_identical(golden, tmp_path_factory, ray_session):
     """dedup_mode="bucketed" (layout colocation, no shuffle) must produce
     the same captures table as the shuffle path."""
