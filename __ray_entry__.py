@@ -57,7 +57,13 @@ _DRIVER_WINDOW = [
     "q22_chargram_near_dup", "q23_embedding_topk", "q24_embedding_near_dup",
     # (q29 rotated out: multimodal stays in-window via q73's richer frame
     # fan-out; q29 keeps its repo oracle test and CORRECTNESS_r02 row)
-    "q26_langid", "q27_quality", "q28_rolling_fingerprint",
+    # (q28 rotated out round 5: its Rabin-Karp window kernel stays
+    # in-window through q70, which reuses Q28's window CTE; q28 keeps its
+    # repo oracle test and CORRECTNESS_r01-r04 green rows. q93 — the IVF
+    # index driven at nprobe = nlist, recall exactly 1, hash-checked
+    # against the q23 brute-force oracle — enters, giving the IVF
+    # machinery its first hash-green driver row.)
+    "q26_langid", "q27_quality", "q93_ann_ivf_exhaustive",
     "q39_hll_distinct", "q44_near_dup_groups",
     "q47_clean_corpus", "q52_embedding_all_nn",
     "q55_tfidf_top_terms", "q66_minhash_bands", "q69_decontaminate",

@@ -163,6 +163,26 @@ def q25_ann_ivf(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+def q93_ann_ivf_exhaustive(sf_dir: str):
+    """The IVF machinery driven at nprobe = nlist — every inverted list is
+    probed, so the partition-pruned read covers the WHOLE corpus and
+    recall is exactly 1 by construction: the output must equal the
+    brute-force top-k, which makes the full IVF path (physical
+    hive-partitioned index build, centroid assign, probed-partition read,
+    per-batch partial top-k, final merge) hash-checkable against the q23
+    oracle (VERDICT round-4 #6). The production configuration (q25,
+    nprobe=4) keeps recall < 1 by design and stays rows-only past the
+    driver window."""
+    import os
+
+    from .entry_support import _input_id
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    root = os.path.join("/tmp/graft_engine", f"ivf-{_input_id(sf_dir, 'embeddings')}")
+    out = ann.ivf_topk(ds, _QUERY_VEC_IDS, k=5, nlist=16, nprobe=16, index_root=root)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 def q66_minhash_bands(sf_dir: str):
     """The MinHash-LSH exchange keys themselves, driver-verified: per doc,
     the 16 (band, bucket) rows that stages/textdedup.py ships through the
@@ -1729,6 +1749,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_embedding_near_dup": (q24_embedding_near_dup, Q24_SQL),
     "q25_ann_ivf": (q25_ann_ivf, None),
+    # exhaustive probing ⇒ recall 1 ⇒ the brute-force oracle is exact
+    "q93_ann_ivf_exhaustive": (q93_ann_ivf_exhaustive, Q23_SQL),
     "q26_langid": (q26_langid, Q26_SQL),
     "q27_quality": (q27_quality, Q27_SQL),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
