@@ -50,11 +50,20 @@ _DRIVER_WINDOW = [
     # hashable uint64 columns, with a recursive-CTE Hilbert oracle) enters;
     # q54 leaves (q52 covers the exact-cosine O(n^2) baseline family; q54
     # keeps its repo oracle test and CORRECTNESS_r03 green row)
+    # round-5 rotation: q97 (hex focal/neighborhood smoothing — the raster
+    # focal-mean of geo-analytics, with an independent axial self-join
+    # oracle), q94 (unigram-LM logprob quality scoring, the CCNet-style
+    # perplexity filter in exact-integer form) and q96 (PII scrub with
+    # planted addresses) enter; q22 leaves (near-dup family stays via
+    # q20/q21/q24/q44/q70), q47 leaves (a composite of in-window ops) and
+    # q52 leaves (exact-cosine family stays via q23 + the new q93) — all
+    # three keep their repo oracle tests and CORRECTNESS_r04 green rows.
     "q90_coverage_gap", "q91_admin_profile", "q92_page_s2_cells",
+    "q97_focal_smooth",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
     "q19_bpe_tokens", "q20_minhash_near_dup", "q21_simhash_near_dup",
-    "q22_chargram_near_dup", "q23_embedding_topk", "q24_embedding_near_dup",
+    "q23_embedding_topk", "q24_embedding_near_dup",
     # (q29 rotated out: multimodal stays in-window via q73's richer frame
     # fan-out; q29 keeps its repo oracle test and CORRECTNESS_r02 row)
     # (q28 rotated out round 5: its Rabin-Karp window kernel stays
@@ -65,7 +74,7 @@ _DRIVER_WINDOW = [
     # machinery its first hash-green driver row.)
     "q26_langid", "q27_quality", "q93_ann_ivf_exhaustive",
     "q39_hll_distinct", "q44_near_dup_groups",
-    "q47_clean_corpus", "q52_embedding_all_nn",
+    "q94_lm_quality_score", "q96_pii_scrub",
     "q55_tfidf_top_terms", "q66_minhash_bands", "q69_decontaminate",
     "q70_substring_dup", "q71_chunk_docs", "q72_numericalize",
     "q73_frame_sample_stats", "q74_random_projection", "q79_label_prototypes",
@@ -114,6 +123,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q90_coverage_gap": es.coverage_gap_query,
             "q91_admin_profile": es.admin_profile_query,
             "q92_page_s2_cells": es.page_s2_cells_query,
+            "q97_focal_smooth": es.focal_smooth_query,
         }
     )
     return out

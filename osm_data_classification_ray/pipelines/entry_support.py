@@ -318,6 +318,73 @@ def cell_centers_query(sf_dir: str):
     return agg.map_batches(vec, batch_format="pyarrow")
 
 
+def focal_smooth_query(sf_dir: str):
+    """q97: focal (neighborhood) smoothing on the hex raster — for every
+    occupied res-7 cell, the mean page count over its hex-distance-≤1
+    neighborhood (the cell plus its up-to-6 OCCUPIED ring-1 neighbors):
+    the classic raster focal-mean of geo-analytics re-expressed on the
+    cell lattice. Shape: per-cell counts (one count exchange) → 7-fold
+    scatter by pure lattice arithmetic (``hexgrid.grid_disk``, no
+    shuffle) → ONE center-keyed aggregate; the self row doubles as the
+    occupancy marker, so no join back to the occupied set is needed.
+    The mean is integer-exact micro-units (floor(x·1e6 + 0.5), the repo's
+    half-up rule) — hash-comparable to the oracle's self-join mirror
+    (spatialsql.q97_sql), which rebuilds the neighborhood in SQL from the
+    axial coordinates unpacked out of the cell id."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r7", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r7"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    )
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        n = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        disks = hexgrid.grid_disk(cells, 1)                      # (rows, 7)
+        is_self = (disks == cells[:, None]).ravel()
+        return pa.table({
+            # res-7 ids fit int63 (res nibble ≤ 7): bit-cast for the
+            # shuffle key (see stages.rollup note on uint64 keys)
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "contrib": pa.array(np.repeat(n, disks.shape[1]), pa.int64()),
+            "self_pages": pa.array(np.where(is_self, np.repeat(n, disks.shape[1]), 0),
+                                   pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("contrib", alias_name="nb_pages"),
+        Count(alias_name="n_nb"),
+        Sum("self_pages", alias_name="n_pages"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # occupied centers are exactly those with a self row (n_pages > 0)
+        t = t.filter(pc.greater(t["n_pages"], pa.scalar(0, pa.int64())))
+        s = np.asarray(t["nb_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = np.asarray(t["n_nb"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mean_e6 = np.floor(s.astype(np.float64) * 1e6 / k + 0.5).astype(np.int64)
+        cells = np.asarray(t["center"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            "h3_r7": pa.array(cells.astype(np.uint64), pa.uint64()),
+            "n_pages": t["n_pages"].cast(pa.int64()),
+            "n_nb": t["n_nb"].cast(pa.int64()),
+            "nb_pages": pa.array(s, pa.int64()),
+            "focal_mean_e6": pa.array(mean_e6, pa.int64()),
+        })
+
+    return nb.map_batches(finish, batch_format="pyarrow")
+
+
 def _rasterize_block(t: pa.Table) -> pa.Table:
     """Rasterize each level-1 polygon in the batch onto the res-5 hex
     raster: cells whose CENTER is inside (even-odd + on-edge, the frozen
@@ -767,6 +834,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q90_coverage_gap": spatialsql.q90_sql(),
         "q91_admin_profile": spatialsql.q91_sql(),
         "q92_page_s2_cells": spatialsql.q92_sql(),
+        "q97_focal_smooth": spatialsql.q97_sql(),
     }
 
 

@@ -388,6 +388,34 @@ SELECT h3_r7, n_pages,
 FROM u"""
 
 
+def q97_sql() -> str:
+    """q97 oracle: hex focal mean via an INDEPENDENT construction — the
+    neighborhood is rebuilt as a self-join on the axial coordinates
+    unpacked out of the cell id (hex distance ≤ 1 ⇔ |dq| ≤ 1 ∧ |dr| ≤ 1 ∧
+    |dq+dr| ≤ 1), instead of the engine's grid_disk scatter, so a wrong
+    disk offset table or a pack/unpack drift would surface as a hash
+    mismatch. Mean in half-up micro-units (floor(x·1e6 + 0.5)) with the
+    identical IEEE op order (sum·1e6 first, then /count)."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7, COUNT(*)::BIGINT AS n_pages
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT h3_r7, n_pages,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g)
+SELECT a.h3_r7, a.n_pages,
+       COUNT(*)::BIGINT AS n_nb,
+       SUM(b.n_pages)::BIGINT AS nb_pages,
+       CAST(FLOOR(CAST(SUM(b.n_pages) AS DOUBLE) * 1000000.0
+                  / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS focal_mean_e6
+FROM u a JOIN u b
+  ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+     AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+GROUP BY a.h3_r7, a.n_pages"""
+
+
 def q87_sql() -> str:
     """q87 oracle: rasterize level-1 polygons onto the res-5 raster with
     INDEPENDENT candidate generation — a plain axial-rectangle lattice

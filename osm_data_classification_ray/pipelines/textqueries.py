@@ -163,6 +163,192 @@ def q25_ann_ivf(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+def q94_lm_quality_score(sf_dir: str):
+    """Unigram-LM log-probability quality scoring — the CCNet-style
+    perplexity filter of pretraining pipelines, in exact-integer form: a
+    global unigram model (top-4096 vocabulary by exact count + an OOV
+    bucket at count 1), then per document the token count, the int64 sum
+    of per-token log-probs in half-up micro-nats, and their half-up mean.
+    Per-token logprobs are quantized BEFORE the per-doc sum
+    (floor(ln(n/total)·1e6 + 0.5), scalar libm ln — bit-identical to
+    DuckDB's LN, the q55 precedent), so document sums are order-free
+    int64 arithmetic at any parallelism. Shape: the q72 two-level token
+    count (narrow (token, count) exchange; per-block top-K + block-total
+    partials → exact driver merge — the driver never sees the distinct-
+    token table) + a bounded vocab broadcast into ONE stateless scoring
+    map (index_in + reduceat, no Python loop over tokens)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(Sum("n", alias_name="n"))
+
+    # counts are global post-groupby ⇒ block-local top-K + block total is
+    # an EXACT partial; "" never occurs as a token, so it tags total rows
+    def topk_total_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("tok", "ascending")])
+        top = t.take(order).slice(0, _Q72_VOCAB)
+        tot = int(pc.sum(t["n"]).as_py() or 0)
+        return pa.table({
+            "tok": pa.concat_arrays([top["tok"].combine_chunks(),
+                                     pa.array([""], pa.string())]),
+            "n": pa.concat_arrays([top["n"].combine_chunks(),
+                                   pa.array([tot], pa.int64())]),
+        })
+
+    parts = agg.map_batches(topk_total_block, batch_format="pyarrow", batch_size=None)
+    pt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs()) if x.num_rows])
+    is_tot = pc.equal(pt["tok"], pa.scalar("", pa.string()))
+    total = int(pc.sum(pt.filter(is_tot)["n"]).as_py() or 0)
+    vt = pt.filter(pc.invert(is_tot))
+    order = pc.sort_indices(vt, sort_keys=[("n", "descending"), ("tok", "ascending")])
+    vt = vt.take(order).slice(0, _Q72_VOCAB)
+    if total == 0:
+        total = 1  # empty corpus: no tokens ever score, value is moot
+    lp_e6 = np.array(
+        [math.floor(math.log(int(n) / total) * 1e6 + 0.5) for n in vt["n"].to_pylist()],
+        dtype=np.int64)
+    oov_e6 = np.int64(math.floor(math.log(1.0 / total) * 1e6 + 0.5))
+    v_ref = ray.put((vt["tok"].combine_chunks(), lp_e6, oov_e6))
+
+    def score(t: pa.Table, _ref=v_ref) -> pa.Table:
+        toks_arr, lp, oov = ray.get(_ref)
+        lists = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        flat = flat.filter(keep)
+        parent = np.asarray(parent.filter(keep).to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        idx = pc.index_in(flat, value_set=toks_arr)
+        oov_mask = np.asarray(pc.is_null(idx).to_numpy(zero_copy_only=False), dtype=bool)
+        pos = np.asarray(pc.fill_null(idx, 0).to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        tok_lp = np.where(oov_mask, oov, lp[pos])
+        n_rows = t.num_rows
+        n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        sums = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(sums, parent, tok_lp)
+        mean = np.zeros(n_rows, dtype=np.int64)
+        nz = n_tok > 0
+        mean[nz] = np.floor(sums[nz].astype(np.float64) / n_tok[nz] + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "sum_lp_e6": pa.array(sums, pa.int64()),
+            "mean_lp_e6": pa.array(mean, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+Q94_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+cnt AS (SELECT tok, COUNT(*)::BIGINT AS n FROM t2 GROUP BY 1),
+tot AS (SELECT GREATEST(COUNT(*), 1)::BIGINT AS total FROM t2),
+voc AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT {4096}),
+lp AS (SELECT tok,
+         CAST(FLOOR(LN(CAST(n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+       FROM voc),
+oov AS (SELECT CAST(FLOOR(LN(1.0 / CAST((SELECT total FROM tot) AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lp_e6),
+scored AS (
+  SELECT t2.doc_id, COALESCE(lp.lp_e6, (SELECT lp_e6 FROM oov)) AS lp_e6
+  FROM t2 LEFT JOIN lp USING (tok)
+),
+per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(lp_e6)::BIGINT AS sum_lp_e6
+        FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(per.sum_lp_e6, 0)::BIGINT AS sum_lp_e6,
+       CASE WHEN per.n_tokens > 0
+            THEN CAST(FLOOR(CAST(per.sum_lp_e6 AS DOUBLE)
+                            / CAST(per.n_tokens AS DOUBLE) + 0.5) AS BIGINT)
+            ELSE 0 END AS mean_lp_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+#: frozen PII patterns (RE2 syntax — Arrow and DuckDB both compile RE2,
+#: with identical leftmost non-overlapping match/replace semantics)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def q96_pii_scrub(sf_dir: str):
+    """PII scrubbing — emails then phone-like sequences replaced by typed
+    placeholders, with per-doc redaction counts: the redaction pass a
+    public-corpus training pipeline runs before tokenization. Stateless
+    vectorized RE2 kernels (count_substring_regex + replace_substring_
+    regex); phones are counted/replaced AFTER the email pass so the two
+    stages compose deterministically. The synthetic corpus contains no
+    organic PII, so the input is augmented with deterministically planted
+    addresses/numbers (a pure function of doc_id, mirrored verbatim in
+    SQL — the q24 planted-clone precedent; without it the oracle would be
+    vacuously green)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        base = pc.coalesce(t["text"], pa.scalar("", pa.string()))
+        # fixture augmentation (bounded per batch), not the operator
+        sfx = pa.array(
+            [(f" contact user{i}@example.com now" if i % 3 == 0 else "")
+             + (f" call +1 (555) 010-{i % 10000} ok" if i % 5 == 0 else "")
+             for i in ids], pa.string())
+        aug = pc.binary_join_element_wise(base, sfx, "")
+        n_em = pc.count_substring_regex(aug, pattern=_PII_EMAIL).cast(pa.int64())
+        s1 = pc.replace_substring_regex(aug, pattern=_PII_EMAIL, replacement="[EMAIL]")
+        n_ph = pc.count_substring_regex(s1, pattern=_PII_PHONE).cast(pa.int64())
+        s2 = pc.replace_substring_regex(s1, pattern=_PII_PHONE, replacement="[PHONE]")
+        return pa.table({"doc_id": t["doc_id"], "n_emails": n_em,
+                         "n_phones": n_ph, "scrubbed": s2})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+Q96_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR) || ' ok'
+              ELSE '' END AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '{_PII_PHONE}'))::BIGINT AS n_phones,
+       regexp_replace(t1, '{_PII_PHONE}', '[PHONE]', 'g') AS scrubbed
+FROM s1
+"""
+
+
 def q93_ann_ivf_exhaustive(sf_dir: str):
     """The IVF machinery driven at nprobe = nlist — every inverted list is
     probed, so the partition-pruned read covers the WHOLE corpus and
@@ -1751,6 +1937,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q25_ann_ivf": (q25_ann_ivf, None),
     # exhaustive probing ⇒ recall 1 ⇒ the brute-force oracle is exact
     "q93_ann_ivf_exhaustive": (q93_ann_ivf_exhaustive, Q23_SQL),
+    "q94_lm_quality_score": (q94_lm_quality_score, Q94_SQL),
+    "q96_pii_scrub": (q96_pii_scrub, Q96_SQL),
     "q26_langid": (q26_langid, Q26_SQL),
     "q27_quality": (q27_quality, Q27_SQL),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),

@@ -22,7 +22,7 @@ AFFECTED = [
     "q44_near_dup_groups", "q59_pack_sequences", "q62_repetition_score",
     "q66_minhash_bands", "q69_decontaminate", "q70_substring_dup",
     "q71_chunk_docs", "q72_numericalize", "q83_lift_collocations",
-    "q84_window_dup_ratio",
+    "q84_window_dup_ratio", "q94_lm_quality_score", "q96_pii_scrub",
 ]
 
 
