@@ -74,10 +74,15 @@ _DRIVER_WINDOW = [
     # machinery its first hash-green driver row.)
     "q26_langid", "q27_quality", "q93_ann_ivf_exhaustive",
     "q39_hll_distinct", "q44_near_dup_groups",
-    "q94_lm_quality_score", "q96_pii_scrub",
+    "q94_lm_quality_score", "q96_pii_scrub", "q95_temperature_mix",
+    "q98_semantic_bucket_dedup",
     "q55_tfidf_top_terms", "q66_minhash_bands", "q69_decontaminate",
     "q70_substring_dup", "q71_chunk_docs", "q72_numericalize",
-    "q73_frame_sample_stats", "q74_random_projection", "q79_label_prototypes",
+    # (q74 rotated out round 5: q98 embeds q74's projection machinery —
+    # its oracle wraps _q74_sql verbatim; q68 rotated out: q95 strictly
+    # generalizes its hash-threshold split machinery with per-source
+    # bounds. Both keep repo oracle tests and CORRECTNESS_r04 green rows.)
+    "q73_frame_sample_stats", "q79_label_prototypes",
     # relational representatives — one per op class (agg, top-k, broadcast
     # join, semi/anti, datetime rollup, chains, dedup, as-of, sessionize,
     # sketch, bloom semi, prefix-sum packing, ROLLUP, deterministic split)
@@ -90,7 +95,7 @@ _DRIVER_WINDOW = [
     "q03_top_revenue_orders", "q05_region_customers",
     "q08_anti_join", "q11_events_rollup", "q42_asof_join",
     "q43_sessionize", "q58_bloom_semi_join",
-    "q59_pack_sequences", "q67_rollup", "q68_split_stats",
+    "q59_pack_sequences", "q67_rollup",
 ]
 
 

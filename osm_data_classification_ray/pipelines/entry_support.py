@@ -347,6 +347,10 @@ def focal_smooth_query(sf_dir: str):
     )
 
     def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # grid_disk needs ≥1 row to read the res nibble
+            return pa.table({"center": pa.array([], pa.int64()),
+                             "contrib": pa.array([], pa.int64()),
+                             "self_pages": pa.array([], pa.int64())})
         cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         n = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
         disks = hexgrid.grid_disk(cells, 1)                      # (rows, 7)

@@ -286,6 +286,156 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+_Q95_STREAM = 995
+
+
+def q95_temperature_mix(sf_dir: str):
+    """Temperature-weighted source rebalancing — the data-mixing step of a
+    pretraining pipeline at α = 0.5: source s is kept at rate
+    sqrt(n_min / n_s), so the rarest source passes whole and larger
+    sources are downsampled toward balance, with membership a pure
+    function of doc_id (hash-threshold rule, the q68 split machinery).
+    The per-source bound floor(sqrt(n_min/n_s)·2⁶⁴) uses only
+    exactly-rounded IEEE ops (divide, sqrt, multiply — bit-identical in
+    numpy and DuckDB, unlike ln) and compares in uint64; the
+    n_s = n_min case is a keep-all flag (its bound would be exactly 2⁶⁴,
+    which uint64 cannot hold). Shape: one small per-source count
+    exchange → driver bounds (bounded by the source vocabulary) → one
+    stateless filter + per-source aggregate pass."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..fixtures.gen import hash_u64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    cnt = ds.groupby("source", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_docs")).to_pandas()
+    n_min = int(cnt["n_docs"].min())
+    srcs = sorted(str(s) for s in cnt["source"])
+    n_by = {str(s): int(n) for s, n in zip(cnt["source"], cnt["n_docs"])}
+    keep_all = np.array([n_by[s] == n_min for s in srcs], dtype=bool)
+    bounds = np.zeros(len(srcs), dtype=np.uint64)
+    for j, s in enumerate(srcs):
+        if not keep_all[j]:
+            r = np.sqrt(np.float64(n_min) / np.float64(n_by[s]))
+            bounds[j] = np.uint64(np.floor(r * np.float64(2.0 ** 64)))
+    ref = ray.put((pa.array(srcs, pa.string()), keep_all, bounds))
+
+    def pick(t: pa.Table, _ref=ref) -> pa.Table:
+        sarr, ka, bd = ray.get(_ref)
+        idx = np.asarray(pc.fill_null(pc.index_in(t["source"], value_set=sarr), 0)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        hv = hash_u64(ids.astype(np.uint64), _Q95_STREAM)
+        keep = ka[idx] | (hv < bd[idx])
+        ch = np.asarray(pc.cast(t["n_chars"], pa.int64()).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        return pa.table({
+            "source": t["source"],
+            "kept": pa.array(keep.astype(np.int64), pa.int64()),
+            "kept_chars": pa.array(np.where(keep, ch, 0), pa.int64()),
+        })
+
+    agg = ds.map_batches(pick, batch_format="pyarrow").groupby(
+        "source", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("kept", alias_name="n_kept"),
+        Sum("kept_chars", alias_name="kept_chars"))
+    return agg.map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "n_docs": t["n_docs"].cast(pa.int64()),
+                            "n_kept": t["n_kept"].cast(pa.int64()),
+                            "kept_chars": t["kept_chars"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q95_sql() -> str:
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    return f"""
+WITH c AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+m AS (SELECT MIN(n_docs) AS n_min FROM c),
+b AS (SELECT source, n_docs,
+        n_docs = (SELECT n_min FROM m) AS keep_all,
+        CASE WHEN n_docs = (SELECT n_min FROM m) THEN CAST(0 AS UBIGINT)
+             ELSE CAST(FLOOR(SQRT(CAST((SELECT n_min FROM m) AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE))
+                             * 1.8446744073709552e+19) AS UBIGINT) END AS bound
+      FROM c),
+d AS (SELECT CAST(doc_id AS UBIGINT) AS id, source, n_chars FROM documents),
+{sm64_steps('h', 'd', 'source, n_chars',
+            f"xor({mulmod_sql('id', SM_PRIME)}, CAST({sm64_base(_Q95_STREAM)} AS UBIGINT))")}
+SELECT b.source, b.n_docs,
+       COUNT(*) FILTER (WHERE b.keep_all OR hf.hv < b.bound)::BIGINT AS n_kept,
+       COALESCE(SUM(CAST(n_chars AS BIGINT))
+                FILTER (WHERE b.keep_all OR hf.hv < b.bound), 0)::BIGINT AS kept_chars
+FROM hf JOIN b USING (source)
+GROUP BY b.source, b.n_docs
+"""
+
+
+def q98_semantic_bucket_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup, made deterministic: q74's 8 frozen
+    ±1 hyperplanes turn each (quantized) embedding into an 8-bit sign
+    bucket — the cluster step of SemDeDup with random-hyperplane LSH in
+    place of an iterative fit — and within each bucket the lowest vec_id
+    is the kept representative; everything else in the bucket is a
+    semantic-duplicate candidate. The bucket universe is ≤ 2⁸, so the
+    representative map is a bounded driver dict at ANY corpus size (one
+    tiny Min exchange, no second data shuffle). One row per vector:
+    (vec_id, bucket, rep_id, kept)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..fixtures.gen import hash_u64
+    from ..functions.arrays import list_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim_probe = ds.limit(1).to_pandas()
+    dim = len(dim_probe["embedding"][0])
+    bits = hash_u64(np.arange(_Q74_K * dim), _Q74_STREAM) & np.uint64(1)
+    signs = (bits.astype(np.int64) * 2 - 1).reshape(_Q74_K, dim)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"]).astype(np.float64)
+        q = np.floor(X * _Q74_SCALE + 0.5).astype(np.int64)
+        proj = q @ signs.T
+        code = ((proj >= 0).astype(np.int64)
+                * (np.int64(1) << np.arange(_Q74_K, dtype=np.int64))[None, :]).sum(axis=1)
+        return pa.table({"vec_id": t["vec_id"], "bucket": pa.array(code, pa.int64())})
+
+    bk = ds.map_batches(bucketize, batch_format="pyarrow")
+    reps = bk.groupby("bucket", num_partitions=default_partitions()).aggregate(
+        Min("vec_id", alias_name="rep_id")).to_pandas()
+    lut = np.full(1 << _Q74_K, -1, dtype=np.int64)
+    lut[reps["bucket"].to_numpy(dtype=np.int64)] = reps["rep_id"].to_numpy(dtype=np.int64)
+    ref = ray.put(lut)
+
+    def attach(t: pa.Table, _ref=ref) -> pa.Table:
+        m = ray.get(_ref)
+        code = np.asarray(t["bucket"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        rep = m[code]
+        vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"vec_id": t["vec_id"], "bucket": t["bucket"],
+                         "rep_id": pa.array(rep, pa.int64()),
+                         "kept": pa.array(vid == rep)})
+
+    return bk.map_batches(attach, batch_format="pyarrow")
+
+
+def _q98_sql() -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN proj_{k} >= 0 THEN {1 << k} ELSE 0 END)" for k in range(_Q74_K))
+    return f"""
+WITH p AS ({_q74_sql()}),
+bkt AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM p)
+SELECT vec_id, bucket,
+       MIN(vec_id) OVER (PARTITION BY bucket) AS rep_id,
+       vec_id = MIN(vec_id) OVER (PARTITION BY bucket) AS kept
+FROM bkt
+"""
+
+
 #: frozen PII patterns (RE2 syntax — Arrow and DuckDB both compile RE2,
 #: with identical leftmost non-overlapping match/replace semantics)
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1939,6 +2089,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q93_ann_ivf_exhaustive": (q93_ann_ivf_exhaustive, Q23_SQL),
     "q94_lm_quality_score": (q94_lm_quality_score, Q94_SQL),
     "q96_pii_scrub": (q96_pii_scrub, Q96_SQL),
+    "q95_temperature_mix": (q95_temperature_mix, _q95_sql()),
+    "q98_semantic_bucket_dedup": (q98_semantic_bucket_dedup, _q98_sql()),
     "q26_langid": (q26_langid, Q26_SQL),
     "q27_quality": (q27_quality, Q27_SQL),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
