@@ -76,13 +76,22 @@ def _bw_sampler(samples: list, stop_evt) -> None:
 
     buf = np.zeros(50_000_000, dtype=np.uint8)
     buf[::4096] = 1
+    a = np.arange(100_000, dtype=np.uint64)  # 800 KB: cache-resident
     interval = float(os.environ.get("GRAFT_BW_INTERVAL", "8"))
     t_start = time.monotonic()
     while not stop_evt.wait(interval):
         t0 = time.perf_counter()
         buf[:] = 2
         gbs = 0.05 / (time.perf_counter() - t0)
-        samples.append([round(time.monotonic() - t_start, 1), round(gbs, 2)])
+        # second throttle axis (round-5 discovery): host-side CPU-speed
+        # throttling with bandwidth intact — 10 passes of the cache-resident
+        # u64 kernel (~3 ms unthrottled) traced beside the memset
+        t0 = time.perf_counter()
+        for _ in range(10):
+            a * np.uint64(0x100000001B3) ^ (a >> np.uint64(13))
+        mops = 1.0 / (time.perf_counter() - t0)
+        samples.append([round(time.monotonic() - t_start, 1), round(gbs, 2),
+                        round(mops, 0)])
 
 
 def _bench_root() -> str:
@@ -255,6 +264,7 @@ def main() -> None:
     # key semantics (ADVICE round-4): bw_min_gbs / bw_median_gbs summarize
     # the FULL run (comparable with BENCH_r01-r03 under the same keys); the
     # headline-window-only values carry the explicit _headline suffix
+    cpu_vals = sorted(s[2] for s in bw_samples if len(s) > 2)
     bw_summary = {
         "bw_samples": bw_samples,
         "bw_min_gbs": bw_vals[0] if bw_vals else None,
@@ -262,6 +272,8 @@ def main() -> None:
         "bw_min_gbs_headline": head_vals[0] if head_vals else None,
         "bw_median_gbs_headline": head_vals[len(head_vals) // 2] if head_vals else None,
         "bw_headline_samples": n_head,
+        "cpu_min_mops": cpu_vals[0] if cpu_vals else None,
+        "cpu_median_mops": cpu_vals[len(cpu_vals) // 2] if cpu_vals else None,
     }
 
     print(json.dumps({

@@ -186,6 +186,22 @@ def test_driver_tier_stages_match_distributed(golden, ray_outputs, tmp_path_fact
         assert a.equals(b), f"{name} differs between driver tier and distributed"
 
 
+def test_driver_tier_resume(golden, ray_outputs):
+    """Driver-tier stages keep Luigi-target semantics: a rerun with the
+    same fingerprint returns the completed checkpoint without recompute."""
+    import time
+
+    cfg, paths = ray_outputs
+    t0 = time.monotonic()
+    out = spatial.run_tiles(cfg)
+    assert time.monotonic() - t0 < 0.5
+    assert out == paths["tiles"]
+    t0 = time.monotonic()
+    out2 = spatial.run_classify(cfg)
+    assert time.monotonic() - t0 < 0.5
+    assert out2["cluster_assignments"] == paths["cluster_assignments"]
+
+
 def test_bucketed_dedup_mode_identical(golden, tmp_path_factory, ray_session):
     """dedup_mode="bucketed" (layout colocation, no shuffle) must produce
     the same captures table as the shuffle path."""
