@@ -281,7 +281,15 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
         )
         ds = ds.map_batches(_tee_write_block(tee_tmp), batch_format="pyarrow",
                             batch_size=None)
-        ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=True)
+        # the fused DAG keeps the heavy extract maps live WHILE the url
+        # exchange runs, so its aggregator pool shares the machine with
+        # them: full num_partitions aggregators + maps oversubscribe the
+        # CPUs — measured 1.3-1.6x slower than half (round-5 alternating
+        # A/B: 6.8-8.3 s at 32 aggregators vs 5.3-5.7 s at 16 on 32 CPUs,
+        # outputs identical). Same budget rule as run_middle_stages.
+        nparts = (max(8, cfg.num_partitions // 2)
+                  if cfg.num_partitions >= 12 else cfg.num_partitions)
+        ds = ds.repartition(nparts, keys=["url"], sort=True)
         return ds.map_batches(_enrich_derive, batch_format="pyarrow", batch_size=None)
 
     out = ckpt.run_stage(cfg.out_root, "captures", fp_cap, build,
@@ -960,20 +968,33 @@ def run_middle_stages(cfg: EngineConfig, admin_table: pa.Table) -> dict[str, str
     Overlap needs slack capacity: below ~12 partitions (≈ CPUs) the two
     exchanges' aggregator pools plus the PIP actor pool starve each other
     (observed livelock at 4 CPUs), so small configs run sequentially —
-    same outputs, checkpoints make the order irrelevant."""
-    r5_histogram(cfg)
+    same outputs, checkpoints make the order irrelevant.
+
+    Overlapped exchanges SHARE the CPU budget: each hash exchange spins
+    ``num_partitions`` aggregator actors, so two live exchanges at
+    num_partitions = CPUs double-subscribe the machine — measured
+    2.4-2.8× slower than giving each exchange half (round-5 alternating
+    A/B: middle block 18.3-22.4 s at 32+32 aggregators vs 6.8-7.9 s at
+    16+16 on 32 CPUs, outputs identical). The overlapped branch therefore
+    runs its stages at num_partitions // 2 (floor 8); on a real cluster
+    the same rule keeps aggregators ≈ total cores. Sequential mode keeps
+    the full partition count (one exchange live at a time)."""
     pages_stage = run_pages_keys if cfg.pages_mode == "view" else run_pages
     overlap_env = os.environ.get("GRAFT_STAGE_OVERLAP", "1") != "0"
     if cfg.num_partitions < 12 or not overlap_env:
+        r5_histogram(cfg)
         return {"cell_features": run_cell_features(cfg),
                 "pages": pages_stage(cfg),
                 "page_admin": run_page_admin(cfg, admin_table)}
     from concurrent.futures import ThreadPoolExecutor
+    from dataclasses import replace
 
+    mcfg = replace(cfg, num_partitions=max(8, cfg.num_partitions // 2))
+    r5_histogram(mcfg)
     with ThreadPoolExecutor(max_workers=3) as ex:
-        f_feat = ex.submit(run_cell_features, cfg)
-        f_pages = ex.submit(pages_stage, cfg)
-        f_admin = ex.submit(run_page_admin, cfg, admin_table)
+        f_feat = ex.submit(run_cell_features, mcfg)
+        f_pages = ex.submit(pages_stage, mcfg)
+        f_admin = ex.submit(run_page_admin, mcfg, admin_table)
         return {"cell_features": f_feat.result(), "pages": f_pages.result(),
                 "page_admin": f_admin.result()}
 
