@@ -377,10 +377,17 @@ def _scaling_paired(run, lo_n: int, hi_n: int, pairs: int) -> None:
         # that flipped every ratio super-linear; the min catches those
         bw_lo, bw_hi = lo.get("bw_median_gbs"), hi.get("bw_median_gbs")
         mn_lo, mn_hi = lo.get("bw_min_gbs"), hi.get("bw_min_gbs")
+        # round-5: the regime check covers BOTH throttle axes — the CPU
+        # medians of the two legs must also agree within 1.5x (a 4-CPU leg
+        # in a slow-CPU window reads super-linear with bandwidth intact)
+        cpu_lo, cpu_hi = lo.get("cpu_median_mops"), hi.get("cpu_median_mops")
+        cpu_ok = (not cpu_lo or not cpu_hi
+                  or max(cpu_lo, cpu_hi) / min(cpu_lo, cpu_hi) <= 1.5)
         consistent = (bw_lo and bw_hi
                       and max(bw_lo, bw_hi) / min(bw_lo, bw_hi) <= 1.5
                       and mn_lo is not None and mn_lo >= bw_lo / 4
-                      and mn_hi is not None and mn_hi >= bw_hi / 4)
+                      and mn_hi is not None and mn_hi >= bw_hi / 4
+                      and cpu_ok)
         pair_rows.append({
             "order": f"{order[0]}->{order[1]}",
             "eff": round(eff, 3),
@@ -388,6 +395,8 @@ def _scaling_paired(run, lo_n: int, hi_n: int, pairs: int) -> None:
             f"sec_{hi_n}": hi["value"],
             f"bw_{lo_n}": [lo.get("bw_min_gbs"), bw_lo],
             f"bw_{hi_n}": [hi.get("bw_min_gbs"), bw_hi],
+            f"cpu_{lo_n}": [lo.get("cpu_min_mops"), cpu_lo],
+            f"cpu_{hi_n}": [hi.get("cpu_min_mops"), cpu_hi],
             "regime_consistent": bool(consistent),
             "stage_efficiency": {
                 s: round((lo["stages"][s] / hi["stages"][s]) / (hi_n / lo_n), 3)
