@@ -41,7 +41,7 @@ _DRIVER_WINDOW = [
     "q33_cell_features", "q34_cluster_assignments", "q35_knn_geo",
     "q36_tiles_rollup", "q37_dedup_urls", "q38_page_cells",
     "q51_cell_features_packed", "q63_page_cells_hex", "q85_radius_pairs",
-    "q87_rasterize_admin", "q88_cell_centers", "q89_cell_prototypes",
+    "q87_rasterize_admin", "q89_cell_prototypes",
     # round-4 rotation: q90 (spatial anti-join coverage gap) and q91
     # (per-admin profile: join-after-PIP rollup + exact two-level distinct)
     # enter the window; q01 leaves (q11 covers groupby-rollup) and q56
@@ -58,11 +58,22 @@ _DRIVER_WINDOW = [
     # q20/q21/q24/q44/q70), q47 leaves (a composite of in-window ops) and
     # q52 leaves (exact-cosine family stays via q23 + the new q93) — all
     # three keep their repo oracle tests and CORRECTNESS_r04 green rows.
+    # (q88 rotated out late round 5: the lattice-inverse center mirror
+    # stays exercised in-window through q87's oracle, which generates its
+    # candidates via the q88 center CTE; q99 — global Moran's I on the hex
+    # raster, integer-exact centered algebra with an independent axial
+    # self-join oracle — enters. q88 keeps its repo oracle test and
+    # CORRECTNESS_r03/r04 green rows.)
     "q90_coverage_gap", "q91_admin_profile", "q92_page_s2_cells",
-    "q97_focal_smooth",
+    "q97_focal_smooth", "q99_morans_i",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
-    "q19_bpe_tokens", "q20_minhash_near_dup", "q21_simhash_near_dup",
+    # (q19 rotated out late round 5: tokenization stays in-window via
+    # q72/q55/q94; q100 — fuzzy dedup, LSH candidates + exact Levenshtein
+    # verify mirrored via the q66 band CTE and DuckDB levenshtein() —
+    # enters. q19 keeps its repo oracle test and CORRECTNESS_r01-r04
+    # green rows.)
+    "q20_minhash_near_dup", "q100_fuzzy_edit_pairs", "q21_simhash_near_dup",
     "q23_embedding_topk", "q24_embedding_near_dup",
     # (q29 rotated out: multimodal stays in-window via q73's richer frame
     # fan-out; q29 keeps its repo oracle test and CORRECTNESS_r02 row)
@@ -129,6 +140,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q91_admin_profile": es.admin_profile_query,
             "q92_page_s2_cells": es.page_s2_cells_query,
             "q97_focal_smooth": es.focal_smooth_query,
+            "q99_morans_i": es.morans_i_query,
         }
     )
     return out

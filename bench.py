@@ -221,7 +221,8 @@ def run_relational() -> dict[str, float]:
     for name in ["q01_pricing_summary", "q03_top_revenue_orders", "q06_customer_order_counts",
                  "q11_events_rollup", "q12_event_chains", "q13_dedup_docs",
                  "q20_minhash_near_dup", "q21_simhash_near_dup", "q23_embedding_topk",
-                 "q24_embedding_near_dup", "q70_substring_dup", "q72_numericalize"]:
+                 "q24_embedding_near_dup", "q70_substring_dup", "q72_numericalize",
+                 "q100_fuzzy_edit_pairs"]:
         fn, _ = qs[name]
         t0 = time.monotonic()
         res = fn(SF_DIR)

@@ -389,6 +389,111 @@ def focal_smooth_query(sf_dir: str):
     return nb.map_batches(finish, batch_format="pyarrow")
 
 
+def morans_i_query(sf_dir: str):
+    """q99: global spatial autocorrelation (Moran's I) of page counts on
+    the res-7 hex raster — binary contiguity weights over the OCCUPIED
+    ring-1 neighbors (the hex queen/rook analog), the classic
+    geo-analytics clustering statistic beside q97's focal mean.
+
+    Integer-exact at any parallelism: with N occupied cells and total
+    page count S, the centered value c_i = N·x_i − S (so x_i − x̄ = c_i/N
+    exactly) turns I = Σ_ij w_ij (x_i−x̄)(x_j−x̄)·N / (W·Σ(x_i−x̄)²) into
+    I = N·Σ_ij w_ij c_i c_j / (W·Σ c_i²) — all int64 sums, order-free, one
+    frozen float expression at the end (half-up micro-units).
+
+    Shape: one count exchange (the q97 aggregate, bounded by the occupied
+    res-7 cell universe) → tiny global (N, S) aggregate → 6-fold ring-1
+    scatter by pure lattice arithmetic (no shuffle) → ONE center-keyed
+    aggregate → per-block int64 partials → constant driver combine. The
+    self row carries the center's own c and the occupancy marker, so
+    neighbor contributions landing on unoccupied centers drop without a
+    join back (w_ij requires BOTH endpoints occupied). Oracle:
+    spatialsql.q99_sql — an independent axial self-join mirror."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r7", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r7"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    ).materialize()  # bounded by the occupied res-7 cell universe
+
+    tot = agg.aggregate(Count(alias_name="n"), Sum("n_pages", alias_name="s"))
+    n_cells = int(tot["n"] or 0)
+    s_tot = int(tot["s"] or 0)
+
+    def _final(w_pairs: int, num: int, den: int) -> pa.Table:
+        if w_pairs == 0 or den == 0:
+            i_e6 = 0
+        else:
+            i_e6 = int(np.floor(float(n_cells) * float(num) * 1000000.0
+                                / (float(w_pairs) * float(den)) + 0.5))
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "w_pairs": pa.array([w_pairs], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "den": pa.array([den], pa.int64()),
+            "morans_i_e6": pa.array([i_e6], pa.int64()),
+        })
+
+    if n_cells == 0:
+        return _final(0, 0, 0)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"center": z, "nb_c": z, "self_c": z,
+                             "occ": z, "is_nb": z})
+        cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        x = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        c = n_cells * x - s_tot
+        disks = hexgrid.grid_disk(cells, 1)                      # (rows, 7)
+        flat_self = (disks == cells[:, None]).ravel()
+        c7 = np.repeat(c, disks.shape[1])
+        return pa.table({
+            # res-7 ids fit int63: bit-cast for the shuffle key (q97 note)
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "nb_c": pa.array(np.where(flat_self, 0, c7), pa.int64()),
+            "self_c": pa.array(np.where(flat_self, c7, 0), pa.int64()),
+            "occ": pa.array(flat_self.astype(np.int64), pa.int64()),
+            "is_nb": pa.array((~flat_self).astype(np.int64), pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("nb_c", alias_name="t_sum"),
+        Sum("self_c", alias_name="c_self"),
+        Sum("occ", alias_name="occ"),
+        Sum("is_nb", alias_name="n_nb"),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        # occupied centers only: w_ij needs both endpoints occupied, and
+        # n_nb here counts occupied neighbors by construction (only
+        # occupied cells scatter)
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        cs = np.asarray(t["c_self"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ts = np.asarray(t["t_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nn = np.asarray(t["n_nb"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "num": pa.array([int(np.sum(cs * ts))], pa.int64()),
+            "den": pa.array([int(np.sum(cs * cs))], pa.int64()),
+            "w": pa.array([int(np.sum(nn))], pa.int64()),
+        })
+
+    parts = nb.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("num", alias_name="num"), Sum("den", alias_name="den"),
+        Sum("w", alias_name="w"))
+    return _final(int(parts["w"] or 0), int(parts["num"] or 0),
+                  int(parts["den"] or 0))
+
+
 def _rasterize_block(t: pa.Table) -> pa.Table:
     """Rasterize each level-1 polygon in the batch onto the res-5 hex
     raster: cells whose CENTER is inside (even-odd + on-edge, the frozen
@@ -839,6 +944,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q91_admin_profile": spatialsql.q91_sql(),
         "q92_page_s2_cells": spatialsql.q92_sql(),
         "q97_focal_smooth": spatialsql.q97_sql(),
+        "q99_morans_i": spatialsql.q99_sql(),
     }
 
 

@@ -416,6 +416,46 @@ FROM u a JOIN u b
 GROUP BY a.h3_r7, a.n_pages"""
 
 
+def q99_sql() -> str:
+    """q99 oracle: global Moran's I on the res-7 hex raster, rebuilt
+    INDEPENDENTLY — the contiguity relation is an axial self-join on the
+    coordinates unpacked out of the cell id (the q97 neighborhood mirror,
+    minus the self pair), and the statistic is exact integer algebra:
+    with N occupied cells and total S, the centered value c_i = N·x_i − S
+    makes I = N·Σ_{ij} w_ij c_i c_j / (W·Σ c_i²) — BIGINT sums throughout
+    (DuckDB SUM returns HUGEINT, cast back), one frozen float expression
+    at the end (half-up micro-units, identical IEEE op order to the
+    engine's numpy: ((n·num)·1e6) / (w·den))."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7, COUNT(*)::BIGINT AS n_pages
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT n_pages,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+tot AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(n_pages) AS BIGINT) AS s FROM u),
+c AS (SELECT u.q, u.r, CAST(tot.n * u.n_pages - tot.s AS BIGINT) AS cv
+      FROM u CROSS JOIN tot),
+pr AS (SELECT a.cv AS ca, b.cv AS cb
+       FROM c a JOIN c b
+         ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+            AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+            AND NOT (a.q = b.q AND a.r = b.r)),
+agg AS (SELECT COUNT(*)::BIGINT AS w_pairs,
+               CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS num
+        FROM pr),
+den_t AS (SELECT CAST(COALESCE(SUM(cv * cv), 0) AS BIGINT) AS den FROM c)
+SELECT tot.n AS n_cells, agg.w_pairs, agg.num, den_t.den,
+       CASE WHEN agg.w_pairs = 0 OR den_t.den = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(tot.n AS DOUBLE) * CAST(agg.num AS DOUBLE)
+                            * 1000000.0
+                            / (CAST(agg.w_pairs AS DOUBLE) * CAST(den_t.den AS DOUBLE))
+                            + 0.5) AS BIGINT) END AS morans_i_e6
+FROM tot CROSS JOIN agg CROSS JOIN den_t"""
+
+
 def q87_sql() -> str:
     """q87 oracle: rasterize level-1 polygons onto the res-5 raster with
     INDEPENDENT candidate generation — a plain axial-rectangle lattice

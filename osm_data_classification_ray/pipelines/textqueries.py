@@ -77,6 +77,42 @@ def q22_chargram_near_dup(sf_dir: str):
     return textdedup.minhash_near_dup_pairs(ds, default_partitions(), threshold=0.5, shingle="char")
 
 
+def q100_fuzzy_edit_pairs(sf_dir: str):
+    """Fuzzy dedup with an EDIT-DISTANCE metric: MinHash-LSH candidate
+    generation (the q20/q66 band machinery — deterministic given the
+    frozen hash constants) + exact Levenshtein verification, keeping
+    pairs with normalized distance dist/max_len ≤ 1/5 as an integer
+    comparison. This is the two-stage fuzzy-duplicate join of production
+    dedup pipelines: a cheap sketch proposes, an exact expensive metric
+    disposes. The oracle (Q100_SQL) mirrors BOTH stages — the candidate
+    set via the q66 band CTE (bit-exact FNV/minhash in HUGEINT limbs) and
+    the verify via DuckDB's levenshtein(), which the engine's vectorized
+    byte DP matches exactly on the ASCII corpus (q84 contract)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textdedup.edit_distance_near_dup_pairs(ds, default_partitions(), num=1, den=5)
+
+
+def _q100_sql() -> str:
+    return f"""
+WITH bands AS ({_q66_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+p AS (
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(COALESCE(ta.text, ''), COALESCE(tb.text, '')) AS dist,
+         GREATEST(LENGTH(COALESCE(ta.text, '')), LENGTH(COALESCE(tb.text, ''))) AS max_len
+  FROM cand c
+  JOIN documents ta ON ta.doc_id = c.doc_a
+  JOIN documents tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist, CAST(max_len AS BIGINT) AS max_len
+FROM p WHERE 5 * dist <= max_len
+"""
+
+
 _QUERY_VEC_IDS = [0, 1, 2, 3, 4]
 
 
@@ -2082,6 +2118,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q20_minhash_near_dup": (q20_minhash_near_dup, Q20_SQL),
     "q21_simhash_near_dup": (q21_simhash_near_dup, Q21_SQL),
     "q22_chargram_near_dup": (q22_chargram_near_dup, Q22_SQL),
+    "q100_fuzzy_edit_pairs": (q100_fuzzy_edit_pairs, _q100_sql()),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_embedding_near_dup": (q24_embedding_near_dup, Q24_SQL),
     "q25_ann_ivf": (q25_ann_ivf, None),

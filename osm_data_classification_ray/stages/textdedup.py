@@ -381,22 +381,19 @@ def _jaccard_verify_tab(t: pa.Table, threshold: float) -> pa.Table:
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
-def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
-                           shingle: str = "word") -> pa.Table:
-    """Full MinHash-LSH near-dup pipeline → verified pairs table.
+def lsh_candidate_pairs(docs_ds, num_partitions: int, shingle: str = "word"):
+    """MinHash-LSH candidate stage → globally deduped (doc_a, doc_b) pairs
+    Dataset (materialized; pair-sized, never corpus-sized). Shared by the
+    Jaccard (q20/q22) and edit-distance (q100) verifiers — the candidate
+    set is a deterministic function of the frozen hash constants, which is
+    what lets SQL oracles mirror it exactly (the q66 band CTE).
 
     Every stage is distributed (round-1 VERDICT item #4 — no driver
     materialization of pair/candidate/text sets):
     1. band rows → (band, bucket) shuffle → exact per-bucket pair emission
        (chunk-streamed, never truncated),
     2. global pair dedup by (doc_a, doc_b)-keyed repartition + per-block
-       drop_duplicates,
-    3. candidate shingle sets: the distinct candidate ids semi-join the
-       docs table via a hash join (the docs side streams through ONE
-       doc_id exchange — linear, no broadcast assumption), shingles
-       recomputed per candidate only,
-    4. pairs ⋈ shingle sets (doc_a, then doc_b) → per-batch exact Jaccard.
-    Only the final verified pair table (the query result) is collected."""
+       drop_duplicates."""
     from ..runtime import use_hash_shuffle
 
     use_hash_shuffle()
@@ -411,10 +408,22 @@ def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
     bands = bands.repartition(num_partitions, keys=["band", "bucket"], sort=True)
     pairs_ds = bands.map_batches(bucket_pairs_block, batch_format="pyarrow", batch_size=None)
     pairs_ds = pairs_ds.repartition(num_partitions, keys=["doc_a", "doc_b"], sort=False)
-    pairs_ds = pairs_ds.map_batches(
+    return pairs_ds.map_batches(
         dedup_pairs_block, batch_format="pyarrow", batch_size=None
     ).materialize()
 
+
+def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
+                           shingle: str = "word") -> pa.Table:
+    """Full MinHash-LSH near-dup pipeline → verified pairs table:
+    ``lsh_candidate_pairs`` then
+    3. candidate shingle sets: the distinct candidate ids semi-join the
+       docs table via a hash join (the docs side streams through ONE
+       doc_id exchange — linear, no broadcast assumption), shingles
+       recomputed per candidate only,
+    4. pairs ⋈ shingle sets (doc_a, then doc_b) → per-batch exact Jaccard.
+    Only the final verified pair table (the query result) is collected."""
+    pairs_ds = lsh_candidate_pairs(docs_ds, num_partitions, shingle)
     n_pairs = pairs_ds.count()
     if n_pairs <= FAST_VERIFY_PAIR_LIMIT:
         # Size-aware fast verify: the pair table is ALREADY the (bounded,
@@ -457,6 +466,117 @@ def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
     if out.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
+    out = out.sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def levenshtein_bytes(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact unit-cost Levenshtein distance over uint8 byte arrays.
+
+    Two-row DP with the row fully vectorized: deletion/substitution come
+    from the previous row elementwise; the serial left-to-right insertion
+    dependency is the classic cummin trick — dp[j] = min_{k<=j}(base[k] +
+    (j-k)) = cummin(base - idx) + idx, exact because each insertion step
+    costs exactly 1. Matches DuckDB's ``levenshtein()`` (the q100 oracle)
+    byte-for-byte on ASCII text; the fixture corpus is ASCII (the q84
+    oracle-contract precedent), so char and byte distances coincide."""
+    if len(a) == 0:
+        return len(b)
+    if len(b) == 0:
+        return len(a)
+    if len(a) < len(b):  # fewer outer iterations over the shorter string
+        a, b = b, a
+    idx = np.arange(len(b) + 1, dtype=np.int64)
+    prev = idx.copy()
+    cand = np.empty(len(b) + 1, dtype=np.int64)
+    for i in range(1, len(a) + 1):
+        cand[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i - 1]), out=cand[1:])
+        prev = np.minimum.accumulate(cand - idx) + idx
+    return int(prev[-1])
+
+
+def _edit_verify_tab(t: pa.Table, num: int, den: int) -> pa.Table:
+    """Pair batch with text_a/text_b payload columns → (doc_a, doc_b,
+    dist, max_len) rows passing ``den·dist ≤ num·max_len`` (normalized
+    edit distance ≤ num/den as an INTEGER comparison — no float
+    threshold). The per-pair DP is O(|a|·|b|) with vectorized rows; the
+    pair count is candidate-bounded (≪ corpus), the documented cost model
+    of every verify kernel in this module."""
+    ta_list = t["text_a"].to_pylist()
+    tb_list = t["text_b"].to_pylist()
+    das = t["doc_a"].to_pylist()
+    dbs = t["doc_b"].to_pylist()
+    out_a, out_b, out_d, out_m = [], [], [], []
+    for i in range(t.num_rows):
+        ba = np.frombuffer((ta_list[i] or "").encode(), np.uint8)
+        bb = np.frombuffer((tb_list[i] or "").encode(), np.uint8)
+        d = levenshtein_bytes(ba, bb)
+        m = max(len(ba), len(bb))
+        if den * d <= num * m:
+            out_a.append(das[i])
+            out_b.append(dbs[i])
+            out_d.append(d)
+            out_m.append(m)
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "dist": pa.array(out_d, pa.int64()),
+                     "max_len": pa.array(out_m, pa.int64())})
+
+
+def _text_payload_tab(t: pa.Table) -> pa.Table:
+    """(doc_id, text) batch → payload table for the verify join/fast path
+    (id column first — the fast_verify_table contract)."""
+    return pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+
+
+def edit_distance_near_dup_pairs(docs_ds, num_partitions: int,
+                                 num: int = 1, den: int = 5) -> pa.Table:
+    """Fuzzy dedup: MinHash-LSH candidate generation + EXACT Levenshtein
+    verification — the classic two-stage fuzzy-duplicate join (candidates
+    from a cheap sketch, an exact expensive metric only on candidates).
+    Returns (doc_a, doc_b, dist, max_len) for candidate pairs with
+    normalized edit distance dist/max_len ≤ num/den.
+
+    Same size-aware structure as ``minhash_near_dup_pairs``: below
+    FAST_VERIFY_PAIR_LIMIT the shared broadcast fast path, above it text
+    payloads join back onto the pair table through two hash joins — both
+    feed the identical ``_edit_verify_tab`` kernel."""
+    pairs_ds = lsh_candidate_pairs(docs_ds, num_partitions, "word")
+    n_pairs = pairs_ds.count()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64()),
+                      "max_len": pa.array([], pa.int64())})
+    if n_pairs <= FAST_VERIFY_PAIR_LIMIT:
+        verify_t = fast_verify_table(pairs_ds, docs_ds, "doc_id",
+                                     _text_payload_tab, "text_a", "text_b")
+        if verify_t is None:
+            return empty
+        out = _edit_verify_tab(verify_t, num, den).to_pandas()
+    else:
+        ids_ds = pairs_ds.map_batches(
+            lambda t: pa.table({"doc_id": pa.concat_arrays(
+                [t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"],
+                 t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]])}),
+            batch_format="pyarrow",
+        ).groupby("doc_id", num_partitions=num_partitions).count()
+        ids_ds = ids_ds.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+        cand_docs = docs_ds.join(ids_ds, join_type="inner",
+                                 num_partitions=num_partitions, on=("doc_id",))
+        tx_ds = cand_docs.map_batches(_text_payload_tab,
+                                      batch_format="pyarrow").materialize()
+        tx_a = tx_ds.map_batches(lambda t: t.rename_columns(["doc_a", "text_a"]),
+                                 batch_format="pyarrow")
+        j1 = pairs_ds.join(tx_a, join_type="inner", num_partitions=num_partitions,
+                           on=("doc_a",)).materialize()
+        tx_b = tx_ds.map_batches(lambda t: t.rename_columns(["doc_b", "text_b"]),
+                                 batch_format="pyarrow")
+        j2 = j1.join(tx_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+        out = j2.map_batches(lambda t: _edit_verify_tab(t, num, den),
+                             batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
     out = out.sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
 

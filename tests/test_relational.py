@@ -38,6 +38,8 @@ def _spatial_oracles():
         "q91_admin_profile": (es.admin_profile_query, es.SPATIAL_SQL["q91_admin_profile"]),
         "q88_cell_centers": (es.cell_centers_query, es.SPATIAL_SQL["q88_cell_centers"]),
         "q92_page_s2_cells": (es.page_s2_cells_query, es.SPATIAL_SQL["q92_page_s2_cells"]),
+        "q97_focal_smooth": (es.focal_smooth_query, es.SPATIAL_SQL["q97_focal_smooth"]),
+        "q99_morans_i": (es.morans_i_query, es.SPATIAL_SQL["q99_morans_i"]),
     }
 
 

@@ -455,3 +455,43 @@ def test_near_dup_fast_verify_matches_join_path(ray_session, monkeypatch):
     assert fast20.equals(join20)
     assert fast24.equals(join24)
     assert fast20.num_rows > 0  # the fixture plants near-dups
+
+
+def test_fuzzy_edit_fast_verify_matches_join_path(ray_session, monkeypatch):
+    """q100 both verify paths (broadcast fast / distributed text join)
+    return the identical (doc_a, doc_b, dist, max_len) table."""
+    import osm_data_classification_ray.stages.textdedup as td
+    from osm_data_classification_ray.pipelines.textqueries import q100_fuzzy_edit_pairs
+
+    sf = "/root/testdata/sf0.001"
+    fast = q100_fuzzy_edit_pairs(sf)
+    monkeypatch.setattr(td, "FAST_VERIFY_PAIR_LIMIT", -1)  # force join path
+    join = q100_fuzzy_edit_pairs(sf)
+    assert fast.equals(join)
+    assert fast.num_rows > 0
+
+
+def test_levenshtein_bytes_matches_duckdb():
+    """The vectorized byte DP is exact unit-cost Levenshtein: parity with
+    DuckDB's levenshtein() on deterministic random ASCII pairs, including
+    empty/one-sided/equal/prefix edge cases."""
+    import duckdb
+    import numpy as np
+
+    from osm_data_classification_ray.stages.textdedup import levenshtein_bytes
+
+    rng = np.random.default_rng(4242)
+    alphabet = "abcde "
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+             ("abc", "abcd"), ("kitten", "sitting"), ("a" * 100, "a" * 60)]
+    for _ in range(40):
+        la, lb = int(rng.integers(0, 60)), int(rng.integers(0, 60))
+        a = "".join(rng.choice(list(alphabet), la))
+        b = "".join(rng.choice(list(alphabet), lb))
+        cases.append((a, b))
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        got = levenshtein_bytes(np.frombuffer(a.encode(), np.uint8),
+                                np.frombuffer(b.encode(), np.uint8))
+        assert got == want, (a, b, got, want)
