@@ -40,7 +40,13 @@ _DRIVER_WINDOW = [
     "q30_pages_extract", "q31_page_admin_join", "q32_tiles",
     "q33_cell_features", "q34_cluster_assignments", "q35_knn_geo",
     "q36_tiles_rollup", "q37_dedup_urls", "q38_page_cells",
-    "q51_cell_features_packed", "q63_page_cells_hex", "q85_radius_pairs",
+    # (q51 rotated out late round 5: it is rows-only by design (the
+    # fixed_size_list column the driver's row-sorted hash cannot key) and
+    # q33 hash-checks the identical 16 features unpacked; the packing
+    # itself is pytest-pinned. q101 — Getis-Ord Gi* hot spots, the third
+    # of the local-statistics trio, hash-green via the frozen-float
+    # contract — enters, raising the window to 48/50 oracle-backed.)
+    "q63_page_cells_hex", "q85_radius_pairs",
     "q87_rasterize_admin", "q89_cell_prototypes",
     # round-4 rotation: q90 (spatial anti-join coverage gap) and q91
     # (per-admin profile: join-after-PIP rollup + exact two-level distinct)
@@ -65,7 +71,7 @@ _DRIVER_WINDOW = [
     # self-join oracle — enters. q88 keeps its repo oracle test and
     # CORRECTNESS_r03/r04 green rows.)
     "q90_coverage_gap", "q91_admin_profile", "q92_page_s2_cells",
-    "q97_focal_smooth", "q99_morans_i",
+    "q97_focal_smooth", "q99_morans_i", "q101_hotspot_gistar",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
     # (q19 rotated out late round 5: tokenization stays in-window via
@@ -141,6 +147,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q92_page_s2_cells": es.page_s2_cells_query,
             "q97_focal_smooth": es.focal_smooth_query,
             "q99_morans_i": es.morans_i_query,
+            "q101_hotspot_gistar": es.hotspot_gistar_query,
         }
     )
     return out

@@ -494,6 +494,105 @@ def morans_i_query(sf_dir: str):
                   int(parts["den"] or 0))
 
 
+def hotspot_gistar_query(sf_dir: str):
+    """q101: Getis-Ord Gi* hot-spot scores on the res-7 hex raster —
+    completing the classic local-statistics trio beside q97 (focal mean)
+    and q99 (Moran's I). Binary weights over the hex-distance-≤1
+    neighborhood INCLUDING self (the Gi* convention), restricted to
+    occupied cells.
+
+    Everything that crosses an exchange is int64: per cell the
+    neighborhood sum T_i and size k_i (exactly q97's aggregate), plus the
+    global moments (n, S = Σx, Q = Σx²) from one tiny aggregate. The
+    score is then ONE frozen float expression per cell —
+        mean = S/n;  num = T_i − mean·k_i
+        s    = sqrt(Q/n − mean·mean)
+        den  = s · sqrt((n·k_i − k_i·k_i)/(n − 1))
+        gi   = num/den  → half-up micro-units
+    — written with the identical op order in numpy and SQL; sqrt and the
+    four arithmetic ops are IEEE correctly-rounded in both engines, so
+    identical int64 inputs give bit-identical doubles (the q35/q88
+    frozen-float precedent). Oracle: spatialsql.q101_sql (independent
+    axial self-join neighborhood + the same expression)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r7", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r7"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    ).materialize()  # bounded by the occupied res-7 cell universe
+
+    def sq(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"n_pages": t["n_pages"],
+                         "sq": pa.array(x * x, pa.int64())})
+
+    tot = agg.map_batches(sq, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("n_pages", alias_name="s"),
+        Sum("sq", alias_name="q"))
+    n = int(tot["n"] or 0)
+    s_tot = int(tot["s"] or 0)
+    q_tot = int(tot["q"] or 0)
+
+    # neighborhood sums incl self — exactly the q97 scatter/aggregate
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"center": z, "contrib": z, "self_pages": z})
+        cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        xv = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        disks = hexgrid.grid_disk(cells, 1)
+        is_self = (disks == cells[:, None]).ravel()
+        x7 = np.repeat(xv, disks.shape[1])
+        return pa.table({
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "contrib": pa.array(x7, pa.int64()),
+            "self_pages": pa.array(np.where(is_self, x7, 0), pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("contrib", alias_name="t_sum"),
+        Count(alias_name="k"),
+        Sum("self_pages", alias_name="n_pages"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_pages"], pa.scalar(0, pa.int64())))
+        ti = np.asarray(t["t_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ki = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cells = np.asarray(t["center"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        if n <= 1:
+            gi_e6 = np.zeros(len(ti), np.int64)
+        else:
+            nf = float(n)
+            mean = float(s_tot) / nf
+            kf = ki.astype(np.float64)
+            num = ti.astype(np.float64) - mean * kf
+            sd = np.sqrt(float(q_tot) / nf - mean * mean)
+            den = sd * np.sqrt((nf * kf - kf * kf) / (nf - 1.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gi = num / den
+            gi_e6 = np.where(den == 0.0, 0,
+                             np.floor(gi * 1e6 + 0.5)).astype(np.int64)
+        return pa.table({
+            "h3_r7": pa.array(cells.astype(np.uint64), pa.uint64()),
+            "n_pages": t["n_pages"].cast(pa.int64()),
+            "k": t["k"].cast(pa.int64()),
+            "t_sum": pa.array(ti, pa.int64()),
+            "gi_e6": pa.array(gi_e6, pa.int64()),
+        })
+
+    return nb.map_batches(finish, batch_format="pyarrow")
+
+
 def _rasterize_block(t: pa.Table) -> pa.Table:
     """Rasterize each level-1 polygon in the batch onto the res-5 hex
     raster: cells whose CENTER is inside (even-odd + on-edge, the frozen
@@ -945,6 +1044,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q92_page_s2_cells": spatialsql.q92_sql(),
         "q97_focal_smooth": spatialsql.q97_sql(),
         "q99_morans_i": spatialsql.q99_sql(),
+        "q101_hotspot_gistar": spatialsql.q101_sql(),
     }
 
 

@@ -456,6 +456,53 @@ SELECT tot.n AS n_cells, agg.w_pairs, agg.num, den_t.den,
 FROM tot CROSS JOIN agg CROSS JOIN den_t"""
 
 
+def q101_sql() -> str:
+    """q101 oracle: Getis-Ord Gi* rebuilt independently — neighborhood
+    (incl. self) via the axial self-join (q97 mirror), global moments
+    (n, S, Q) from the cell-count CTE, then the engine's exact frozen
+    float expression: mean = S/n; num = T − mean·k; sd = sqrt(Q/n −
+    mean²); den = sd·sqrt((n·k − k²)/(n−1)); (num/den)·1e6 half-up. All
+    inputs are int64, and +,−,×,÷,sqrt are IEEE correctly-rounded in
+    both engines, so identical integers give bit-identical doubles."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    expr_mean = "CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)"
+    expr = f"""CASE WHEN tot.n <= 1 OR
+      (SQRT(CAST(tot.q AS DOUBLE) / CAST(tot.n AS DOUBLE)
+            - ({expr_mean}) * ({expr_mean}))
+       * SQRT((CAST(tot.n AS DOUBLE) * CAST(nbr.k AS DOUBLE)
+               - CAST(nbr.k AS DOUBLE) * CAST(nbr.k AS DOUBLE))
+              / (CAST(tot.n AS DOUBLE) - 1.0))) = 0.0 THEN 0
+      ELSE CAST(FLOOR(
+        (CAST(nbr.t_sum AS DOUBLE) - ({expr_mean}) * CAST(nbr.k AS DOUBLE))
+        / (SQRT(CAST(tot.q AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                - ({expr_mean}) * ({expr_mean}))
+           * SQRT((CAST(tot.n AS DOUBLE) * CAST(nbr.k AS DOUBLE)
+                   - CAST(nbr.k AS DOUBLE) * CAST(nbr.k AS DOUBLE))
+                  / (CAST(tot.n AS DOUBLE) - 1.0)))
+        * 1000000.0 + 0.5) AS BIGINT) END"""
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7, COUNT(*)::BIGINT AS n_pages
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT h3_r7, n_pages,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+tot AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(n_pages) AS BIGINT) AS s,
+               CAST(SUM(n_pages * n_pages) AS BIGINT) AS q
+        FROM u),
+nbr AS (SELECT a.h3_r7, a.n_pages,
+               COUNT(*)::BIGINT AS k,
+               CAST(SUM(b.n_pages) AS BIGINT) AS t_sum
+        FROM u a JOIN u b
+          ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+             AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+        GROUP BY a.h3_r7, a.n_pages)
+SELECT nbr.h3_r7, nbr.n_pages, nbr.k, nbr.t_sum,
+       {expr} AS gi_e6
+FROM nbr CROSS JOIN tot"""
+
+
 def q87_sql() -> str:
     """q87 oracle: rasterize level-1 polygons onto the res-5 raster with
     INDEPENDENT candidate generation — a plain axial-rectangle lattice

@@ -40,6 +40,8 @@ def _spatial_oracles():
         "q92_page_s2_cells": (es.page_s2_cells_query, es.SPATIAL_SQL["q92_page_s2_cells"]),
         "q97_focal_smooth": (es.focal_smooth_query, es.SPATIAL_SQL["q97_focal_smooth"]),
         "q99_morans_i": (es.morans_i_query, es.SPATIAL_SQL["q99_morans_i"]),
+        "q101_hotspot_gistar": (es.hotspot_gistar_query,
+                                es.SPATIAL_SQL["q101_hotspot_gistar"]),
     }
 
 
