@@ -408,7 +408,13 @@ def morans_i_query(sf_dir: str):
     self row carries the center's own c and the occupancy marker, so
     neighbor contributions landing on unoccupied centers drop without a
     join back (w_ij requires BOTH endpoints occupied). Oracle:
-    spatialsql.q99_sql — an independent axial self-join mirror."""
+    spatialsql.q99_sql — an independent axial self-join mirror.
+
+    Range contract: the int64 partial products need |c_i·T_i| < 2^63,
+    i.e. (N·x_max)²·6 < 2^63 — holds up to ~40M occupied cells at
+    x_max ~ 10³ (the res-7 universe over any realistic corpus); beyond
+    it, split c into 32-bit limbs (the q66 HUGEINT precedent) before
+    widening the statistic."""
     from ray.data.aggregate import Count, Sum
 
     from ..cellmath import hexgrid
