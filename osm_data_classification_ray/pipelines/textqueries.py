@@ -113,6 +113,54 @@ FROM p WHERE 5 * dist <= max_len
 """
 
 
+def q102_incremental_dedup(sf_dir: str):
+    """Incremental dedup — the production ingest shape: match only the
+    NEW half of the corpus (odd doc_id, the deterministic delta rule)
+    against the EXISTING half (even doc_id), via an asymmetric band join
+    + the shared exact-Jaccard verify. No new×new or old×old pair is ever
+    considered, which is what makes incremental ingest linear in the
+    delta. Oracle: candidates mirrored through the q66 band CTE
+    restricted to new×old, verify through Q20's exact shingle-Jaccard
+    CTE (both mirrors independently validated against the same engine
+    kernels)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    zero = pa.scalar(0, pa.int64())
+    new_ds = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), zero)),
+        batch_format="pyarrow")
+    old_ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), zero)),
+        batch_format="pyarrow")
+    return textdedup.incremental_near_dup_pairs(
+        new_ds, old_ds, ds, default_partitions(), threshold=0.6)
+
+
+def _q102_sql() -> str:
+    return f"""
+WITH bands AS ({_q66_sql()}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.bucket = o.bucket
+  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+),
+tok AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM tok
+),
+p AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.6
+"""
+
+
 _QUERY_VEC_IDS = [0, 1, 2, 3, 4]
 
 
@@ -2119,6 +2167,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q21_simhash_near_dup": (q21_simhash_near_dup, Q21_SQL),
     "q22_chargram_near_dup": (q22_chargram_near_dup, Q22_SQL),
     "q100_fuzzy_edit_pairs": (q100_fuzzy_edit_pairs, _q100_sql()),
+    "q102_incremental_dedup": (q102_incremental_dedup, _q102_sql()),
     "q23_embedding_topk": (q23_embedding_topk, Q23_SQL),
     "q24_embedding_near_dup": (q24_embedding_near_dup, Q24_SQL),
     "q25_ann_ivf": (q25_ann_ivf, None),

@@ -416,14 +416,25 @@ def lsh_candidate_pairs(docs_ds, num_partitions: int, shingle: str = "word"):
 def minhash_near_dup_pairs(docs_ds, num_partitions: int, threshold: float = 0.6,
                            shingle: str = "word") -> pa.Table:
     """Full MinHash-LSH near-dup pipeline → verified pairs table:
-    ``lsh_candidate_pairs`` then
+    ``lsh_candidate_pairs`` then ``_jaccard_verified_pairs``.
+    Only the final verified pair table (the query result) is collected."""
+    pairs_ds = lsh_candidate_pairs(docs_ds, num_partitions, shingle)
+    return _jaccard_verified_pairs(pairs_ds, docs_ds, num_partitions,
+                                   threshold, shingle)
+
+
+def _jaccard_verified_pairs(pairs_ds, docs_ds, num_partitions: int,
+                            threshold: float, shingle: str) -> pa.Table:
+    """Exact-Jaccard verification of a candidate (doc_a, doc_b) pairs
+    Dataset against ``docs_ds`` — the shared tail of the symmetric (q20)
+    and incremental (q102) near-dup pipelines:
     3. candidate shingle sets: the distinct candidate ids semi-join the
        docs table via a hash join (the docs side streams through ONE
        doc_id exchange — linear, no broadcast assumption), shingles
        recomputed per candidate only,
-    4. pairs ⋈ shingle sets (doc_a, then doc_b) → per-batch exact Jaccard.
-    Only the final verified pair table (the query result) is collected."""
-    pairs_ds = lsh_candidate_pairs(docs_ds, num_partitions, shingle)
+    4. pairs ⋈ shingle sets (doc_a, then doc_b) → per-batch exact Jaccard;
+    below FAST_VERIFY_PAIR_LIMIT the broadcast fast path feeds the same
+    kernel."""
     n_pairs = pairs_ds.count()
     if n_pairs <= FAST_VERIFY_PAIR_LIMIT:
         # Size-aware fast verify: the pair table is ALREADY the (bounded,
@@ -579,6 +590,44 @@ def edit_distance_near_dup_pairs(docs_ds, num_partitions: int,
         return empty
     out = out.sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def incremental_near_dup_pairs(new_ds, old_ds, docs_ds, num_partitions: int,
+                               threshold: float = 0.6) -> pa.Table:
+    """Incremental dedup: match NEW documents against an EXISTING corpus —
+    the production ingest shape (only the delta is deduped; the old
+    corpus contributes its band index, never re-pairs with itself).
+
+    Shape: band rows for both sides → ONE distributed hash join on
+    (band, bucket) (asymmetric — no self-pairs, no a<b ordering needed:
+    the sides are disjoint) → pair-keyed dedup exchange → the shared
+    exact-Jaccard verify (``_jaccard_verified_pairs``) against the full
+    docs table. Output (doc_a = new, doc_b = old, jaccard). Hot-bucket
+    skew note: a bucket with m old × k new docs inherently emits m·k
+    candidates; the band join streams them (Ray hash join), same
+    no-silent-caps policy as ``bucket_pairs_block``."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    bands_new = new_ds.map_batches(minhash_band_rows, batch_format="pyarrow")
+    bands_new = bands_new.map_batches(
+        lambda t: t.rename_columns(["band", "bucket", "doc_a"]),
+        batch_format="pyarrow")
+    bands_old = old_ds.map_batches(minhash_band_rows, batch_format="pyarrow")
+    bands_old = bands_old.map_batches(
+        lambda t: t.rename_columns(["band", "bucket", "doc_b"]),
+        batch_format="pyarrow")
+    cand = bands_new.join(bands_old, join_type="inner",
+                          num_partitions=num_partitions, on=("band", "bucket"))
+    pairs_ds = cand.map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                                batch_format="pyarrow")
+    pairs_ds = pairs_ds.repartition(num_partitions, keys=["doc_a", "doc_b"],
+                                    sort=False)
+    pairs_ds = pairs_ds.map_batches(
+        dedup_pairs_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    return _jaccard_verified_pairs(pairs_ds, docs_ds, num_partitions,
+                                   threshold, "word")
 
 
 #: above this many pairs the driver union-find gives way to distributed
