@@ -39,7 +39,13 @@ _DRIVER_WINDOW = [
     # KMeans / list-typed outputs the driver's row-sorted hash can't compare)
     "q30_pages_extract", "q31_page_admin_join", "q32_tiles",
     "q33_cell_features", "q34_cluster_assignments", "q35_knn_geo",
-    "q36_tiles_rollup", "q37_dedup_urls", "q38_page_cells",
+    # (q38 rotated out late round 5: it is rows-only by design (list-typed
+    # S2 covering) and q92 hash-checks the identical covering content
+    # unnested in-window; q103 — the spatially-stratified split, the
+    # geo-ML leakage-hygiene operator, hash-green — enters, raising the
+    # window to 49/50 oracle-backed. q38 keeps its repo tests and prior
+    # rows-only driver rows.)
+    "q36_tiles_rollup", "q37_dedup_urls", "q103_spatial_split",
     # (q51 rotated out late round 5: it is rows-only by design (the
     # fixed_size_list column the driver's row-sorted hash cannot key) and
     # q33 hash-checks the identical 16 features unpacked; the packing
@@ -148,6 +154,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q97_focal_smooth": es.focal_smooth_query,
             "q99_morans_i": es.morans_i_query,
             "q101_hotspot_gistar": es.hotspot_gistar_query,
+            "q103_spatial_split": es.spatial_split_query,
         }
     )
     return out

@@ -599,6 +599,53 @@ def hotspot_gistar_query(sf_dir: str):
     return nb.map_batches(finish, batch_format="pyarrow")
 
 
+#: spatial-split hash stream — distinct from q68's per-doc stream 777
+_SPATIAL_SPLIT_STREAM = 778
+
+
+def spatial_split_query(sf_dir: str):
+    """q103: spatially-stratified train/val/test split — the geo-ML
+    evaluation-hygiene operator: the split is assigned per res-5 CELL
+    (hash_u64(cell, stream 778) under q68's 80/90% integer thresholds),
+    so co-located pages can never straddle splits (no spatial leakage
+    between train and test — the group-level analog of q68's per-doc
+    rule, and the spatial sibling of q69's decontamination). Returns per
+    split the cell and page counts.
+
+    Shape: one cell-count exchange (bounded by the occupied res-5 cell
+    universe) → per-block split tagging (pure hash, no shuffle) → one
+    3-row split aggregate. Oracle: spatialsql.q103_sql — the identical
+    splitmix64 stream mirrored in HUGEINT limbs over the hexgrid-in-SQL
+    cell ids."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..fixtures.gen import hash_u64
+    from .relational import _TRAIN_BOUND, _VAL_BOUND
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r5", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r5"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r5", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n")
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        hv = hash_u64(cells, _SPATIAL_SPLIT_STREAM)
+        split = np.where(hv < np.uint64(_TRAIN_BOUND), "train",
+                         np.where(hv < np.uint64(_VAL_BOUND), "val", "test"))
+        return pa.table({"split": pa.array(split, pa.string()),
+                         "n": t["n"].cast(pa.int64())})
+
+    return (agg.map_batches(tag, batch_format="pyarrow")
+            .groupby("split", num_partitions=default_partitions())
+            .aggregate(Count(alias_name="n_cells"), Sum("n", alias_name="n_pages")))
+
+
 def _rasterize_block(t: pa.Table) -> pa.Table:
     """Rasterize each level-1 polygon in the batch onto the res-5 hex
     raster: cells whose CENTER is inside (even-odd + on-edge, the frozen
@@ -1051,6 +1098,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q97_focal_smooth": spatialsql.q97_sql(),
         "q99_morans_i": spatialsql.q99_sql(),
         "q101_hotspot_gistar": spatialsql.q101_sql(),
+        "q103_spatial_split": spatialsql.q103_sql(),
     }
 
 

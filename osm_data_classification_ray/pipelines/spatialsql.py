@@ -503,6 +503,26 @@ SELECT nbr.h3_r7, nbr.n_pages, nbr.k, nbr.t_sum,
 FROM nbr CROSS JOIN tot"""
 
 
+def q103_sql() -> str:
+    """q103 oracle: the spatially-stratified split rebuilt end-to-end in
+    SQL — occupied res-5 cells from the captures mirror, the per-cell
+    split via the identical splitmix64 stream-778 hash (HUGEINT limb
+    mulmod, the q68 machinery), q68's 80/90% integer threshold cuts."""
+    from .relational import _TRAIN_BOUND, _VAL_BOUND
+    from .sqlmirror import SM_PRIME, mulmod_sql, sm64_base, sm64_steps
+
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+d AS (SELECT CAST(cell AS UBIGINT) AS id, n FROM g),
+{sm64_steps('h', 'd', 'id, n',
+            f"xor({mulmod_sql('id', SM_PRIME)}, CAST({sm64_base(778)} AS UBIGINT))")}
+SELECT CASE WHEN hv < {_TRAIN_BOUND} THEN 'train'
+            WHEN hv < {_VAL_BOUND} THEN 'val' ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_cells, CAST(SUM(n) AS BIGINT) AS n_pages
+FROM hf GROUP BY 1"""
+
+
 def q87_sql() -> str:
     """q87 oracle: rasterize level-1 polygons onto the res-5 raster with
     INDEPENDENT candidate generation — a plain axial-rectangle lattice

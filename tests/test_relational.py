@@ -42,6 +42,8 @@ def _spatial_oracles():
         "q99_morans_i": (es.morans_i_query, es.SPATIAL_SQL["q99_morans_i"]),
         "q101_hotspot_gistar": (es.hotspot_gistar_query,
                                 es.SPATIAL_SQL["q101_hotspot_gistar"]),
+        "q103_spatial_split": (es.spatial_split_query,
+                               es.SPATIAL_SQL["q103_spatial_split"]),
     }
 
 
