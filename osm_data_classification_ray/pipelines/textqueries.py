@@ -1598,6 +1598,25 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def _term_counts(t: pa.Table) -> pa.Table:
+    """(doc_id, text) block → (doc_id, term, tf) rows: lowercase, split on
+    single spaces (the q55 tokenizer — mirrored by string_split(lower(..))
+    in SQL), vectorized explode + per-block pandas groupby. Blocks hold
+    whole docs, so per-block counts are complete."""
+    import pandas as pd
+
+    toks = pc.split_pattern(
+        pc.utf8_lower(pc.coalesce(t["text"], pa.scalar(""))), " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    ids = np.repeat(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)), lens)
+    df = pd.DataFrame({"doc_id": ids, "term": toks.flatten().to_pandas()})
+    g = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                     "term": pa.array(g["term"], pa.string()),
+                     "tf": pa.array(g["tf"], pa.int64())})
+
+
 def q55_tfidf_top_terms(sf_dir: str):
     """Per-document top-3 TF-IDF terms: tokenize → per-doc term counts
     (vectorized explode inside each block; blocks hold whole docs so the
@@ -1620,21 +1639,7 @@ def q55_tfidf_top_terms(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
-    def term_counts(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        toks = pc.split_pattern(
-            pc.utf8_lower(pc.coalesce(t["text"], pa.scalar(""))), " ")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
-        ids = np.repeat(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)), lens)
-        df = pd.DataFrame({"doc_id": ids, "term": toks.flatten().to_pandas()})
-        g = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
-        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
-                         "term": pa.array(g["term"], pa.string()),
-                         "tf": pa.array(g["tf"], pa.int64())})
-
-    tf_ds = ds.map_batches(term_counts, batch_format="pyarrow")
+    tf_ds = ds.map_batches(_term_counts, batch_format="pyarrow")
     df_ds = tf_ds.groupby("term", num_partitions=default_partitions()).aggregate(
         Count(alias_name="df"))
     joined = tf_ds.join(df_ds, join_type="inner",
@@ -1685,6 +1690,227 @@ s AS (
 )
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rk
 FROM s WHERE rk <= 3
+"""
+
+
+#: q104 document-frequency pruning band. df = 1 terms cannot produce a
+#: pair; df > 64 terms are stopword-like — each costs O(df²) pair
+#: emissions for near-zero lexical signal, so the cap bounds per-term
+#: work at ~2k pairs (the impact-pruning move of sparse retrieval;
+#: at corpus scale the cap is what keeps the term self-join linear in
+#: the posting count rather than quadratic in hot-term df).
+_Q104_DF_MIN, _Q104_DF_MAX = 2, 64
+
+
+def _bigram_counts(t: pa.Table) -> pa.Table:
+    """(doc_id, text) block → (doc_id, term, tf) rows where term is a word
+    BIGRAM (adjacent-token phrase, the q104 posting unit — the fixture's
+    unigram vocabulary is ~31 words, nearly all stopword-common, while its
+    bigram space is ~10³ terms with a usable df spectrum). Vectorized:
+    one Arrow split, index arithmetic for the adjacent pairs, one Arrow
+    element-wise join — no per-row loop."""
+    import pandas as pd
+
+    toks = pc.split_pattern(
+        pc.utf8_lower(pc.coalesce(t["text"], pa.scalar(""))), " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    bl = np.maximum(lens - 1, 0)
+    total = int(bl.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    left_idx = (np.arange(total) - np.repeat(np.cumsum(bl) - bl, bl)
+                + np.repeat(offs[:-1], bl))
+    flat = toks.flatten()
+    term = pc.binary_join_element_wise(
+        flat.take(pa.array(left_idx, pa.int64())),
+        flat.take(pa.array(left_idx + 1, pa.int64())), " ")
+    ids = np.repeat(np.asarray(t["doc_id"].to_numpy(zero_copy_only=False)), bl)
+    df = pd.DataFrame({"doc_id": ids, "term": term.to_pandas()})
+    g = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                     "term": pa.array(g["term"], pa.string()),
+                     "tf": pa.array(g["tf"], pa.int64())})
+
+
+def _sum_pairs(a: np.ndarray, b: np.ndarray, w: np.ndarray):
+    """Sum w over identical (a, b) pairs: one lexsort + reduceat."""
+    if len(a) == 0:
+        return a, b, w
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    new = np.ones(len(a), dtype=bool)
+    np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    return a[starts], b[starts], np.add.reduceat(w, starts)
+
+
+def q104_sparse_dot_topk(sf_dir: str):
+    """Sparse lexical similarity search over a distributed inverted index:
+    for every document, its top-3 neighbors by integer term-frequency dot
+    product over word-BIGRAM (phrase) posting lists — the sparse/BM25-
+    family counterpart of the dense-embedding top-k (q23/q93). Exact
+    integers end to end, so the oracle comparison is engine-stable (q23
+    policy: no float columns).
+
+    Plan (all Dataset-native, one keyed exchange + one pair aggregate):
+    bigram-tokenize → (doc, term, tf) rows → map-side stopword pre-prune:
+    a term whose count is already > 64 WITHIN one block has global df >
+    64, so its postings never need to cross the wire — the combiner move.
+    The drop is made ATOMIC by a tombstone row (tf = 0, real tfs are ≥ 1)
+    per dropped (block, term): without it, a term locally hot in one
+    block but light elsewhere would cross partially and its shortened run
+    would slip under the df cap (observed: +13k phantom rows at sf0.1,
+    block-layout-dependent). → term-keyed repartition (which colocates
+    every posting of a term, so a term's tombstone-free run length IS its
+    global df — no df aggregate or join needed) →
+    per-block pair emission for runs with df ∈ [2, 64] (fully vectorized
+    double-repeat, no Python loop; every qualifying co-term pair is
+    emitted, never capped — the df cap is the semantic bound) + per-block
+    partial combine of repeated (a, b) pairs (the combiner move) →
+    symmetric expand → doc-keyed repartition → one block kernel that
+    finishes dot = Σ tf_a·tf_b (lexsort + reduceat) and ranks top-3 by
+    (dot desc, nbr asc). The pair sum rides the doc exchange instead of a
+    dedicated (doc_a, doc_b) hash aggregate — measured 28 s → ~3 s at
+    sf0.1: Ray's two-key HashAggregate costs ~85 µs/row on 670k pair rows
+    while the fused numpy reduceat is linear after one lexsort.
+
+    Partitioning assumption (same as q70's bucket pairing): a keyed
+    repartition delivers each key's rows in ONE block (batch_size=None).
+    Holds for hash-shuffled partitions that fit a block; if a partition
+    ever split, runs would shorten and pairs drop — the sf0.01 oracle and
+    the partition-count invariance check in tests guard it."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tf_ds = ds.map_batches(_bigram_counts, batch_format="pyarrow")
+
+    def preprune(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(t["term"].to_pandas()).value_counts()
+        hot = vc.index[vc.to_numpy() > _Q104_DF_MAX]
+        if len(hot) == 0:
+            return t
+        hot_arr = pa.array(hot, pa.string())
+        kept = t.filter(pc.invert(pc.is_in(t["term"], hot_arr)))
+        tombs = pa.table({"doc_id": pa.array(np.full(len(hot), -1), pa.int64()),
+                          "term": hot_arr,
+                          "tf": pa.array(np.zeros(len(hot), np.int64), pa.int64())})
+        return pa.concat_tables([kept, tombs])
+
+    posting = tf_ds.map_batches(preprune, batch_format="pyarrow")
+    posting = posting.repartition(default_partitions(), keys=["term"], sort=True)
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        block = block.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        term = block["term"].combine_chunks()
+        doc = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False))
+        tf = np.asarray(block["tf"].to_numpy(zero_copy_only=False))
+        n = len(doc)
+        neq = pc.not_equal(term.slice(1, n - 1), term.slice(0, n - 1))
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = neq.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, n))
+        # run length == global df (term-keyed repartition colocates terms),
+        # UNLESS a tombstone (tf = 0, sorts first within its run since
+        # doc_id = -1) marks the term as pre-pruned hot in some block
+        alive = np.minimum.reduceat(tf, starts) > 0
+        multi = (counts >= _Q104_DF_MIN) & (counts <= _Q104_DF_MAX) & alive
+        starts, counts = starts[multi], counts[multi]
+        if len(starts) == 0:
+            return empty
+        # level 1: each term run of m postings → rows k = 0..m-2
+        m1 = counts - 1
+        seg = np.repeat(np.arange(len(starts)), m1)
+        local_k = np.arange(m1.sum()) - np.repeat(np.cumsum(m1) - m1, m1)
+        a_idx = starts[seg] + local_k
+        # level 2: row (run, k) → pairs with the m-1-k postings after it
+        fan = (counts[seg] - 1 - local_k).astype(np.int64)
+        a_idx = np.repeat(a_idx, fan)
+        local_j = np.arange(fan.sum()) - np.repeat(np.cumsum(fan) - fan, fan)
+        b_idx = a_idx + 1 + local_j
+        da, db, w = doc[a_idx], doc[b_idx], tf[a_idx] * tf[b_idx]
+        # partial combine: the same (a, b) pair recurs across this block's
+        # terms — sum it here so the exchange ships each pair once
+        da, db, w = _sum_pairs(da, db, w)
+        # symmetric expand: the doc exchange colocates each doc's full
+        # neighbor list, finishing the sum without a pair-keyed aggregate
+        return pa.table({"doc_id": pa.array(np.concatenate([da, db]), pa.int64()),
+                         "nbr_id": pa.array(np.concatenate([db, da]), pa.int64()),
+                         "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    pairs = posting.map_batches(pair_block, batch_format="pyarrow", batch_size=None)
+    both = pairs.repartition(default_partitions(), keys=["doc_id"], sort=True)
+
+    def topk(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "nbr_id": pa.array([], pa.int64()),
+                          "dot": pa.array([], pa.int64()),
+                          "rk": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        doc = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False))
+        nbr = np.asarray(block["nbr_id"].to_numpy(zero_copy_only=False))
+        w = np.asarray(block["w"].to_numpy(zero_copy_only=False))
+        doc, nbr, dot = _sum_pairs(doc, nbr, w)
+        order = np.lexsort((nbr, -dot, doc))
+        doc, nbr, dot = doc[order], nbr[order], dot[order]
+        new_doc = np.ones(len(doc), dtype=bool)
+        new_doc[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new_doc)
+        seg_start = np.repeat(starts, np.diff(np.append(starts, len(doc))))
+        rk = np.arange(len(doc)) - seg_start + 1
+        keep = rk <= 3
+        return pa.table({"doc_id": pa.array(doc[keep], pa.int64()),
+                         "nbr_id": pa.array(nbr[keep], pa.int64()),
+                         "dot": pa.array(dot[keep], pa.int64()),
+                         "rk": pa.array(rk[keep], pa.int64())})
+
+    return both.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+Q104_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i + 1])) AS term
+  FROM tok
+),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM bg GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+p AS (
+  SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN df USING (term)
+  WHERE df.df BETWEEN {_Q104_DF_MIN} AND {_Q104_DF_MAX}
+),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf)::BIGINT AS dot
+  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS nbr_id, dot FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a, dot FROM pr
+),
+r AS (
+  SELECT doc_id, nbr_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dot DESC, nbr_id ASC) AS rk
+  FROM sym
+)
+SELECT doc_id, nbr_id, dot, rk FROM r WHERE rk <= 3
 """
 
 
@@ -2187,6 +2413,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q52_embedding_all_nn": (q52_embedding_all_nn, Q52_SQL),
     "q54_cosine_pair_join": (q54_cosine_pair_join, Q54_SQL),
     "q55_tfidf_top_terms": (q55_tfidf_top_terms, Q55_SQL),
+    "q104_sparse_dot_topk": (q104_sparse_dot_topk, Q104_SQL),
     "q66_minhash_bands": (q66_minhash_bands, _q66_sql()),
     "q69_decontaminate": (q69_decontaminate, _q69_sql()),
     "q70_substring_dup": (q70_substring_dup, Q70_SQL),

@@ -495,3 +495,29 @@ def test_levenshtein_bytes_matches_duckdb():
         got = levenshtein_bytes(np.frombuffer(a.encode(), np.uint8),
                                 np.frombuffer(b.encode(), np.uint8))
         assert got == want, (a, b, got, want)
+
+
+def test_q104_partition_count_invariance(ray_session, monkeypatch):
+    """q104's df-from-run-length rests on term-keyed block colocation plus
+    the tombstoned pre-prune; the output must not depend on the partition
+    count (the original prune-without-tombstone emitted +13k phantom rows
+    at one layout and 0 at another)."""
+    from osm_data_classification_ray.pipelines.textqueries import q104_sparse_dot_topk
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(cpus: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        monkeypatch.setenv("RAY_GRAFT_CPUS", cpus)
+        t = pa.Table.from_pandas(q104_sparse_dot_topk(sf).to_pandas(),
+                                 preserve_index=False)
+        return t.take(pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in t.column_names]))
+
+    # 8 → 4 partitions, 12 → 6 (16 partitions' aggregator pool would not
+    # fit the 4-CPU test session)
+    a, b = run("8"), run("12")
+    assert a.num_rows > 0
+    assert a.equals(b)
