@@ -155,6 +155,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q99_morans_i": es.morans_i_query,
             "q101_hotspot_gistar": es.hotspot_gistar_query,
             "q103_spatial_split": es.spatial_split_query,
+            "q105_page_geohash": es.page_geohash_query,
         }
     )
     return out

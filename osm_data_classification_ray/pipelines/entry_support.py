@@ -212,6 +212,34 @@ def page_cells_hex_query(sf_dir: str):
     )
 
 
+def page_geohash_query(sf_dir: str):
+    """q105: geohash (base-32 Z-order/Morton) page keys — the third cell
+    index family beside the hex lattice (q63) and S2 Hilbert (q92). One
+    stateless vectorized map over the captures checkpoint: url + the
+    30-bit Morton key (range/prefix-join form) + the canonical 6-char
+    base-32 string. Integer-microdegree quantization end to end
+    (cellmath/geohash.py), mirrored BIGINT-for-BIGINT by
+    spatialsql.q105_sql — bit-exact by construction."""
+    from ..cellmath import geohash
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["url", "lat", "lon", "has_geo", "is_latest"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ilat = np.rint(lat * 1e6).astype(np.int64)
+        ilon = np.rint(lon * 1e6).astype(np.int64)
+        g30, gh6 = geohash.encode(ilat, ilon)
+        return pa.table({"url": t["url"],
+                         "gh30": pa.array(g30, pa.int64()),
+                         "gh6": pa.array(gh6, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def page_s2_cells_query(sf_dir: str):
     """q92: the S2 half of PAGE_CELLS, unnested for the driver — url plus the
     multi-level point covering as five uint64 columns (s2_l8..s2_l16). q38
@@ -1099,6 +1127,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q99_morans_i": spatialsql.q99_sql(),
         "q101_hotspot_gistar": spatialsql.q101_sql(),
         "q103_spatial_split": spatialsql.q103_sql(),
+        "q105_page_geohash": spatialsql.q105_sql(),
     }
 
 

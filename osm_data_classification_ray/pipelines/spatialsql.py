@@ -251,6 +251,33 @@ SELECT url, cell_r5 AS h3_r5, cell_r6 AS h3_r6, cell_r7 AS h3_r7,
 FROM cap WHERE has_geo AND is_latest"""
 
 
+def q105_sql() -> str:
+    """q105 oracle: geohash keys re-derived in pure BIGINT SQL — the q85
+    integer-microdegree mirror (ROUND(lat·1e6) agrees with engine-side
+    np.rint; no half-tie exists at 6 decimals), the identical
+    floor-division quantization, an unrolled 30-term Morton interleave,
+    and substr() lookups into the base-32 alphabet."""
+    from ..cellmath.geohash import ALPHABET
+
+    lon_terms = " + ".join(f"(((lonq >> {14 - i}) & 1) << {29 - 2 * i})"
+                           for i in range(15))
+    lat_terms = " + ".join(f"(((latq >> {14 - i}) & 1) << {28 - 2 * i})"
+                           for i in range(15))
+    chars = " || ".join(
+        f"substr('{ALPHABET}', CAST(((gh30 >> {25 - 5 * k}) & 31) AS INTEGER) + 1, 1)"
+        for k in range(6))
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT url, CAST(ROUND(lat * 1000000.0) AS BIGINT) AS ilat,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS ilon
+        FROM cap WHERE has_geo AND is_latest),
+q AS (SELECT url,
+        LEAST((ilat + 90000000) * 32768 // 180000000, 32767) AS latq,
+        LEAST((ilon + 180000000) * 32768 // 360000000, 32767) AS lonq
+      FROM pts),
+g AS (SELECT url, {lon_terms} + {lat_terms} AS gh30 FROM q)
+SELECT url, gh30, {chars} AS gh6 FROM g"""
+
+
 #: q92 S2 covering levels (cellmath/s2.point_covering default).
 S2_LEVELS = (8, 10, 12, 14, 16)
 

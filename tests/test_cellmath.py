@@ -140,3 +140,25 @@ class TestHaversine:
 
     def test_zero(self):
         assert float(haversine_m(10.0, 20.0, 10.0, 20.0)) == 0.0
+
+
+def test_geohash_encode_canonical_and_bounds():
+    """cellmath/geohash: the classic test vector (42.6, -5.6) → 'ezs42'
+    prefix, closed upper bounds clamp into the last cell, and the Morton
+    key orders identically to the string (base-32 is order-preserving)."""
+    import numpy as np
+
+    from osm_data_classification_ray.cellmath import geohash
+
+    ilat = np.array([42_600_000, 90_000_000, -90_000_000, 0], dtype=np.int64)
+    ilon = np.array([-5_600_000, 180_000_000, -180_000_000, 0], dtype=np.int64)
+    g30, gh6 = geohash.encode(ilat, ilon)
+    assert gh6[0][:5] == "ezs42"
+    assert gh6[1] == "zzzzzz" and g30[1] == (1 << 30) - 1
+    assert gh6[2] == "000000" and g30[2] == 0
+    # order-preserving: sorting by g30 == sorting by gh6
+    rng = np.random.default_rng(7)
+    la = rng.integers(-90_000_000, 90_000_001, 500)
+    lo = rng.integers(-180_000_000, 180_000_001, 500)
+    g, s = geohash.encode(la, lo)
+    assert (np.argsort(g, kind="stable") == np.argsort(s, kind="stable")).all()

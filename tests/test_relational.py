@@ -44,6 +44,8 @@ def _spatial_oracles():
                                 es.SPATIAL_SQL["q101_hotspot_gistar"]),
         "q103_spatial_split": (es.spatial_split_query,
                                es.SPATIAL_SQL["q103_spatial_split"]),
+        "q105_page_geohash": (es.page_geohash_query,
+                              es.SPATIAL_SQL["q105_page_geohash"]),
     }
 
 
