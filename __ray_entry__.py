@@ -156,6 +156,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q101_hotspot_gistar": es.hotspot_gistar_query,
             "q103_spatial_split": es.spatial_split_query,
             "q105_page_geohash": es.page_geohash_query,
+            "q106_pair_correlation": es.pair_correlation_query,
         }
     )
     return out

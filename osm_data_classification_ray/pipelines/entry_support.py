@@ -275,15 +275,9 @@ def page_s2_cells_query(sf_dir: str):
 RADIUS_MICRODEG = 200_000
 
 
-def radius_pairs_query(sf_dir: str):
-    """q85: distance-band (radius) spatial self-join — every pair of latest
-    geocoded pages within 0.2° squared-euclidean in integer microdegree
-    space (stages/radius.py: grid-square bucketing + lower-half ghost
-    replication, ONE key exchange, no global pair dedup). The DuckDB
-    oracle is a brute-force range self-join over the same coordinate
-    mirror, so the bucketing is verified lossless."""
-    from ..stages import radius
-
+def _radius_pages(sf_dir: str):
+    """Shared q85/q106 input: latest geocoded pages keyed by a unique int64
+    doc_id for the ghost exchange (urls never ship through it)."""
     cfg, _ = ensure_outputs(sf_dir)
     pages = spatial.read_stage(cfg.out_root, "captures",
                                ["url", "lat", "lon", "warc_ts",
@@ -300,11 +294,58 @@ def radius_pairs_query(sf_dir: str):
         return pa.table({"doc_id": pa.array(doc, pa.int64()), "url": t["url"],
                          "lat": t["lat"], "lon": t["lon"]})
 
-    pages = pages.map_batches(keyed, batch_format="pyarrow")
+    return pages.map_batches(keyed, batch_format="pyarrow")
+
+
+def radius_pairs_query(sf_dir: str):
+    """q85: distance-band (radius) spatial self-join — every pair of latest
+    geocoded pages within 0.2° squared-euclidean in integer microdegree
+    space (stages/radius.py: grid-square bucketing + lower-half ghost
+    replication, ONE key exchange, no global pair dedup). The DuckDB
+    oracle is a brute-force range self-join over the same coordinate
+    mirror, so the bucketing is verified lossless."""
+    from ..stages import radius
+
     # hot_threshold ~ chunked-enumeration budget: squares beyond it split
     # into salt chunks (output-identical; planted-skew test in test_radius)
-    return radius.radius_pairs(pages, RADIUS_MICRODEG, default_partitions(),
-                               hot_threshold=100_000)
+    return radius.radius_pairs(_radius_pages(sf_dir), RADIUS_MICRODEG,
+                               default_partitions(), hot_threshold=100_000)
+
+
+#: q106 distance bands (microdegrees) — nested inside RADIUS_MICRODEG so
+#: ONE ghost exchange at the widest band serves every band.
+PAIR_CORR_RADII = (50_000, 100_000, 200_000)
+
+
+def pair_correlation_query(sf_dir: str):
+    """q106: multi-scale pair correlation — the Ripley-K-style counting
+    statistic: for each distance band r ∈ {0.05°, 0.1°, 0.2°}, the number
+    of latest-geocoded page pairs within squared-euclidean r in integer
+    microdegree space. Completes the local-statistics trio (q99 Moran's I,
+    q101 Gi*) with the multi-scale GLOBAL clustering measure.
+
+    One ghost exchange at the widest band (the q85 id-level core —
+    radius_pair_ids; no url re-join, pairs never leave their blocks),
+    then a 3-row per-block partial histogram and a tiny keyed sum: the
+    pre-aggregate-inside-map_batches shape, constant exchange volume."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import radius
+
+    _, idpairs = radius.radius_pair_ids(
+        _radius_pages(sf_dir), max(PAIR_CORR_RADII), default_partitions(),
+        hot_threshold=100_000)
+    radii = np.asarray(PAIR_CORR_RADII, dtype=np.int64)
+
+    def hist(t: pa.Table) -> pa.Table:
+        d2 = np.asarray(t["d2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = np.array([(d2 <= r * r).sum() for r in radii], dtype=np.int64)
+        return pa.table({"radius": pa.array(radii, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    partial = idpairs.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    return partial.groupby("radius", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n_pairs"))
 
 
 def cell_centers_query(sf_dir: str):
@@ -1128,6 +1169,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q101_hotspot_gistar": spatialsql.q101_sql(),
         "q103_spatial_split": spatialsql.q103_sql(),
         "q105_page_geohash": spatialsql.q105_sql(),
+        "q106_pair_correlation": spatialsql.q106_sql(PAIR_CORR_RADII),
     }
 
 

@@ -394,6 +394,33 @@ WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
     + (a.ilon - b.ilon) * (a.ilon - b.ilon) <= CAST({radius} AS BIGINT) * {radius}"""
 
 
+def q106_sql(radii: tuple[int, ...]) -> str:
+    """q106 oracle: brute-force pair counting per distance band over the
+    q85 coordinate mirror — the engine's single-exchange-at-max-band +
+    partial-histogram plan must reproduce these counts exactly. LEFT JOIN
+    ON TRUE keeps every band present (count 0) on an empty pair set."""
+    rmax = max(radii)
+    vals = ", ".join(f"({r})" for r in radii)
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT url, CAST(ROUND(lat * 1000000.0) AS BIGINT) AS ilat,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS ilon
+        FROM cap WHERE has_geo AND is_latest),
+pr AS (
+  SELECT (a.ilat - b.ilat) * (a.ilat - b.ilat)
+       + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS d2
+  FROM pts a JOIN pts b
+    ON a.url < b.url
+   AND ABS(a.ilat - b.ilat) <= {rmax} AND ABS(a.ilon - b.ilon) <= {rmax}
+  WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
+      + (a.ilon - b.ilon) * (a.ilon - b.ilon) <= CAST({rmax} AS BIGINT) * {rmax}
+)
+SELECT CAST(r.radius AS BIGINT) AS radius,
+       COALESCE(SUM(CASE WHEN pr.d2 <= CAST(r.radius AS BIGINT) * r.radius
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_pairs
+FROM (VALUES {vals}) AS r(radius) LEFT JOIN pr ON TRUE
+GROUP BY r.radius"""
+
+
 def q88_sql() -> str:
     """q88 oracle: res-7 cell counts + the cell_to_latlng lattice inverse
     (cellmath/hexgrid.cell_center). Product order mirrors numpy exactly:

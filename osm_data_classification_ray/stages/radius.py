@@ -220,17 +220,19 @@ def _square_histogram(pages, radius: int, num_partitions: int,
             for r in hot}
 
 
-def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
-                 home_chunk: int = _HOME_CHUNK,
-                 hot_threshold: int | None = None, max_salt: int = 16):
-    """Dataset of (doc_id, url, lat, lon) -> Dataset of (url_a, url_b, d2)
-    for all pairs with squared microdegree distance <= radius^2.
+def radius_pair_ids(pages, radius_microdeg: int, num_partitions: int,
+                    home_chunk: int = _HOME_CHUNK,
+                    hot_threshold: int | None = None, max_salt: int = 16):
+    """Dataset of (doc_id, lat, lon, ...) -> (materialized pages,
+    Dataset of (id_a, id_b, d2)) for all pairs with squared microdegree
+    distance <= radius^2 — the id-level core of ``radius_pairs``, exposed
+    for consumers that aggregate pairs (q106 pair correlation) and never
+    need the url re-join exchanges.
 
     ``doc_id`` must be a unique int64 per row — it is the only identity
-    that crosses the ghost exchange; urls are re-joined at the end and the
-    output pair is normalized to ``url_a < url_b``. With ``hot_threshold``
-    set, squares holding more rows than the threshold are salt-split (see
-    module docstring) — output-identical, pinned by the planted hot-square
+    that crosses the ghost exchange. With ``hot_threshold`` set, squares
+    holding more rows than the threshold are salt-split (see module
+    docstring) — output-identical, pinned by the planted hot-square
     test."""
     if radius_microdeg < 25_000:
         # _pack_square's bias fields hold |sy| <= 90e6/R, |sx| <= 180e6/R;
@@ -256,6 +258,18 @@ def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
         batch_format="pyarrow",
         batch_size=None,
     )
+    return pages, idpairs
+
+
+def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
+                 home_chunk: int = _HOME_CHUNK,
+                 hot_threshold: int | None = None, max_salt: int = 16):
+    """Dataset of (doc_id, url, lat, lon) -> Dataset of (url_a, url_b, d2)
+    for all pairs with squared microdegree distance <= radius^2: the
+    ``radius_pair_ids`` core plus the two url re-join exchanges, output
+    pair normalized to ``url_a < url_b``."""
+    pages, idpairs = radius_pair_ids(pages, radius_microdeg, num_partitions,
+                                     home_chunk, hot_threshold, max_salt)
     names = pages.map_batches(
         lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow")
     cols1 = [("id_a", pa.int64()), ("id_b", pa.int64()), ("d2", pa.int64())]

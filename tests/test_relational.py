@@ -46,6 +46,8 @@ def _spatial_oracles():
                                es.SPATIAL_SQL["q103_spatial_split"]),
         "q105_page_geohash": (es.page_geohash_query,
                               es.SPATIAL_SQL["q105_page_geohash"]),
+        "q106_pair_correlation": (es.pair_correlation_query,
+                                  es.SPATIAL_SQL["q106_pair_correlation"]),
     }
 
 
