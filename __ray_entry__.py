@@ -37,7 +37,7 @@ def entry() -> Any:
 _DRIVER_WINDOW = [
     # flagship spatial suite (q34/q38/q51 rows-only by design: iterative
     # KMeans / list-typed outputs the driver's row-sorted hash can't compare)
-    "q30_pages_extract", "q31_page_admin_join", "q32_tiles",
+    "q30_pages_extract", "q31_page_admin_join",
     "q33_cell_features", "q34_cluster_assignments", "q35_knn_geo",
     # (q38 rotated out late round 5: it is rows-only by design (list-typed
     # S2 covering) and q92 hash-checks the identical covering content
@@ -45,7 +45,21 @@ _DRIVER_WINDOW = [
     # geo-ML leakage-hygiene operator, hash-green — enters, raising the
     # window to 49/50 oracle-backed. q38 keeps its repo tests and prior
     # rows-only driver rows.)
+    # (q32 rotated out late round 5: the base-res tile table stays
+    # exercised in-window through q36, whose oracle re-derives the SAME
+    # tiles from documents and rolls their parents up — a q36 hash pass
+    # certifies the tile counts at parent granularity — and through q87's
+    # raster path. q32 keeps its repo oracle test and CORRECTNESS_r01-r04
+    # green rows. q105 — geohash/Morton page keys, the third cell-index
+    # family beside hex (q63) and S2 (q92), BIGINT-exact oracle — enters.)
     "q36_tiles_rollup", "q37_dedup_urls", "q103_spatial_split",
+    "q105_page_geohash",
+    # (q59 rotated out late round 5: sequence chunk/pack machinery stays
+    # in-window via q71 (chunking) and q72 (numericalize); q59 keeps its
+    # repo oracle test and CORRECTNESS_r01-r04 green rows. q106 — the
+    # multi-scale pair-correlation counts on the q85 ghost-exchange core,
+    # completing the spatial-statistics trio's global member — enters.)
+    "q106_pair_correlation",
     # (q51 rotated out late round 5: it is rows-only by design (the
     # fixed_size_list column the driver's row-sorted hash cannot key) and
     # q33 hash-checks the identical 16 features unpacked; the packing
@@ -85,7 +99,13 @@ _DRIVER_WINDOW = [
     # verify mirrored via the q66 band CTE and DuckDB levenshtein() —
     # enters. q19 keeps its repo oracle test and CORRECTNESS_r01-r04
     # green rows.)
-    "q20_minhash_near_dup", "q100_fuzzy_edit_pairs", "q21_simhash_near_dup",
+    # (q21 rotated out late round 5: the near-dup family keeps five
+    # in-window members (q20 MinHash, q100 fuzzy-edit, q24 embedding-LSH,
+    # q44 groups, q98 semantic buckets); q21 keeps its repo oracle test
+    # and CORRECTNESS_r01-r04 green rows. q104 — sparse lexical top-k via
+    # a distributed bigram inverted index, the sparse-retrieval sibling of
+    # the dense q23/q93 — enters.)
+    "q20_minhash_near_dup", "q100_fuzzy_edit_pairs", "q104_sparse_dot_topk",
     "q23_embedding_topk", "q24_embedding_near_dup",
     # (q29 rotated out: multimodal stays in-window via q73's richer frame
     # fan-out; q29 keeps its repo oracle test and CORRECTNESS_r02 row)
@@ -118,7 +138,7 @@ _DRIVER_WINDOW = [
     "q03_top_revenue_orders", "q05_region_customers",
     "q08_anti_join", "q11_events_rollup", "q42_asof_join",
     "q43_sessionize", "q58_bloom_semi_join",
-    "q59_pack_sequences", "q67_rollup",
+    "q67_rollup",
 ]
 
 
@@ -157,6 +177,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q103_spatial_split": es.spatial_split_query,
             "q105_page_geohash": es.page_geohash_query,
             "q106_pair_correlation": es.pair_correlation_query,
+            "q108_nn_distance": es.nn_distance_query,
         }
     )
     return out

@@ -222,7 +222,7 @@ def run_relational() -> dict[str, float]:
                  "q11_events_rollup", "q12_event_chains", "q13_dedup_docs",
                  "q20_minhash_near_dup", "q21_simhash_near_dup", "q23_embedding_topk",
                  "q24_embedding_near_dup", "q70_substring_dup", "q72_numericalize",
-                 "q100_fuzzy_edit_pairs"]:
+                 "q100_fuzzy_edit_pairs", "q104_sparse_dot_topk"]:
         fn, _ = qs[name]
         t0 = time.monotonic()
         res = fn(SF_DIR)

@@ -348,6 +348,56 @@ def pair_correlation_query(sf_dir: str):
         Sum("n", alias_name="n_pairs"))
 
 
+def nn_distance_query(sf_dir: str):
+    """q108: nearest-neighbor distance (the Clark-Evans statistic's per-
+    point core): for every latest geocoded page with a neighbor inside the
+    q85 band (0.2°), the squared integer-microdegree distance to its
+    nearest neighbor. Rides the shared ghost-exchange core
+    (radius_pair_ids — pairs stay int64 ids), takes the per-doc min with
+    one doc-keyed exchange + a reduceat kernel, then re-attaches urls via
+    the sparse-safe lookup join (_attach_url)."""
+    from ..stages import radius
+    from ..stages.radius import _attach_url
+
+    pages, idpairs = radius.radius_pair_ids(
+        _radius_pages(sf_dir), RADIUS_MICRODEG, default_partitions(),
+        hot_threshold=100_000)
+
+    def sym(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(zero_copy_only=False))
+        ib = np.asarray(t["id_b"].to_numpy(zero_copy_only=False))
+        d2 = np.asarray(t["d2"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(np.concatenate([ia, ib]), pa.int64()),
+                         "d2": pa.array(np.concatenate([d2, d2]), pa.int64())})
+
+    both = idpairs.map_batches(sym, batch_format="pyarrow")
+    both = both.repartition(default_partitions(), keys=["doc_id"], sort=True)
+
+    def per_doc_min(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "min_d2": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        doc = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False))
+        d2 = np.asarray(block["d2"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((d2, doc))
+        doc, d2 = doc[order], d2[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table({"doc_id": pa.array(doc[starts], pa.int64()),
+                         "min_d2": pa.array(d2[starts], pa.int64())})
+
+    mins = both.map_batches(per_doc_min, batch_format="pyarrow", batch_size=None)
+    names = pages.map_batches(
+        lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow")
+    out = _attach_url(mins, names, "doc_id", "url",
+                      [("doc_id", pa.int64()), ("min_d2", pa.int64())],
+                      default_partitions())
+    return out.map_batches(
+        lambda t: t.select(["url", "min_d2"]), batch_format="pyarrow")
+
+
 def cell_centers_query(sf_dir: str):
     """q88: raster→vector export — one point feature per occupied res-7
     cell: (cell id, page count, center lat/lon from the lattice inverse,
@@ -1170,6 +1220,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q103_spatial_split": spatialsql.q103_sql(),
         "q105_page_geohash": spatialsql.q105_sql(),
         "q106_pair_correlation": spatialsql.q106_sql(PAIR_CORR_RADII),
+        "q108_nn_distance": spatialsql.q108_sql(RADIUS_MICRODEG),
     }
 
 

@@ -421,6 +421,32 @@ FROM (VALUES {vals}) AS r(radius) LEFT JOIN pr ON TRUE
 GROUP BY r.radius"""
 
 
+def q108_sql(radius: int) -> str:
+    """q108 oracle: per-url MIN d2 over the brute-force q85 band self-join
+    (both directions via UNION ALL) — the engine's ghost-exchange min must
+    be lossless against it."""
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT url, CAST(ROUND(lat * 1000000.0) AS BIGINT) AS ilat,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS ilon
+        FROM cap WHERE has_geo AND is_latest),
+pr AS (
+  SELECT a.url AS url_a, b.url AS url_b,
+         (a.ilat - b.ilat) * (a.ilat - b.ilat)
+       + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS d2
+  FROM pts a JOIN pts b
+    ON a.url < b.url
+   AND ABS(a.ilat - b.ilat) <= {radius} AND ABS(a.ilon - b.ilon) <= {radius}
+  WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
+      + (a.ilon - b.ilon) * (a.ilon - b.ilon) <= CAST({radius} AS BIGINT) * {radius}
+),
+sym AS (
+  SELECT url_a AS url, d2 FROM pr
+  UNION ALL
+  SELECT url_b, d2 FROM pr
+)
+SELECT url, MIN(d2)::BIGINT AS min_d2 FROM sym GROUP BY url"""
+
+
 def q88_sql() -> str:
     """q88 oracle: res-7 cell counts + the cell_to_latlng lattice inverse
     (cellmath/hexgrid.cell_center). Product order mirrors numpy exactly:

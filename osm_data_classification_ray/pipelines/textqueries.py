@@ -1914,6 +1914,95 @@ SELECT doc_id, nbr_id, dot, rk FROM r WHERE rk <= 3
 """
 
 
+def q107_novelty_score(sf_dir: str):
+    """Per-document n-gram novelty (document-fingerprinting family): the
+    fraction of a doc's DISTINCT word bigrams that appear in no other
+    document (global df = 1) — high novelty ⇒ unique content, low ⇒
+    boilerplate/templated. Integer outputs + the repo's half-up micro-unit
+    ratio (q84 rule), hash-exact.
+
+    Same exchange shape as q104 minus the pruning (the denominator needs
+    every posting): distinct (doc, term) rows → term-keyed repartition
+    (run length = global df) → per-row uniq flag → doc-keyed repartition →
+    one reduceat kernel for (n, u, quantized ratio). Both aggregates ride
+    exchanges + per-block numpy, never a per-row hash aggregate."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    td = ds.map_batches(_bigram_counts, batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["tf"]), batch_format="pyarrow")
+    td = td.repartition(default_partitions(), keys=["term"], sort=True)
+
+    def uniq_flags(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "uniq": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        block = block.sort_by([("term", "ascending")])
+        term = block["term"].combine_chunks()
+        n = block.num_rows
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = pc.not_equal(
+                term.slice(1, n - 1), term.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, n))
+        uniq = np.repeat((counts == 1).astype(np.int64), counts)
+        return pa.table({"doc_id": block["doc_id"],
+                         "uniq": pa.array(uniq, pa.int64())})
+
+    flags = td.map_batches(uniq_flags, batch_format="pyarrow", batch_size=None)
+    flags = flags.repartition(default_partitions(), keys=["doc_id"], sort=True)
+
+    def per_doc(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "n_unique": pa.array([], pa.int64()),
+                          "novelty_q": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        doc = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False))
+        uq = np.asarray(block["uniq"].to_numpy(zero_copy_only=False))
+        order = np.argsort(doc, kind="stable")
+        doc, uq = doc[order], uq[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(doc)))
+        u = np.add.reduceat(uq, starts)
+        nov = (2 * u * 1_000_000 + n) // (2 * n)  # half-up micro-units
+        return pa.table({"doc_id": pa.array(doc[starts], pa.int64()),
+                         "n_bigrams": pa.array(n, pa.int64()),
+                         "n_unique": pa.array(u, pa.int64()),
+                         "novelty_q": pa.array(nov, pa.int64())})
+
+    return flags.map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+
+
+Q107_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i + 1])) AS term
+  FROM tok
+),
+td AS (SELECT DISTINCT doc_id, term FROM bg),
+df AS (SELECT term, COUNT(*) AS c FROM td GROUP BY term),
+per AS (
+  SELECT td.doc_id, COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END)::BIGINT AS u
+  FROM td JOIN df USING (term) GROUP BY td.doc_id
+)
+SELECT doc_id, n AS n_bigrams, u AS n_unique,
+       CAST((2 * u * 1000000 + n) // (2 * n) AS BIGINT) AS novelty_q
+FROM per
+"""
+
+
 def q47_clean_corpus(sf_dir: str):
     """End-to-end training-data cleaning composite: quality-score filter →
     exact dedup (keep min doc_id per sha) → near-dup removal (MinHash
@@ -2414,6 +2503,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q54_cosine_pair_join": (q54_cosine_pair_join, Q54_SQL),
     "q55_tfidf_top_terms": (q55_tfidf_top_terms, Q55_SQL),
     "q104_sparse_dot_topk": (q104_sparse_dot_topk, Q104_SQL),
+    "q107_novelty_score": (q107_novelty_score, Q107_SQL),
     "q66_minhash_bands": (q66_minhash_bands, _q66_sql()),
     "q69_decontaminate": (q69_decontaminate, _q69_sql()),
     "q70_substring_dup": (q70_substring_dup, Q70_SQL),

@@ -48,6 +48,8 @@ def _spatial_oracles():
                               es.SPATIAL_SQL["q105_page_geohash"]),
         "q106_pair_correlation": (es.pair_correlation_query,
                                   es.SPATIAL_SQL["q106_pair_correlation"]),
+        "q108_nn_distance": (es.nn_distance_query,
+                             es.SPATIAL_SQL["q108_nn_distance"]),
     }
 
 
