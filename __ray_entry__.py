@@ -178,6 +178,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q105_page_geohash": es.page_geohash_query,
             "q106_pair_correlation": es.pair_correlation_query,
             "q108_nn_distance": es.nn_distance_query,
+            "q109_knox_pairs": es.knox_pairs_query,
         }
     )
     return out

@@ -275,9 +275,12 @@ def page_s2_cells_query(sf_dir: str):
 RADIUS_MICRODEG = 200_000
 
 
-def _radius_pages(sf_dir: str):
-    """Shared q85/q106 input: latest geocoded pages keyed by a unique int64
-    doc_id for the ghost exchange (urls never ship through it)."""
+def _radius_pages(sf_dir: str, with_ts: bool = False):
+    """Shared q85/q106/q108/q109 input: latest geocoded pages keyed by a
+    unique int64 doc_id for the ghost exchange (urls never ship through
+    it). ``with_ts`` carries the capture timestamp (µs int64) for
+    spatiotemporal consumers (q109) — extra columns ride the one
+    materialize, never the exchange."""
     cfg, _ = ensure_outputs(sf_dir)
     pages = spatial.read_stage(cfg.out_root, "captures",
                                ["url", "lat", "lon", "warc_ts",
@@ -291,8 +294,11 @@ def _radius_pages(sf_dir: str):
         ts_us = np.asarray(t["warc_ts"].cast(pa.int64()).to_numpy(
             zero_copy_only=False), dtype=np.int64)
         doc = gen.doc_id_from_warc_ts(ts_us)
-        return pa.table({"doc_id": pa.array(doc, pa.int64()), "url": t["url"],
-                         "lat": t["lat"], "lon": t["lon"]})
+        out = {"doc_id": pa.array(doc, pa.int64()), "url": t["url"],
+               "lat": t["lat"], "lon": t["lon"]}
+        if with_ts:
+            out["ts_us"] = pa.array(ts_us, pa.int64())
+        return pa.table(out)
 
     return pages.map_batches(keyed, batch_format="pyarrow")
 
@@ -396,6 +402,55 @@ def nn_distance_query(sf_dir: str):
                       default_partitions())
     return out.map_batches(
         lambda t: t.select(["url", "min_d2"]), batch_format="pyarrow")
+
+
+#: q109 time windows (days) — cumulative, the widest covering every pair
+KNOX_WINDOWS_DAYS = (1, 7, 36500)
+
+
+def knox_pairs_query(sf_dir: str):
+    """q109: space-time co-occurrence (the Knox-test counting core): among
+    page pairs within the q85 spatial band (0.2°), how many were also
+    captured within each time window {1 day, 7 days, ∞}. Spatio-TEMPORAL
+    interaction — the family member q106's purely spatial counts can't
+    see.
+
+    Same ghost-exchange core (radius_pair_ids); the capture timestamps
+    re-attach onto the id pairs via two sparse-safe lookup exchanges (the
+    q85 url re-join shape, int64 payload), then per-block 3-row partial
+    histograms + a tiny keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import radius
+    from ..stages.radius import _attach_url
+
+    pages, idpairs = radius.radius_pair_ids(
+        _radius_pages(sf_dir, with_ts=True), RADIUS_MICRODEG,
+        default_partitions(), hot_threshold=100_000)
+    names = pages.map_batches(
+        lambda t: t.select(["doc_id", "ts_us"]), batch_format="pyarrow")
+    cols1 = [("id_a", pa.int64()), ("id_b", pa.int64()), ("d2", pa.int64())]
+    with_a = _attach_url(idpairs, names, "id_a", "ts_a", cols1,
+                         default_partitions(), val_col="ts_us",
+                         val_type=pa.int64())
+    cols2 = cols1 + [("ts_a", pa.int64())]
+    with_b = _attach_url(with_a, names, "id_b", "ts_b", cols2,
+                         default_partitions(), val_col="ts_us",
+                         val_type=pa.int64())
+    windows_us = np.asarray(KNOX_WINDOWS_DAYS, np.int64) * 86_400_000_000
+    days = np.asarray(KNOX_WINDOWS_DAYS, np.int64)
+
+    def hist(t: pa.Table) -> pa.Table:
+        dt = np.abs(np.asarray(t["ts_a"].to_numpy(zero_copy_only=False))
+                    - np.asarray(t["ts_b"].to_numpy(zero_copy_only=False)))
+        n = np.array([(dt <= w).sum() for w in windows_us], dtype=np.int64)
+        return pa.table({"dt_max_days": pa.array(days, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    partial = with_b.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    return partial.groupby("dt_max_days",
+                           num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n_pairs"))
 
 
 def cell_centers_query(sf_dir: str):
@@ -1221,6 +1276,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q105_page_geohash": spatialsql.q105_sql(),
         "q106_pair_correlation": spatialsql.q106_sql(PAIR_CORR_RADII),
         "q108_nn_distance": spatialsql.q108_sql(RADIUS_MICRODEG),
+        "q109_knox_pairs": spatialsql.q109_sql(RADIUS_MICRODEG,
+                                               KNOX_WINDOWS_DAYS),
     }
 
 

@@ -447,6 +447,30 @@ sym AS (
 SELECT url, MIN(d2)::BIGINT AS min_d2 FROM sym GROUP BY url"""
 
 
+def q109_sql(radius: int, windows_days: tuple[int, ...]) -> str:
+    """q109 oracle: brute-force space-time pair counting — the q85 band
+    self-join with the capture-timestamp delta bucketed per cumulative
+    window; LEFT JOIN ON TRUE keeps zero-count windows present."""
+    vals = ", ".join(f"({d})" for d in windows_days)
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT url, ts_us, CAST(ROUND(lat * 1000000.0) AS BIGINT) AS ilat,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS ilon
+        FROM cap WHERE has_geo AND is_latest),
+pr AS (
+  SELECT ABS(CAST(a.ts_us AS BIGINT) - CAST(b.ts_us AS BIGINT)) AS dt
+  FROM pts a JOIN pts b
+    ON a.url < b.url
+   AND ABS(a.ilat - b.ilat) <= {radius} AND ABS(a.ilon - b.ilon) <= {radius}
+  WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
+      + (a.ilon - b.ilon) * (a.ilon - b.ilon) <= CAST({radius} AS BIGINT) * {radius}
+)
+SELECT CAST(w.d AS BIGINT) AS dt_max_days,
+       COALESCE(SUM(CASE WHEN pr.dt <= CAST(w.d AS BIGINT) * 86400000000
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_pairs
+FROM (VALUES {vals}) AS w(d) LEFT JOIN pr ON TRUE
+GROUP BY w.d"""
+
+
 def q88_sql() -> str:
     """q88 oracle: res-7 cell counts + the cell_to_latlng lattice inverse
     (cellmath/hexgrid.cell_center). Product order mirrors numpy exactly:

@@ -295,9 +295,11 @@ def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
 
 
 def _attach_url(pairs_ds, names_ds, key: str, out: str,
-                cols: list[tuple[str, pa.DataType]], num_partitions: int):
-    """Distributed id→url lookup join: tag both sides, union, colocate by
-    ``key``, attach the url via a per-block searchsorted lookup — the
+                cols: list[tuple[str, pa.DataType]], num_partitions: int,
+                val_col: str = "url", val_type: pa.DataType = pa.string()):
+    """Distributed id→value lookup join (value defaults to the url
+    column): tag both sides, union, colocate by ``key``, attach the value
+    via a per-block searchsorted lookup — the
     relational._semi_anti_shuffle pattern. Used instead of ``Dataset.join``
     because the pair table is SPARSE: a hash partition that receives zero
     left rows makes Ray's join aggregator build a schema-less empty table
@@ -306,7 +308,7 @@ def _attach_url(pairs_ds, names_ds, key: str, out: str,
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         d = {n: t[n] for n, _ in cols}
-        d[out] = pa.nulls(t.num_rows, pa.string())
+        d[out] = pa.nulls(t.num_rows, val_type)
         d["__side"] = pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
         return pa.table(d)
 
@@ -315,14 +317,14 @@ def _attach_url(pairs_ds, names_ds, key: str, out: str,
         for n, typ in cols:
             d[n] = (t["doc_id"].cast(pa.int64()) if n == key
                     else pa.nulls(t.num_rows, typ))
-        d[out] = t["url"]
+        d[out] = t[val_col]
         d["__side"] = pa.array(np.ones(t.num_rows, np.int8), pa.int8())
         return pa.table(d)
 
     both = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
         names_ds.map_batches(pad_names, batch_format="pyarrow"))
     both = both.repartition(num_partitions, keys=[key], sort=True)
-    out_schema = pa.schema([*cols, (out, pa.string())])
+    out_schema = pa.schema([*cols, (out, val_type)])
 
     def merge(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:

@@ -50,6 +50,8 @@ def _spatial_oracles():
                                   es.SPATIAL_SQL["q106_pair_correlation"]),
         "q108_nn_distance": (es.nn_distance_query,
                              es.SPATIAL_SQL["q108_nn_distance"]),
+        "q109_knox_pairs": (es.knox_pairs_query,
+                            es.SPATIAL_SQL["q109_knox_pairs"]),
     }
 
 
