@@ -1756,7 +1756,7 @@ def q104_sparse_dot_topk(sf_dir: str):
     integers end to end, so the oracle comparison is engine-stable (q23
     policy: no float columns).
 
-    Plan (all Dataset-native, one keyed exchange + one pair aggregate):
+    Plan (all Dataset-native, two keyed exchanges, no hash aggregate):
     bigram-tokenize → (doc, term, tf) rows → map-side stopword pre-prune:
     a term whose count is already > 64 WITHIN one block has global df >
     64, so its postings never need to cross the wire — the combiner move.
