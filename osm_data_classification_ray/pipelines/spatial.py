@@ -735,7 +735,26 @@ def run_page_admin(cfg: EngineConfig, admin_table: pa.Table) -> str:
         index = pip.PolygonIndex(admin_table)
         index_ref = ray.put(index)
 
-        pts = read_stage(cfg.out_root, "captures", _PIP_COLUMNS, num_blocks=cfg.num_partitions)
+        # Exchange plan (measured round 5, 2M rows / 32 CPUs, stats()):
+        # the salted repartition is the stage's whole cost — PIP compute is
+        # ~1 CPU-s vs ~13-15 CPU-s for the shuffle — and the cost is
+        # dominated by the PER-ROW exchange floor, not the payload: the
+        # same shuffle walls 2.74 s with only the key column vs 3.13 s
+        # with the full url payload. That kills the late-materialization
+        # rewrite (ship int64 ids, re-join urls onto the output): it saves
+        # ~0.4 s of url bytes but pays a second exchange whose own floor
+        # is larger, plus the url-column re-read. urls stay in the
+        # exchange. What DOES pay (A/B'd, outputs identical):
+        #   * sort=False — PIPBlock groups by np.unique per block, so the
+        #     aggregator-side per-partition key sort is pure overhead
+        #     (−0.5 s);
+        #   * half-budget aggregator count + matching read blocks — same
+        #     oversubscription rule as run_captures' fused exchange: the
+        #     upstream read/filter maps share the machine with the
+        #     aggregator pool (−1.0-1.5 s; 4.3 s → 2.3-2.6 s isolated).
+        nparts = (max(8, cfg.num_partitions // 2)
+                  if cfg.num_partitions >= 12 else cfg.num_partitions)
+        pts = read_stage(cfg.out_root, "captures", _PIP_COLUMNS, num_blocks=nparts)
         pts = pts.map_batches(
             lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(["has_geo", "is_latest"]),
             batch_format="pyarrow", batch_size=None,
@@ -747,7 +766,7 @@ def run_page_admin(cfg: EngineConfig, admin_table: pa.Table) -> str:
         salt_map = pip.compute_salt_map(counts, cfg.hot_threshold, cfg.max_salt)
 
         pts = pts.map_batches(lambda t: pip.add_salt(t, salt_map), batch_format="pyarrow")
-        pts = pts.repartition(cfg.num_partitions, keys=["h3_r5", "salt"], sort=True)
+        pts = pts.repartition(nparts, keys=["h3_r5", "salt"], sort=False)
         return pts.map_batches(
             pip.PIPBlock,
             fn_constructor_args=(index_ref,),
