@@ -253,7 +253,12 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
         def build():
             ds = read_stage(cfg.out_root, "extracted", CAPTURE_NARROW_COLUMNS,
                             num_blocks=cfg.num_partitions)
-            ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=True)
+            # sort=False: enrich_chains sorts each block by its frozen
+            # total key (url, warc_ts, text_sha256) internally, so the
+            # aggregator-side key sort was pure overhead and the output
+            # files are byte-identical either way (round-5 measurement,
+            # same finding as the PIP exchange)
+            ds = ds.repartition(cfg.num_partitions, keys=["url"], sort=False)
             return ds.map_batches(_enrich_derive, batch_format="pyarrow", batch_size=None)
 
         return ckpt.run_stage(cfg.out_root, "captures", fp, build)
@@ -289,7 +294,9 @@ def run_captures(cfg: EngineConfig, docs_source) -> str:
         # outputs identical). Same budget rule as run_middle_stages.
         nparts = (max(8, cfg.num_partitions // 2)
                   if cfg.num_partitions >= 12 else cfg.num_partitions)
-        ds = ds.repartition(nparts, keys=["url"], sort=True)
+        # sort=False: same rationale as the staged branch — the per-block
+        # enrich sort is the frozen total order, aggregator sort is waste
+        ds = ds.repartition(nparts, keys=["url"], sort=False)
         return ds.map_batches(_enrich_derive, batch_format="pyarrow", batch_size=None)
 
     out = ckpt.run_stage(cfg.out_root, "captures", fp_cap, build,
@@ -667,7 +674,9 @@ def run_cell_features(cfg: EngineConfig) -> str:
             return cell_features_twolevel(
                 ds.map_batches(_derive_mid_cells, batch_format="pyarrow"),
                 cfg.num_partitions)
-        ds = ds.repartition(cfg.num_partitions, keys=["h3_r5"], sort=True)
+        # sort=False: cell_features_block re-sorts by its frozen total key
+        # (h3_r9, url, warc_ts), so the exchange sort is pure overhead
+        ds = ds.repartition(cfg.num_partitions, keys=["h3_r5"], sort=False)
         return ds.map_batches(lambda t: features.cell_features_block(_derive_mid_cells(t)),
                               batch_format="pyarrow", batch_size=None)
 
@@ -752,8 +761,16 @@ def run_page_admin(cfg: EngineConfig, admin_table: pa.Table) -> str:
         #     oversubscription rule as run_captures' fused exchange: the
         #     upstream read/filter maps share the machine with the
         #     aggregator pool (−1.0-1.5 s; 4.3 s → 2.3-2.6 s isolated).
+        # The halving composes with run_middle_stages' overlapped-branch
+        # halving on purpose: page_admin's exchange then runs at
+        # num_partitions // 4 (floor 8) while sharing the node with the
+        # cell_features exchange + the PIP actor pool — A/B'd at both
+        # levels (overlapped middle block: 5.1-5.6 s at 8 aggregators vs
+        # 6.0-7.0 s at 16; isolated stage: 2.3-3.3 s at 16 vs 4.3-5.0 s
+        # at 32). GRAFT_PA_NPARTS overrides for re-tuning on other boxes.
         nparts = (max(8, cfg.num_partitions // 2)
                   if cfg.num_partitions >= 12 else cfg.num_partitions)
+        nparts = int(os.environ.get("GRAFT_PA_NPARTS", nparts))
         pts = read_stage(cfg.out_root, "captures", _PIP_COLUMNS, num_blocks=nparts)
         pts = pts.map_batches(
             lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(["has_geo", "is_latest"]),
