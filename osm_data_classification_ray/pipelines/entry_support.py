@@ -377,7 +377,8 @@ def nn_distance_query(sf_dir: str):
                          "d2": pa.array(np.concatenate([d2, d2]), pa.int64())})
 
     both = idpairs.map_batches(sym, batch_format="pyarrow")
-    both = both.repartition(default_partitions(), keys=["doc_id"], sort=True)
+    # sort=False: per_doc_min lexsorts internally
+    both = both.repartition(default_partitions(), keys=["doc_id"], sort=False)
 
     def per_doc_min(block: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),

@@ -1222,7 +1222,9 @@ def q70_substring_dup(sf_dir: str):
         })
 
     rows = ds.map_batches(windows, batch_format="pyarrow")
-    rows = rows.repartition(default_partitions(), keys=["band", "bucket"], sort=True)
+    # sort=False: bucket_pairs_block lexsorts internally (round-5 finding:
+    # aggregator-side key sorts on large exchanges are pure overhead)
+    rows = rows.repartition(default_partitions(), keys=["band", "bucket"], sort=False)
     pairs = rows.map_batches(bucket_pairs_block, batch_format="pyarrow", batch_size=None)
     return pairs.groupby(["doc_a", "doc_b"], num_partitions=default_partitions()).aggregate(
         Count(alias_name="n_shared"))

@@ -308,7 +308,8 @@ def cosine_near_dup_pairs(emb_ds, num_partitions: int, threshold: float = 0.95,
     from .textdedup import bucket_pairs_block, dedup_pairs_block
 
     b = emb_ds.map_batches(bucketize, batch_format="pyarrow")
-    b = b.repartition(num_partitions, keys=["band", "bucket"], sort=True)
+    # sort=False: bucket_pairs_block lexsorts internally
+    b = b.repartition(num_partitions, keys=["band", "bucket"], sort=False)
     pairs_ds = b.map_batches(bucket_pairs_block, batch_format="pyarrow", batch_size=None)
     pairs_ds = pairs_ds.repartition(num_partitions, keys=["doc_a", "doc_b"], sort=False)
     pairs_ds = pairs_ds.map_batches(

@@ -323,7 +323,10 @@ def _attach_url(pairs_ds, names_ds, key: str, out: str,
 
     both = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
         names_ds.map_batches(pad_names, batch_format="pyarrow"))
-    both = both.repartition(num_partitions, keys=[key], sort=True)
+    # sort=False: merge argsorts the name side and searchsorts — no
+    # sorted-input assumption (unlike pairs_block's keyed exchange above,
+    # whose run-length kernel DOES require the aggregator sort)
+    both = both.repartition(num_partitions, keys=[key], sort=False)
     out_schema = pa.schema([*cols, (out, val_type)])
 
     def merge(block: pa.Table) -> pa.Table:

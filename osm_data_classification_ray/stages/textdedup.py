@@ -405,7 +405,8 @@ def lsh_candidate_pairs(docs_ds, num_partitions: int, shingle: str = "word"):
     bands = docs_ds.map_batches(
         lambda t: minhash_band_rows(t, shingle), batch_format="pyarrow"
     )
-    bands = bands.repartition(num_partitions, keys=["band", "bucket"], sort=True)
+    # sort=False: bucket_pairs_block lexsorts internally
+    bands = bands.repartition(num_partitions, keys=["band", "bucket"], sort=False)
     pairs_ds = bands.map_batches(bucket_pairs_block, batch_format="pyarrow", batch_size=None)
     pairs_ds = pairs_ds.repartition(num_partitions, keys=["doc_a", "doc_b"], sort=False)
     return pairs_ds.map_batches(
@@ -761,7 +762,8 @@ def simhash_near_dup_pairs(docs_ds, num_partitions: int, max_hamming: int = 3) -
                          "doc_id": pa.array(doc), "simhash": pa.array(full.view(np.int64))})
 
     b = sims.map_batches(bands, batch_format="pyarrow")
-    b = b.repartition(num_partitions, keys=["band", "bucket"], sort=True)
+    # sort=False: the pairs kernel below lexsorts internally
+    b = b.repartition(num_partitions, keys=["band", "bucket"], sort=False)
 
     def pairs_block(block: pa.Table) -> pa.Table:
         """(band, bucket)-colocated block → verified pairs, fully vectorized:
