@@ -47,11 +47,24 @@ oracle); pairs straddling lon = ±180 are by definition far apart.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..fixtures.gen import hash_u64
+
+#: pages-row count at or below which (a) the salt histogram is computed on
+#: the driver from the already-materialized pages blocks (zero extra
+#: Dataset executions / aggregator pools) and (b) the url re-join runs as
+#: ONE broadcast lookup map instead of two keyed exchanges. Measured round
+#: 5: at 4.4k pages the fully distributed q85 chain spent ~7 of its 8.7 s
+#: on executor fixed costs (5 executions, 3 aggregator pools) for data
+#: that fits in one Arrow table. Above the limit the distributed siblings
+#: below run unchanged (the 100-TB plan); 0 disables both tiers.
+#: Path-equality is pinned by tests/test_radius.py.
+_SMALL_PAGES_LIMIT = int(os.environ.get("GRAFT_RADIUS_SMALL_PAGES_LIMIT", "1000000"))
 
 # ghosts go to the 4 row-major-smaller neighbor squares (dy, dx):
 # key(sy+dy, sx+dx) < key(sy, sx) for all four, so a cross-square pair is
@@ -220,6 +233,32 @@ def _square_histogram(pages, radius: int, num_partitions: int,
             for r in hot}
 
 
+def _pages_table(pages, columns: list[str]) -> pa.Table:
+    """Collect the narrow columns of an already-materialized (and
+    size-gated) pages dataset into one Arrow table on the driver."""
+    import ray
+
+    tabs = [t.select(columns) for t in ray.get(pages.to_arrow_refs())
+            if t.num_rows]
+    if not tabs:
+        return pa.schema([(c, pa.string() if c == "url" else pa.float64())
+                          for c in columns]).empty_table()
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+def _square_histogram_driver(pages_t: pa.Table, radius: int,
+                             hot_threshold: int, max_salt: int) -> dict[int, int]:
+    """Driver tier of ``_square_histogram``: identical integer math over
+    the collected (size-gated) coordinate columns — no extra Dataset
+    execution. Output equality with the distributed form is exact (both
+    are np.unique counts over the same home keys)."""
+    _, _, home = _squares(pages_t, radius)
+    uniq, cnt = np.unique(home, return_counts=True)
+    hotm = cnt > hot_threshold
+    return {int(k): int(min(max_salt, -(-int(n) // hot_threshold)))
+            for k, n in zip(uniq[hotm], cnt[hotm])}
+
+
 def radius_pair_ids(pages, radius_microdeg: int, num_partitions: int,
                     home_chunk: int = _HOME_CHUNK,
                     hot_threshold: int | None = None, max_salt: int = 16):
@@ -245,9 +284,17 @@ def radius_pair_ids(pages, radius_microdeg: int, num_partitions: int,
     # common-subplan elimination — pin the narrow (doc_id, url, lat, lon)
     # table once instead of re-running the upstream read+filter per branch.
     pages = pages.materialize()
-    salt_map = (_square_histogram(pages, radius_microdeg, num_partitions,
-                                  hot_threshold, max_salt)
-                if hot_threshold else None)
+    n_pages = pages.count()  # metadata on a materialized dataset
+    small = 0 < n_pages <= _SMALL_PAGES_LIMIT
+    if hot_threshold is None:
+        salt_map = None
+    elif small:
+        salt_map = _square_histogram_driver(
+            _pages_table(pages, ["lat", "lon"]), radius_microdeg,
+            hot_threshold, max_salt)
+    else:
+        salt_map = _square_histogram(pages, radius_microdeg, num_partitions,
+                                     hot_threshold, max_salt)
     ds = pages.map_batches(
         lambda t: emit_copies(t, radius_microdeg, salt_map),
         batch_format="pyarrow",
@@ -270,6 +317,9 @@ def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
     pair normalized to ``url_a < url_b``."""
     pages, idpairs = radius_pair_ids(pages, radius_microdeg, num_partitions,
                                      home_chunk, hot_threshold, max_salt)
+    n_pages = pages.count()
+    if 0 < n_pages <= _SMALL_PAGES_LIMIT:
+        return _attach_urls_broadcast(idpairs, pages)
     names = pages.map_batches(
         lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow")
     cols1 = [("id_a", pa.int64()), ("id_b", pa.int64()), ("d2", pa.int64())]
@@ -292,6 +342,49 @@ def radius_pairs(pages, radius_microdeg: int, num_partitions: int,
         )
 
     return withub.map_batches(finish, batch_format="pyarrow")
+
+
+def _attach_urls_broadcast(idpairs, pages):
+    """Small-pages tier of the url re-join: ONE broadcast (doc_id → url)
+    lookup map replaces the two keyed exchanges — ray.put once, read
+    zero-copy per task, both sides resolved by searchsorted against the
+    id-sorted name table. Misses are impossible by construction (pairs
+    derive from the same pages) but the lookup still validates both sides
+    (inner-join semantics, the fast_verify contract) rather than trusting
+    it. Output rows identical to the distributed path; order differs
+    (pair-keyed vs enumeration order) — canonicalized everywhere."""
+    import ray
+
+    names_t = _pages_table(pages, ["doc_id", "url"])
+    ids = np.asarray(names_t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], names_t["url"].combine_chunks().take(pa.array(order))))
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        sids, surls = ray.get(ref)
+        ia = np.asarray(t["id_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pa_pos = np.minimum(np.searchsorted(sids, ia), len(sids) - 1)
+        pb_pos = np.minimum(np.searchsorted(sids, ib), len(sids) - 1)
+        ok = pa.array((sids[pa_pos] == ia) & (sids[pb_pos] == ib))
+        sub = t.filter(ok)
+        if sub.num_rows != t.num_rows:  # inner-join semantics on misses
+            pa_pos = pa_pos[np.asarray(ok)]
+            pb_pos = pb_pos[np.asarray(ok)]
+        ua = surls.take(pa.array(pa_pos))
+        ub = surls.take(pa.array(pb_pos))
+        swap = pc.greater(ua, ub)
+        return pa.table(
+            {
+                "url_a": pc.if_else(swap, ub, ua),
+                "url_b": pc.if_else(swap, ua, ub),
+                "d2": sub["d2"],
+            }
+        )
+
+    return idpairs.map_batches(attach, batch_format="pyarrow")
 
 
 def _attach_url(pairs_ds, names_ds, key: str, out: str,

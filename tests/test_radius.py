@@ -164,3 +164,34 @@ def test_negative_coordinates(ray_session):
     lons = (-170.2 + rng.uniform(0, 2.0, n)).tolist()
     got = _run(urls, lats, lons, R)
     assert got == _brute(urls, lats, lons, R)
+
+
+def test_small_pages_tiers_identical(ray_session, monkeypatch):
+    """Round-5 size-aware tiers (driver salt histogram + broadcast url
+    re-join) vs the fully distributed siblings: identical pair sets on a
+    planted-skew input, and the two histogram forms agree exactly."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    n = 60
+    urls = [f"t{i:03d}" for i in range(n)]
+    lats = (10.0 + rng.uniform(0, 1.8, n)).tolist()
+    lons = (20.0 + rng.uniform(0, 1.8, n)).tolist()
+    want = _brute(urls, lats, lons, R)
+
+    pages = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "url": pa.array(urls, pa.string()),
+                  "lat": pa.array(lats, pa.float64()),
+                  "lon": pa.array(lons, pa.float64())})
+    )
+    hist_dist = rad._square_histogram(pages, R, 4, hot_threshold=5, max_salt=4)
+    hist_drv = rad._square_histogram_driver(
+        rad._pages_table(pages.materialize(), ["lat", "lon"]), R,
+        hot_threshold=5, max_salt=4)
+    assert hist_drv == hist_dist and hist_drv  # engaged and equal
+
+    got_small = _run(urls, lats, lons, R, hot_threshold=5, max_salt=4)
+    monkeypatch.setattr(rad, "_SMALL_PAGES_LIMIT", 0)
+    got_dist = _run(urls, lats, lons, R, hot_threshold=5, max_salt=4)
+    assert got_small == got_dist == want
