@@ -58,8 +58,13 @@ _DRIVER_WINDOW = [
     # in-window via q71 (chunking) and q72 (numericalize); q59 keeps its
     # repo oracle test and CORRECTNESS_r01-r04 green rows. q106 — the
     # multi-scale pair-correlation counts on the q85 ghost-exchange core,
-    # completing the spatial-statistics trio's global member — enters.)
-    "q106_pair_correlation",
+    # completing the spatial-statistics trio's global member — entered,
+    # then rotated out at round-5 close for q110: the radius core stays
+    # in-window via q85 itself, while q110_admin_overlap adds the
+    # J-family's polygon×polygon member (rasterized overlay join) beside
+    # point×polygon (q31) and point×point (q85) — a NEW operator, not a
+    # variant. q106 keeps its repo oracle test and rehearsal PASS.)
+    "q110_admin_overlap",
     # (q51 rotated out late round 5: it is rows-only by design (the
     # fixed_size_list column the driver's row-sorted hash cannot key) and
     # q33 hash-checks the identical 16 features unpacked; the packing
@@ -179,6 +184,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q106_pair_correlation": es.pair_correlation_query,
             "q108_nn_distance": es.nn_distance_query,
             "q109_knox_pairs": es.knox_pairs_query,
+            "q110_admin_overlap": es.admin_overlap_query,
         }
     )
     return out

@@ -880,6 +880,108 @@ def rasterize_admin_query(sf_dir: str):
     return ds.map_batches(_rasterize_block, batch_format="pyarrow")
 
 
+def _raster_cells_block(t: pa.Table) -> pa.Table:
+    """Rasterize every polygon in the batch (ALL levels) onto the res-5
+    hex raster and emit one row per kept cell: (cell int64-bitcast,
+    admin_id, level). Same center-inside kernel as _rasterize_block; the
+    per-polygon loop is over the batch's handful of polygons."""
+    from ..cellmath import hexgrid
+    from ..cellmath import pip as pipm
+
+    out_cell: list[np.ndarray] = []
+    out_id: list[np.ndarray] = []
+    out_lv: list[np.ndarray] = []
+    for rec in t.to_pylist():
+        rings = [np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
+                 for ring in rec["rings"]]
+        allpts = np.concatenate(rings)
+        cells = hexgrid.cells_in_bbox(
+            allpts[:, 0].min(), allpts[:, 1].min(),
+            allpts[:, 0].max(), allpts[:, 1].max(), 5)
+        poly = pipm.PolygonEdges(rings)
+        inside = np.zeros(cells.size, dtype=bool)
+        for c0 in range(0, cells.size, 65536):  # bound the P x E matrix
+            sl = slice(c0, c0 + 65536)
+            inside[sl] = pipm.points_in_polygon(
+                *hexgrid.cell_center(cells[sl]), poly)
+        kept = cells[inside]
+        out_cell.append(kept.view(np.int64))
+        out_id.append(np.full(kept.size, rec["admin_id"], np.int64))
+        out_lv.append(np.full(kept.size, rec["level"], np.int64))
+    if not out_cell:
+        return pa.table({"cell": pa.array([], pa.int64()),
+                         "admin_id": pa.array([], pa.int64()),
+                         "level": pa.array([], pa.int64())})
+    return pa.table({"cell": pa.array(np.concatenate(out_cell), pa.int64()),
+                     "admin_id": pa.array(np.concatenate(out_id), pa.int64()),
+                     "level": pa.array(np.concatenate(out_lv), pa.int64())})
+
+
+def _overlap_pairs_block(block: pa.Table) -> pa.Table:
+    """(cell)-colocated raster rows → (admin_a level-0, admin_b level-1)
+    co-occurrence rows, one per shared cell. Vectorized: lexsort by cell,
+    per-run cross product of the level-0 and level-1 id slices."""
+    empty = pa.table({"admin_a": pa.array([], pa.int64()),
+                      "admin_b": pa.array([], pa.int64())})
+    if block.num_rows == 0:
+        return empty
+    cell = np.asarray(block["cell"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    aid = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    lv = np.asarray(block["level"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((lv, aid, cell))
+    cell, aid, lv = cell[order], aid[order], lv[order]
+    starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+    ends = np.r_[starts[1:], len(cell)]
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        a = aid[s:e][lv[s:e] == 0]
+        b = aid[s:e][lv[s:e] == 1]
+        if a.size and b.size:
+            out_a.append(np.repeat(a, b.size))
+            out_b.append(np.tile(b, a.size))
+    if not out_a:
+        return empty
+    return pa.table({"admin_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "admin_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
+def admin_overlap_query(sf_dir: str):
+    """q110: polygon×polygon spatial join — overlap of every level-0 admin
+    polygon with every level-1 polygon, measured in shared res-5 raster
+    cells (center-inside both, the frozen q87 kernel). The rasterized
+    overlay join of geo-analytics (zonal intersection / containment
+    audit), and the J-family's polygon×polygon member beside point×polygon
+    (q31) and point×point (q85).
+
+    Shape (Dataset-native, one keyed exchange + one count aggregate):
+    rasterize each polygon independently (map_batches over the polygon
+    table — embarrassingly parallel, bounded by cells-per-polygon) →
+    hash-repartition the (cell, admin_id, level) rows on cell →
+    per-block vectorized level-0 × level-1 cross product per cell run →
+    groupby (admin_a, admin_b) count. No driver-side collect; at corpus
+    scale the exchange ships three int64s per kept cell. The oracle
+    re-derives the same pairs from the q87 lattice mirror with candidates
+    restricted to the level-1 rects (exact: a shared cell lies inside the
+    level-1 polygon, hence inside its padded rect)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    ds = rd.from_arrow(polys).repartition(16)
+    cells = ds.map_batches(_raster_cells_block, batch_format="pyarrow")
+    # sort=False: _overlap_pairs_block lexsorts internally
+    cells = cells.repartition(default_partitions(), keys=["cell"], sort=False)
+    pairs = cells.map_batches(_overlap_pairs_block, batch_format="pyarrow",
+                              batch_size=None)
+    return pairs.groupby(["admin_a", "admin_b"],
+                         num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_shared"))
+
+
 def cell_prototypes_query(sf_dir: str):
     """q89: geo-conditioned embedding prototypes — per res-5 cell the
     integer-exact mean embedding (q74/q79 quantization rule) of the
@@ -1279,6 +1381,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q108_nn_distance": spatialsql.q108_sql(RADIUS_MICRODEG),
         "q109_knox_pairs": spatialsql.q109_sql(RADIUS_MICRODEG,
                                                KNOX_WINDOWS_DAYS),
+        "q110_admin_overlap": spatialsql.q110_sql(),
     }
 
 

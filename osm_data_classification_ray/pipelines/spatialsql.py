@@ -696,6 +696,81 @@ FROM rect r LEFT JOIN inside i ON i.admin_id = r.admin_id
 GROUP BY r.admin_id"""
 
 
+def q110_sql() -> str:
+    """q110 oracle: level-0 × level-1 polygon overlap in shared res-5
+    cells. Candidates enumerate the LEVEL-1 padded rects only (exact for
+    the overlap: a shared cell's center is inside the level-1 polygon,
+    hence inside its padded rect); kept1 = the q87 center-inside set per
+    level-1 polygon, then every kept1 cell center is PIP-tested against
+    every level-0 polygon's edges — the same frozen even-odd/on-edge
+    CASE pair, so a kernel drift diverges q31/q87/q90 and this together."""
+    from ..fixtures import gen
+
+    size = 0.08  # res_size(5), exact in floats
+    sqrt3 = float(np.sqrt(3.0))
+    rect_rows = []
+    for rec in gen.gen_admin_polygons().to_pylist():
+        if rec["level"] != 1:
+            continue
+        pts = [(p["lat"], p["lon"]) for ring in rec["rings"] for p in ring]
+        pad = 3.0 * size
+        lo_lat = min(p[0] for p in pts) - pad
+        hi_lat = max(p[0] for p in pts) + pad
+        lo_lon = min(p[1] for p in pts) - pad
+        hi_lon = max(p[1] for p in pts) + pad
+        qf = [(sqrt3 / 3.0 * lon - lat / 3.0) / size
+              for lat in (lo_lat, hi_lat) for lon in (lo_lon, hi_lon)]
+        rf = [(2.0 / 3.0 * lat) / size for lat in (lo_lat, hi_lat)]
+        q0, q1 = int(np.floor(min(qf))) - 2, int(np.ceil(max(qf))) + 2
+        r0, r1 = int(np.floor(min(rf))) - 2, int(np.ceil(max(rf))) + 2
+        rect_rows.append(f"({rec['admin_id']}, {q0}, {q1}, {r0}, {r1})")
+    edges1 = ", ".join(
+        f"({aid}, {ay!r}, {ax!r}, {by!r}, {bx!r})"
+        for aid, lvl, ay, ax, by, bx in _polygon_edge_rows() if lvl == 1)
+    edges0 = ", ".join(
+        f"({aid}, {ay!r}, {ax!r}, {by!r}, {bx!r})"
+        for aid, lvl, ay, ax, by, bx in _polygon_edge_rows() if lvl == 0)
+    rects = ", ".join(rect_rows)
+    cross1, edge1 = _pip_case_sql("c.clat", "c.clon")
+    cross0, edge0 = _pip_case_sql("k.clat", "k.clon")
+    return f"""WITH rect(admin_b, q0, q1, r0, r1) AS (VALUES {rects}),
+edges1(admin_b, ay, ax, by, bx) AS (VALUES {edges1}),
+edges0(admin_a, ay, ax, by, bx) AS (VALUES {edges0}),
+cand_q AS (
+  SELECT admin_b, UNNEST(generate_series(q0, q1)) AS q, r0, r1 FROM rect
+),
+cand_qr AS (
+  SELECT admin_b, q, UNNEST(generate_series(r0, r1)) AS r FROM cand_q
+),
+cand AS (
+  SELECT admin_b, q, r,
+         0.005 * 16.0 * 1.5 * CAST(r AS DOUBLE) AS clat,
+         0.005 * 16.0 * SQRT(3.0) * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS clon
+  FROM cand_qr
+),
+cr1 AS (
+  SELECT c.admin_b, c.q, c.r, c.clat, c.clon,
+    SUM({cross1}) AS n_cross, MAX({edge1}) AS on_edge
+  FROM cand c JOIN edges1 e USING (admin_b)
+  GROUP BY c.admin_b, c.q, c.r, c.clat, c.clon
+),
+kept1 AS (
+  SELECT admin_b, q, r, clat, clon FROM cr1
+  WHERE n_cross % 2 = 1 OR on_edge = 1
+),
+cr0 AS (
+  SELECT e.admin_a, k.admin_b, k.q, k.r,
+    SUM({cross0}) AS n_cross, MAX({edge0}) AS on_edge
+  FROM kept1 k JOIN edges0 e ON TRUE
+  GROUP BY e.admin_a, k.admin_b, k.q, k.r
+)
+SELECT CAST(admin_a AS BIGINT) AS admin_a,
+       CAST(admin_b AS BIGINT) AS admin_b,
+       COUNT(*)::BIGINT AS n_shared
+FROM cr0 WHERE n_cross % 2 = 1 OR on_edge = 1
+GROUP BY admin_a, admin_b"""
+
+
 def q89_sql() -> str:
     """q89 oracle: per-res-5-cell mean embedding of latest geocoded pages'
     kept documents — cap carries (doc_id, cell_r5) directly; the q74/q79

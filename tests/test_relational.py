@@ -52,6 +52,8 @@ def _spatial_oracles():
                              es.SPATIAL_SQL["q108_nn_distance"]),
         "q109_knox_pairs": (es.knox_pairs_query,
                             es.SPATIAL_SQL["q109_knox_pairs"]),
+        "q110_admin_overlap": (es.admin_overlap_query,
+                               es.SPATIAL_SQL["q110_admin_overlap"]),
     }
 
 
