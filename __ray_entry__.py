@@ -120,7 +120,13 @@ _DRIVER_WINDOW = [
     # index driven at nprobe = nlist, recall exactly 1, hash-checked
     # against the q23 brute-force oracle — enters, giving the IVF
     # machinery its first hash-green driver row.)
-    "q26_langid", "q27_quality", "q93_ann_ivf_exhaustive",
+    # (q27 rotated out at round-5 close: the quality-scoring family stays
+    # in-window via q94 (the LM-logprob scorer, strictly richer) and q26
+    # (langid); q27 keeps its repo oracle test and CORRECTNESS_r01–r04
+    # green rows. q111 — leave-one-out IDW spatial interpolation on the
+    # radius core, integer-exact linear kernel, the surface-estimation
+    # family's first member — enters.)
+    "q26_langid", "q111_idw_tokens", "q93_ann_ivf_exhaustive",
     "q39_hll_distinct", "q44_near_dup_groups",
     "q94_lm_quality_score", "q96_pii_scrub", "q95_temperature_mix",
     "q98_semantic_bucket_dedup",
@@ -185,6 +191,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q108_nn_distance": es.nn_distance_query,
             "q109_knox_pairs": es.knox_pairs_query,
             "q110_admin_overlap": es.admin_overlap_query,
+            "q111_idw_tokens": es.idw_interpolation_query,
         }
     )
     return out

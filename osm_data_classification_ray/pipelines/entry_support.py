@@ -275,16 +275,19 @@ def page_s2_cells_query(sf_dir: str):
 RADIUS_MICRODEG = 200_000
 
 
-def _radius_pages(sf_dir: str, with_ts: bool = False):
-    """Shared q85/q106/q108/q109 input: latest geocoded pages keyed by a
-    unique int64 doc_id for the ghost exchange (urls never ship through
-    it). ``with_ts`` carries the capture timestamp (µs int64) for
-    spatiotemporal consumers (q109) — extra columns ride the one
+def _radius_pages(sf_dir: str, with_ts: bool = False,
+                  with_tokens: bool = False):
+    """Shared q85/q106/q108/q109/q111 input: latest geocoded pages keyed
+    by a unique int64 doc_id for the ghost exchange (urls never ship
+    through it). ``with_ts`` carries the capture timestamp (µs int64) for
+    spatiotemporal consumers (q109); ``with_tokens`` carries n_tokens for
+    value-weighted consumers (q111) — extra columns ride the one
     materialize, never the exchange."""
     cfg, _ = ensure_outputs(sf_dir)
-    pages = spatial.read_stage(cfg.out_root, "captures",
-                               ["url", "lat", "lon", "warc_ts",
-                                "has_geo", "is_latest"])
+    cols = ["url", "lat", "lon", "warc_ts", "has_geo", "is_latest"]
+    if with_tokens:
+        cols.append("n_tokens")
+    pages = spatial.read_stage(cfg.out_root, "captures", cols)
 
     def keyed(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
@@ -298,6 +301,8 @@ def _radius_pages(sf_dir: str, with_ts: bool = False):
                "lat": t["lat"], "lon": t["lon"]}
         if with_ts:
             out["ts_us"] = pa.array(ts_us, pa.int64())
+        if with_tokens:
+            out["n_tokens"] = t["n_tokens"]
         return pa.table(out)
 
     return pages.map_batches(keyed, batch_format="pyarrow")
@@ -403,6 +408,112 @@ def nn_distance_query(sf_dir: str):
                       default_partitions())
     return out.map_batches(
         lambda t: t.select(["url", "min_d2"]), batch_format="pyarrow")
+
+
+def idw_interpolation_query(sf_dir: str):
+    """q111: leave-one-out spatial interpolation (inverse-distance
+    weighting with the linear kernel w = R² − d2, integer-exact): for
+    every latest geocoded page with a neighbor inside the q85 band, the
+    weighted-sum numerator Σ w·x and denominator Σ w of its neighbors'
+    n_tokens — the surface-estimation op of geo-analytics, emitted as two
+    BIGINT columns so no division ever happens on either engine (the
+    q89/q104 no-float-columns policy; the consumer divides). Bounds:
+    w ≤ R² = 4·10¹⁰ and fixture n_tokens ≤ ~10³, so Σ w·x stays under
+    2⁶³ up to ~10⁵ in-band neighbors per page; the oracle sums in
+    HUGEINT and the final BIGINT cast would error loudly on overflow.
+
+    Shape: the shared ghost-exchange core (radius_pair_ids — int64 ids
+    only), then per-pair contributions in BOTH directions with the
+    neighbor's tokens and the target's url resolved via the small-pages
+    broadcast lookup (the radius url re-join tier; distributed
+    _attach_url chain above the limit), one (url)-keyed count-sum
+    aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import radius
+    from ..stages.radius import _SMALL_PAGES_LIMIT, _attach_url, _pages_table
+
+    pages, idpairs = radius.radius_pair_ids(
+        _radius_pages(sf_dir, with_tokens=True), RADIUS_MICRODEG,
+        default_partitions(), hot_threshold=100_000)
+    r2 = RADIUS_MICRODEG * RADIUS_MICRODEG
+    n_pages = pages.count()
+
+    if 0 < n_pages <= _SMALL_PAGES_LIMIT:
+        import ray
+
+        names_t = _pages_table(pages, ["doc_id", "url", "n_tokens"])
+        ids = np.asarray(names_t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.argsort(ids)
+        ref = ray.put((ids[order],
+                       names_t["url"].combine_chunks().take(pa.array(order)),
+                       np.asarray(names_t["n_tokens"].to_numpy(
+                           zero_copy_only=False), dtype=np.int64)[order]))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            empty = pa.table({"url": pa.array([], pa.string()),
+                              "num": pa.array([], pa.int64()),
+                              "den": pa.array([], pa.int64())})
+            if t.num_rows == 0:
+                return empty
+            sids, surls, stoks = ray.get(ref)
+            ia = np.asarray(t["id_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            ib = np.asarray(t["id_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            d2 = np.asarray(t["d2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            pa_pos = np.minimum(np.searchsorted(sids, ia), len(sids) - 1)
+            pb_pos = np.minimum(np.searchsorted(sids, ib), len(sids) - 1)
+            ok = (sids[pa_pos] == ia) & (sids[pb_pos] == ib)
+            pa_pos, pb_pos, d2v = pa_pos[ok], pb_pos[ok], d2[ok]
+            w = r2 - d2v
+            # both directions: a's estimate uses b's tokens and vice versa
+            urls = surls.take(pa.array(np.concatenate([pa_pos, pb_pos])))
+            num = np.concatenate([w * stoks[pb_pos], w * stoks[pa_pos]])
+            den = np.concatenate([w, w])
+            return pa.table({"url": urls,
+                             "num": pa.array(num, pa.int64()),
+                             "den": pa.array(den, pa.int64())})
+
+        both = idpairs.map_batches(contrib, batch_format="pyarrow")
+    else:
+        toks = pages.map_batches(
+            lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+        names = pages.map_batches(
+            lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow")
+
+        def sym(t: pa.Table) -> pa.Table:
+            ia = np.asarray(t["id_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            ib = np.asarray(t["id_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            d2 = np.asarray(t["d2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            w = r2 - d2
+            return pa.table({
+                "target": pa.array(np.concatenate([ia, ib]), pa.int64()),
+                "neighbor": pa.array(np.concatenate([ib, ia]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            })
+
+        rows = idpairs.map_batches(sym, batch_format="pyarrow")
+        cols = [("target", pa.int64()), ("neighbor", pa.int64()), ("w", pa.int64())]
+        rows = _attach_url(rows, toks, "neighbor", "x", cols,
+                           default_partitions(), val_col="n_tokens",
+                           val_type=pa.int64())
+
+        def weigh(t: pa.Table) -> pa.Table:
+            w = np.asarray(t["w"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            x = np.asarray(t["x"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            return pa.table({"target": t["target"],
+                             "num": pa.array(w * x, pa.int64()),
+                             "den": t["w"]})
+
+        rows = rows.map_batches(weigh, batch_format="pyarrow")
+        rows = _attach_url(rows, names, "target", "url",
+                           [("target", pa.int64()), ("num", pa.int64()),
+                            ("den", pa.int64())], default_partitions())
+        both = rows.map_batches(
+            lambda t: t.select(["url", "num", "den"]), batch_format="pyarrow")
+
+    return both.groupby("url", num_partitions=default_partitions()).aggregate(
+        Sum("num", alias_name="idw_num"), Sum("den", alias_name="idw_den"))
 
 
 #: q109 time windows (days) — cumulative, the widest covering every pair
@@ -1382,6 +1493,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q109_knox_pairs": spatialsql.q109_sql(RADIUS_MICRODEG,
                                                KNOX_WINDOWS_DAYS),
         "q110_admin_overlap": spatialsql.q110_sql(),
+        "q111_idw_tokens": spatialsql.q111_sql(RADIUS_MICRODEG),
     }
 
 

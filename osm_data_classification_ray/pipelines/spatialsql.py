@@ -447,6 +447,37 @@ sym AS (
 SELECT url, MIN(d2)::BIGINT AS min_d2 FROM sym GROUP BY url"""
 
 
+def q111_sql(radius: int) -> str:
+    """q111 oracle: leave-one-out linear-kernel IDW sums over the
+    brute-force q85 band self-join (both directions via UNION ALL) —
+    integer-exact: HUGEINT sums of (R²−d2)·n_tokens and (R²−d2), cast to
+    BIGINT at the end (errors loudly on overflow instead of wrapping)."""
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT url, CAST(n_tokens AS BIGINT) AS x,
+               CAST(ROUND(lat * 1000000.0) AS BIGINT) AS ilat,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS ilon
+        FROM cap WHERE has_geo AND is_latest),
+pr AS (
+  SELECT a.url AS url_a, b.url AS url_b, a.x AS x_a, b.x AS x_b,
+         CAST({radius} AS BIGINT) * {radius}
+       - ((a.ilat - b.ilat) * (a.ilat - b.ilat)
+        + (a.ilon - b.ilon) * (a.ilon - b.ilon)) AS w
+  FROM pts a JOIN pts b
+    ON a.url < b.url
+   AND ABS(a.ilat - b.ilat) <= {radius} AND ABS(a.ilon - b.ilon) <= {radius}
+  WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
+      + (a.ilon - b.ilon) * (a.ilon - b.ilon) <= CAST({radius} AS BIGINT) * {radius}
+),
+sym AS (
+  SELECT url_a AS url, w * x_b AS num, w AS den FROM pr
+  UNION ALL
+  SELECT url_b, w * x_a, w FROM pr
+)
+SELECT url, CAST(SUM(CAST(num AS HUGEINT)) AS BIGINT) AS idw_num,
+       CAST(SUM(CAST(den AS HUGEINT)) AS BIGINT) AS idw_den
+FROM sym GROUP BY url"""
+
+
 def q109_sql(radius: int, windows_days: tuple[int, ...]) -> str:
     """q109 oracle: brute-force space-time pair counting — the q85 band
     self-join with the capture-timestamp delta bucketed per cumulative

@@ -54,6 +54,8 @@ def _spatial_oracles():
                             es.SPATIAL_SQL["q109_knox_pairs"]),
         "q110_admin_overlap": (es.admin_overlap_query,
                                es.SPATIAL_SQL["q110_admin_overlap"]),
+        "q111_idw_tokens": (es.idw_interpolation_query,
+                            es.SPATIAL_SQL["q111_idw_tokens"]),
     }
 
 
@@ -137,6 +139,21 @@ def test_q03_all_three_paths_match(ray_session, duck, monkeypatch):
     assert got_b.equals(got_j)
     for col in got_b.column_names:
         assert got_b[col].to_pylist() == want[col].to_pylist(), col
+
+
+def test_q111_both_tiers_match(ray_session, duck, monkeypatch):
+    """q111's broadcast-lookup tier (small pages) must equal the fully
+    distributed _attach_url chain and the oracle."""
+    from osm_data_classification_ray.stages import radius as rad
+
+    fn, sql = ALL_ORACLE_QUERIES["q111_idw_tokens"]
+    got_small = _normalize(_ray_table(fn(SF_DIR)))
+    monkeypatch.setattr(rad, "_SMALL_PAGES_LIMIT", 0)
+    got_dist = _normalize(_ray_table(fn(SF_DIR)))
+    want = _normalize(duck.execute(sql).arrow())
+    assert got_small.equals(got_dist)
+    for col in got_small.column_names:
+        assert got_small[col].to_pylist() == want[col].to_pylist(), col
 
 
 def test_q01_zero_exchange_matches_distributed(ray_session, duck, monkeypatch):
