@@ -192,6 +192,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q109_knox_pairs": es.knox_pairs_query,
             "q110_admin_overlap": es.admin_overlap_query,
             "q111_idw_tokens": es.idw_interpolation_query,
+            "q112_region_label": es.region_label_query,
         }
     )
     return out

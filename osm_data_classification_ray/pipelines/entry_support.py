@@ -410,6 +410,83 @@ def nn_distance_query(sf_dir: str):
         lambda t: t.select(["url", "min_d2"]), batch_format="pyarrow")
 
 
+#: q112 density threshold: cells with >= this many latest geocoded pages
+#: participate in region labeling (1 = every occupied cell — classic
+#: raster connected-component labeling; higher = DBSCAN-style core cells)
+REGION_MINPTS = 1
+
+#: core-cell count at or below which q112 builds the adjacency graph on
+#: the driver (grid_ring + searchsorted over the collected per-cell
+#: aggregate — the tiles/classify driver-tier precedent: per-cell tables
+#: are orders of magnitude smaller than the corpus). Above it the query
+#: raises rather than silently collecting (the documented scale path is
+#: a neighbor-keyed exchange + ds.join; occupied-r5-cell counts stay far
+#: below this bound for any earthly corpus: ~33M res-5 cells exist).
+_REGION_DRIVER_CELL_LIMIT = int(os.environ.get("GRAFT_REGION_CELL_LIMIT",
+                                               "50000000"))
+
+
+def region_label_query(sf_dir: str, minpts: int = REGION_MINPTS):
+    """q112: raster region labeling — connected-component labeling of the
+    occupied res-5 hex raster (the classic GIS/image blob-extraction op;
+    with ``minpts`` > 1 it is the cell-level DBSCAN core-clustering).
+    Output: (cell, cluster) with cluster = min cell id of the axially
+    connected component — the same min-rep rule as the near-dup groups,
+    whose union-find machinery (driver under GROUPS_DRIVER_LIMIT pairs,
+    distributed min-label propagation above — q44) is REUSED verbatim.
+
+    Shape: per-cell counts by distributed hash aggregate (the corpus-
+    scale work), core filter, then the CELL-level graph: 6-neighbor
+    candidates via grid_ring bit math, edges kept where both endpoints
+    are core (sorted-array membership), self-pairs so singleton regions
+    survive, connected_groups. The oracle rebuilds adjacency as an
+    axial self-join on coordinates unpacked from the cell id (the q97
+    mirror) and components as a recursive-CTE transitive closure with
+    MIN labels — fully independent of grid_ring's offset table."""
+    from ray.data.aggregate import Count
+
+    from ..cellmath import hexgrid
+    from ..stages.textdedup import connected_groups
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        cells = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
+        return pa.table({"cell": pa.array(cells.view(np.int64), pa.int64())})
+
+    counts = pts.map_batches(keyed, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n"))
+    core_t = pa.concat_tables(counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], pa.scalar(minpts, pa.int64())))
+        .select(["cell"]),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    if core_t.num_rows > _REGION_DRIVER_CELL_LIMIT:
+        raise ValueError(
+            f"q112: {core_t.num_rows} core cells exceed the driver graph "
+            f"bound {_REGION_DRIVER_CELL_LIMIT}; raise GRAFT_REGION_CELL_LIMIT "
+            "or build edges via the neighbor-keyed exchange path")
+    core = np.sort(np.asarray(core_t["cell"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64))
+    if core.size == 0:
+        return pa.table({"cell": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    nbrs = hexgrid.grid_ring(core.view(np.uint64), 1).view(np.int64)  # (n, 6)
+    a = np.repeat(core, 6)
+    b = nbrs.ravel()
+    pos = np.minimum(np.searchsorted(core, b), core.size - 1)
+    keep = (core[pos] == b) & (a < b)  # neighbor is core; one direction
+    pairs = pa.table({"doc_a": pa.array(np.r_[a[keep], core], pa.int64()),
+                      "doc_b": pa.array(np.r_[b[keep], core], pa.int64())})
+    groups = connected_groups(pairs, num_partitions=default_partitions())
+    return pa.table({"cell": groups["doc_id"], "cluster": groups["group_rep"]})
+
+
 def idw_interpolation_query(sf_dir: str):
     """q111: leave-one-out spatial interpolation (inverse-distance
     weighting with the linear kernel w = R² − d2, integer-exact): for
@@ -1494,6 +1571,7 @@ def _spatial_engine_sql() -> dict[str, str]:
                                                KNOX_WINDOWS_DAYS),
         "q110_admin_overlap": spatialsql.q110_sql(),
         "q111_idw_tokens": spatialsql.q111_sql(RADIUS_MICRODEG),
+        "q112_region_label": spatialsql.q112_sql(REGION_MINPTS),
     }
 
 

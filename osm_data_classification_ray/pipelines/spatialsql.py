@@ -447,6 +447,38 @@ sym AS (
 SELECT url, MIN(d2)::BIGINT AS min_d2 FROM sym GROUP BY url"""
 
 
+def q112_sql(minpts: int) -> str:
+    """q112 oracle: region labeling rebuilt independently — occupied/core
+    res-5 cells from the captures mirror, adjacency as the q97 axial
+    self-join (hex distance 1 ⇔ |dq| ≤ 1 ∧ |dr| ≤ 1 ∧ |dq+dr| ≤ 1, self
+    excluded), components as a recursive-CTE transitive closure with MIN
+    reachable cell as the label (= the engine's min-rep union-find rule).
+    UNION (not UNION ALL) dedups the frontier so the recursion
+    terminates."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH RECURSIVE {captures_ctes()},
+g AS (SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+core AS (SELECT CAST(cell AS BIGINT) AS cell,
+        CAST((cell >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(cell & {mask30} AS BIGINT) - {bias} AS r
+      FROM g WHERE n >= {minpts}),
+e AS (
+  SELECT a.cell AS a, b.cell AS b
+  FROM core a JOIN core b
+    ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+       AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+       AND a.cell <> b.cell
+),
+reach(a, b) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+)
+SELECT a AS cell, MIN(b)::BIGINT AS cluster FROM reach GROUP BY a"""
+
+
 def q111_sql(radius: int) -> str:
     """q111 oracle: leave-one-out linear-kernel IDW sums over the
     brute-force q85 band self-join (both directions via UNION ALL) —

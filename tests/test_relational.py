@@ -56,6 +56,8 @@ def _spatial_oracles():
                                es.SPATIAL_SQL["q110_admin_overlap"]),
         "q111_idw_tokens": (es.idw_interpolation_query,
                             es.SPATIAL_SQL["q111_idw_tokens"]),
+        "q112_region_label": (es.region_label_query,
+                              es.SPATIAL_SQL["q112_region_label"]),
     }
 
 
