@@ -193,6 +193,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q110_admin_overlap": es.admin_overlap_query,
             "q111_idw_tokens": es.idw_interpolation_query,
             "q112_region_label": es.region_label_query,
+            "q113_admin_buffer": es.admin_buffer_query,
         }
     )
     return out

@@ -1068,6 +1068,69 @@ def rasterize_admin_query(sf_dir: str):
     return ds.map_batches(_rasterize_block, batch_format="pyarrow")
 
 
+#: q113 buffer distance in res-5 hex steps (morphological dilation radius)
+BUFFER_K = 2
+
+
+def _buffer_block(t: pa.Table, k: int = BUFFER_K) -> pa.Table:
+    """Per level-1 polygon: rasterize (the q87 center-inside kernel), then
+    dilate the kept cell set by hex distance ≤ k via one grid_disk
+    scatter + unique — polygon buffering on the raster. Output the q87
+    checksum shape (n_cells + wrapped uint64 cell-id sum) so the oracle
+    verifies the full dilated SET without shipping it."""
+    from ..cellmath import hexgrid
+    from ..cellmath import pip as pipm
+
+    out_id: list[int] = []
+    out_n: list[int] = []
+    out_sum: list[int] = []
+    for rec in t.to_pylist():
+        if rec["level"] != 1:
+            continue
+        rings = [np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
+                 for ring in rec["rings"]]
+        allpts = np.concatenate(rings)
+        cells = hexgrid.cells_in_bbox(
+            allpts[:, 0].min(), allpts[:, 1].min(),
+            allpts[:, 0].max(), allpts[:, 1].max(), 5)
+        poly = pipm.PolygonEdges(rings)
+        inside = np.zeros(cells.size, dtype=bool)
+        for c0 in range(0, cells.size, 65536):
+            sl = slice(c0, c0 + 65536)
+            inside[sl] = pipm.points_in_polygon(
+                *hexgrid.cell_center(cells[sl]), poly)
+        kept = cells[inside]
+        dilated = (np.unique(hexgrid.grid_disk(kept, k).ravel())
+                   if kept.size else kept)
+        out_id.append(rec["admin_id"])
+        out_n.append(int(dilated.size))
+        out_sum.append(int(dilated.sum(dtype=np.uint64)))  # wraps mod 2^64
+    return pa.table(
+        {
+            "admin_id": pa.array(out_id, pa.int64()),
+            "n_cells": pa.array(out_n, pa.int64()),
+            "cells_sum": pa.array(out_sum, pa.uint64()),
+        }
+    )
+
+
+def admin_buffer_query(sf_dir: str):
+    """q113: polygon buffering (morphological dilation) — every level-1
+    admin polygon's res-5 rasterization dilated by hex distance ≤
+    BUFFER_K, reported as (n_cells, wrapped cell-id sum) per polygon.
+    The vector buffer op of geo-analytics (service areas, spill zones),
+    and the morphological sibling of q87's plain rasterize. Per-polygon
+    map over the polygon table — embarrassingly parallel; the oracle
+    re-derives the dilated set from an INDEPENDENT padded axial lattice
+    with the hex-distance predicate in coordinates unpacked from first
+    principles, so a grid_disk offset-table bug cannot hide."""
+    import ray.data as rd
+
+    polys = gen.gen_admin_polygons()
+    ds = rd.from_arrow(polys).repartition(16)
+    return ds.map_batches(_buffer_block, batch_format="pyarrow")
+
+
 def _raster_cells_block(t: pa.Table) -> pa.Table:
     """Rasterize every polygon in the batch (ALL levels) onto the res-5
     hex raster and emit one row per kept cell: (cell int64-bitcast,
@@ -1572,6 +1635,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q110_admin_overlap": spatialsql.q110_sql(),
         "q111_idw_tokens": spatialsql.q111_sql(RADIUS_MICRODEG),
         "q112_region_label": spatialsql.q112_sql(REGION_MINPTS),
+        "q113_admin_buffer": spatialsql.q113_sql(BUFFER_K),
     }
 
 

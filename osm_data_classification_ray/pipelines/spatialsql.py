@@ -759,6 +759,81 @@ FROM rect r LEFT JOIN inside i ON i.admin_id = r.admin_id
 GROUP BY r.admin_id"""
 
 
+def q113_sql(k: int) -> str:
+    """q113 oracle: polygon buffer — the q87 rasterize mirror with the
+    candidate lattice padded k cells wider, then the dilated set as a
+    DISTINCT hex-distance-≤-k join against the kept (center-inside) set,
+    the distance computed in axial coordinates from first principles
+    ((|dq|+|dr|+|dq+dr|)/2) — independent of the engine's grid_disk
+    offset table."""
+    from ..fixtures import gen
+
+    size = 0.08
+    sqrt3 = float(np.sqrt(3.0))
+    rect_rows, edge_rows = [], []
+    for rec in gen.gen_admin_polygons().to_pylist():
+        if rec["level"] != 1:
+            continue
+        pts = [(p["lat"], p["lon"]) for ring in rec["rings"] for p in ring]
+        pad = (3.0 + k) * size  # q87's pad widened by the buffer radius
+        lo_lat = min(p[0] for p in pts) - pad
+        hi_lat = max(p[0] for p in pts) + pad
+        lo_lon = min(p[1] for p in pts) - pad
+        hi_lon = max(p[1] for p in pts) + pad
+        qf = [(sqrt3 / 3.0 * lon - lat / 3.0) / size
+              for lat in (lo_lat, hi_lat) for lon in (lo_lon, hi_lon)]
+        rf = [(2.0 / 3.0 * lat) / size for lat in (lo_lat, hi_lat)]
+        q0, q1 = int(np.floor(min(qf))) - 2 - k, int(np.ceil(max(qf))) + 2 + k
+        r0, r1 = int(np.floor(min(rf))) - 2 - k, int(np.ceil(max(rf))) + 2 + k
+        rect_rows.append(f"({rec['admin_id']}, {q0}, {q1}, {r0}, {r1})")
+        for ring in rec["rings"]:
+            n = len(ring)
+            for i, p in enumerate(ring):
+                b = ring[(i + 1) % n]
+                edge_rows.append(
+                    f"({rec['admin_id']}, {p['lat']!r}, {p['lon']!r},"
+                    f" {b['lat']!r}, {b['lon']!r})"
+                )
+    rects = ", ".join(rect_rows)
+    edges = ", ".join(edge_rows)
+    cross, on_edge = _pip_case_sql("c.clat", "c.clon")
+    return f"""WITH rect(admin_id, q0, q1, r0, r1) AS (VALUES {rects}),
+edges(admin_id, ay, ax, by, bx) AS (VALUES {edges}),
+cand_q AS (
+  SELECT admin_id, UNNEST(generate_series(q0, q1)) AS q, r0, r1 FROM rect
+),
+cand_qr AS (
+  SELECT admin_id, q, UNNEST(generate_series(r0, r1)) AS r FROM cand_q
+),
+cand AS (
+  SELECT admin_id, q, r,
+         0.005 * 16.0 * 1.5 * CAST(r AS DOUBLE) AS clat,
+         0.005 * 16.0 * SQRT(3.0) * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS clon
+  FROM cand_qr
+),
+cr AS (
+  SELECT c.admin_id, c.q, c.r,
+    SUM({cross}) AS n_cross, MAX({on_edge}) AS on_edge
+  FROM cand c JOIN edges e USING (admin_id)
+  GROUP BY c.admin_id, c.q, c.r
+),
+kept AS (
+  SELECT admin_id, q, r FROM cr WHERE n_cross % 2 = 1 OR on_edge = 1
+),
+dil AS (
+  SELECT DISTINCT c.admin_id, c.q, c.r
+  FROM cand c JOIN kept t
+    ON t.admin_id = c.admin_id
+   AND (abs(c.q - t.q) + abs(c.r - t.r) + abs((c.q - t.q) + (c.r - t.r))) / 2 <= {k}
+)
+SELECT CAST(r.admin_id AS BIGINT) AS admin_id,
+       COUNT(d.q)::BIGINT AS n_cells,
+       CAST(COALESCE(SUM(CAST({_pack(5, 'd.q', 'd.r')} AS HUGEINT)), 0)
+            % 18446744073709551616 AS UBIGINT) AS cells_sum
+FROM rect r LEFT JOIN dil d ON d.admin_id = r.admin_id
+GROUP BY r.admin_id"""
+
+
 def q110_sql() -> str:
     """q110 oracle: level-0 × level-1 polygon overlap in shared res-5
     cells. Candidates enumerate the LEVEL-1 padded rects only (exact for

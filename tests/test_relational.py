@@ -58,6 +58,8 @@ def _spatial_oracles():
                             es.SPATIAL_SQL["q111_idw_tokens"]),
         "q112_region_label": (es.region_label_query,
                               es.SPATIAL_SQL["q112_region_label"]),
+        "q113_admin_buffer": (es.admin_buffer_query,
+                              es.SPATIAL_SQL["q113_admin_buffer"]),
     }
 
 
