@@ -461,11 +461,13 @@ def region_label_query(sf_dir: str, minpts: int = REGION_MINPTS):
     counts = pts.map_batches(keyed, batch_format="pyarrow").groupby(
         "cell", num_partitions=default_partitions()).aggregate(
         Count(alias_name="n"))
-    core_t = pa.concat_tables(counts.map_batches(
+    core_batches = list(counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n"], pa.scalar(minpts, pa.int64())))
         .select(["cell"]),
         batch_format="pyarrow").iter_batches(batch_format="pyarrow",
                                              batch_size=None))
+    core_t = (pa.concat_tables(core_batches) if core_batches
+              else pa.table({"cell": pa.array([], pa.int64())}))
     if core_t.num_rows > _REGION_DRIVER_CELL_LIMIT:
         raise ValueError(
             f"q112: {core_t.num_rows} core cells exceed the driver graph "
