@@ -194,6 +194,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q111_idw_tokens": es.idw_interpolation_query,
             "q112_region_label": es.region_label_query,
             "q113_admin_buffer": es.admin_buffer_query,
+            "q114_page_near_admin": es.page_near_admin_query,
         }
     )
     return out

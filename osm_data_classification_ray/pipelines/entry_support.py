@@ -1074,36 +1074,42 @@ def rasterize_admin_query(sf_dir: str):
 BUFFER_K = 2
 
 
+def _dilated_cells(rec: dict, k: int) -> np.ndarray:
+    """One polygon record → its res-5 rasterization (the q87
+    center-inside kernel) dilated by hex distance ≤ k (grid_disk scatter
+    + unique). Shared by q113 (checksums) and q114 (join index)."""
+    from ..cellmath import hexgrid
+    from ..cellmath import pip as pipm
+
+    rings = [np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
+             for ring in rec["rings"]]
+    allpts = np.concatenate(rings)
+    cells = hexgrid.cells_in_bbox(
+        allpts[:, 0].min(), allpts[:, 1].min(),
+        allpts[:, 0].max(), allpts[:, 1].max(), 5)
+    poly = pipm.PolygonEdges(rings)
+    inside = np.zeros(cells.size, dtype=bool)
+    for c0 in range(0, cells.size, 65536):
+        sl = slice(c0, c0 + 65536)
+        inside[sl] = pipm.points_in_polygon(
+            *hexgrid.cell_center(cells[sl]), poly)
+    kept = cells[inside]
+    return np.unique(hexgrid.grid_disk(kept, k).ravel()) if kept.size else kept
+
+
 def _buffer_block(t: pa.Table, k: int = BUFFER_K) -> pa.Table:
     """Per level-1 polygon: rasterize (the q87 center-inside kernel), then
     dilate the kept cell set by hex distance ≤ k via one grid_disk
     scatter + unique — polygon buffering on the raster. Output the q87
     checksum shape (n_cells + wrapped uint64 cell-id sum) so the oracle
     verifies the full dilated SET without shipping it."""
-    from ..cellmath import hexgrid
-    from ..cellmath import pip as pipm
-
     out_id: list[int] = []
     out_n: list[int] = []
     out_sum: list[int] = []
     for rec in t.to_pylist():
         if rec["level"] != 1:
             continue
-        rings = [np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
-                 for ring in rec["rings"]]
-        allpts = np.concatenate(rings)
-        cells = hexgrid.cells_in_bbox(
-            allpts[:, 0].min(), allpts[:, 1].min(),
-            allpts[:, 0].max(), allpts[:, 1].max(), 5)
-        poly = pipm.PolygonEdges(rings)
-        inside = np.zeros(cells.size, dtype=bool)
-        for c0 in range(0, cells.size, 65536):
-            sl = slice(c0, c0 + 65536)
-            inside[sl] = pipm.points_in_polygon(
-                *hexgrid.cell_center(cells[sl]), poly)
-        kept = cells[inside]
-        dilated = (np.unique(hexgrid.grid_disk(kept, k).ravel())
-                   if kept.size else kept)
+        dilated = _dilated_cells(rec, k)
         out_id.append(rec["admin_id"])
         out_n.append(int(dilated.size))
         out_sum.append(int(dilated.sum(dtype=np.uint64)))  # wraps mod 2^64
@@ -1131,6 +1137,71 @@ def admin_buffer_query(sf_dir: str):
     polys = gen.gen_admin_polygons()
     ds = rd.from_arrow(polys).repartition(16)
     return ds.map_batches(_buffer_block, batch_format="pyarrow")
+
+
+def page_near_admin_query(sf_dir: str):
+    """q114: proximity join — every (latest geocoded page, level-1 admin)
+    pair where the page's res-5 cell lies within the admin polygon's
+    hex-distance-≤-BUFFER_K buffer (q113's dilated set used as a JOIN
+    index). The "within distance of polygon" join of geo-analytics
+    (catchment/service-area assignment); many-to-many, unlike q31's
+    finest-wins semi-join.
+
+    Shape = the S4 broadcast-lookup pattern: the dilated (cell → admin)
+    multi-map is built once from the (small, fixture) polygon layer —
+    sorted int64 cell keys + parallel admin ids — ray.put once, read
+    zero-copy per task; pages stream through ONE map_batches doing two
+    searchsorted range probes per batch, emitting one row per matching
+    (page, admin). No shuffle at all. At corpus scale the polygon side
+    stays bounded (cells-per-buffer × polygons); a polygon layer too
+    large to broadcast would flip to the q31-style salted exchange."""
+    import ray
+    import ray.data as rd
+
+    polys = gen.gen_admin_polygons()
+    cell_parts: list[np.ndarray] = []
+    adm_parts: list[np.ndarray] = []
+    for rec in polys.to_pylist():
+        if rec["level"] != 1:
+            continue
+        d = _dilated_cells(rec, BUFFER_K)
+        cell_parts.append(d.view(np.int64))
+        adm_parts.append(np.full(d.size, rec["admin_id"], np.int64))
+    cells = np.concatenate(cell_parts)
+    adm = np.concatenate(adm_parts)
+    order = np.argsort(cells, kind="stable")  # stable: admin order per cell
+    cells, adm = cells[order], adm[order]
+    ref = ray.put((cells, adm))
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["url", "h3_r5", "has_geo", "is_latest"])
+
+    def lookup(t: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "admin_id": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        if t.num_rows == 0:
+            return empty
+        scells, sadm = ray.get(ref)
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        left = np.searchsorted(scells, c, side="left")
+        right = np.searchsorted(scells, c, side="right")
+        counts = right - left
+        tot = int(counts.sum())
+        if tot == 0:
+            return empty
+        # flatten the per-row [left, right) ranges without a Python loop
+        starts = np.repeat(left, counts)
+        csum = np.r_[0, np.cumsum(counts)[:-1]]
+        offs = starts + (np.arange(tot) - np.repeat(csum, counts))
+        urls = t["url"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(c)), counts)))
+        return pa.table({"url": urls,
+                         "admin_id": pa.array(sadm[offs], pa.int64())})
+
+    return pts.map_batches(lookup, batch_format="pyarrow")
 
 
 def _raster_cells_block(t: pa.Table) -> pa.Table:
@@ -1638,6 +1709,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q111_idw_tokens": spatialsql.q111_sql(RADIUS_MICRODEG),
         "q112_region_label": spatialsql.q112_sql(REGION_MINPTS),
         "q113_admin_buffer": spatialsql.q113_sql(BUFFER_K),
+        "q114_page_near_admin": spatialsql.q114_sql(BUFFER_K),
     }
 
 

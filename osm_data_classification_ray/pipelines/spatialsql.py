@@ -759,13 +759,14 @@ FROM rect r LEFT JOIN inside i ON i.admin_id = r.admin_id
 GROUP BY r.admin_id"""
 
 
-def q113_sql(k: int) -> str:
-    """q113 oracle: polygon buffer — the q87 rasterize mirror with the
-    candidate lattice padded k cells wider, then the dilated set as a
-    DISTINCT hex-distance-≤-k join against the kept (center-inside) set,
-    the distance computed in axial coordinates from first principles
-    ((|dq|+|dr|+|dq+dr|)/2) — independent of the engine's grid_disk
-    offset table."""
+def _buffer_ctes(k: int) -> str:
+    """CTE chain ending in ``dil(admin_id, q, r)``: the q87 rasterize
+    mirror with the candidate lattice padded k cells wider, then the
+    dilated set as a DISTINCT hex-distance-≤-k join against the kept
+    (center-inside) set, the distance computed in axial coordinates from
+    first principles ((|dq|+|dr|+|dq+dr|)/2) — independent of the
+    engine's grid_disk offset table. Shared by q113 (checksums) and
+    q114 (proximity join)."""
     from ..fixtures import gen
 
     size = 0.08
@@ -797,7 +798,7 @@ def q113_sql(k: int) -> str:
     rects = ", ".join(rect_rows)
     edges = ", ".join(edge_rows)
     cross, on_edge = _pip_case_sql("c.clat", "c.clon")
-    return f"""WITH rect(admin_id, q0, q1, r0, r1) AS (VALUES {rects}),
+    return f"""rect(admin_id, q0, q1, r0, r1) AS (VALUES {rects}),
 edges(admin_id, ay, ax, by, bx) AS (VALUES {edges}),
 cand_q AS (
   SELECT admin_id, UNNEST(generate_series(q0, q1)) AS q, r0, r1 FROM rect
@@ -825,13 +826,35 @@ dil AS (
   FROM cand c JOIN kept t
     ON t.admin_id = c.admin_id
    AND (abs(c.q - t.q) + abs(c.r - t.r) + abs((c.q - t.q) + (c.r - t.r))) / 2 <= {k}
-)
+)"""
+
+
+def q113_sql(k: int) -> str:
+    """q113 oracle: polygon buffer checksums over the independently
+    derived dilated set (see _buffer_ctes)."""
+    return f"""WITH {_buffer_ctes(k)}
 SELECT CAST(r.admin_id AS BIGINT) AS admin_id,
        COUNT(d.q)::BIGINT AS n_cells,
        CAST(COALESCE(SUM(CAST({_pack(5, 'd.q', 'd.r')} AS HUGEINT)), 0)
             % 18446744073709551616 AS UBIGINT) AS cells_sum
 FROM rect r LEFT JOIN dil d ON d.admin_id = r.admin_id
 GROUP BY r.admin_id"""
+
+
+def q114_sql(k: int) -> str:
+    """q114 oracle: proximity join — latest geocoded pages joined to every
+    level-1 polygon whose independently derived dilated set
+    (_buffer_ctes) contains the page's res-5 cell; cells compared as
+    packed ids so the engine's encode and the mirror's lattice must
+    agree bit-for-bit."""
+    return f"""WITH {captures_ctes()},
+{_buffer_ctes(k)},
+dilc AS (
+  SELECT admin_id, {_pack(5, 'q', 'r')} AS cell FROM dil
+),
+pg AS (SELECT url, cell_r5 FROM cap WHERE has_geo AND is_latest)
+SELECT pg.url, CAST(d.admin_id AS BIGINT) AS admin_id
+FROM pg JOIN dilc d ON d.cell = pg.cell_r5"""
 
 
 def q110_sql() -> str:

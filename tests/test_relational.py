@@ -60,6 +60,8 @@ def _spatial_oracles():
                               es.SPATIAL_SQL["q112_region_label"]),
         "q113_admin_buffer": (es.admin_buffer_query,
                               es.SPATIAL_SQL["q113_admin_buffer"]),
+        "q114_page_near_admin": (es.page_near_admin_query,
+                                 es.SPATIAL_SQL["q114_page_near_admin"]),
     }
 
 
