@@ -1254,6 +1254,13 @@ def _overlap_pairs_block(block: pa.Table) -> pa.Table:
     lv = np.asarray(block["level"].to_numpy(zero_copy_only=False), dtype=np.int64)
     order = np.lexsort((lv, aid, cell))
     cell, aid, lv = cell[order], aid[order], lv[order]
+    # dedup identical (cell, admin, level) rows so the kernel's contract
+    # holds for ANY input, not just the dup-free _raster_cells_block feed
+    # (a duplicate row would otherwise double-count its pairs — caught by
+    # the hypothesis brute-force test)
+    uniq = np.r_[True, (cell[1:] != cell[:-1]) | (aid[1:] != aid[:-1])
+                 | (lv[1:] != lv[:-1])]
+    cell, aid, lv = cell[uniq], aid[uniq], lv[uniq]
     starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
     ends = np.r_[starts[1:], len(cell)]
     out_a: list[np.ndarray] = []

@@ -95,3 +95,69 @@ def test_sliding_window_composite_key_vs_bruteforce(rows):
         for i in range(len(uid))
     ])
     assert np.array_equal(got, want)
+
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 30),
+                          st.integers(0, 1)), min_size=0, max_size=120),
+       st.randoms())
+@settings(max_examples=60, deadline=None)
+def test_overlap_pairs_block_vs_bruteforce(rows, rnd):
+    """q110 kernel: per-cell level-0 × level-1 cross product equals the
+    brute-force pair set, for any row order."""
+    import pyarrow as pa
+
+    from osm_data_classification_ray.pipelines.entry_support import (
+        _overlap_pairs_block,
+    )
+
+    rows = list(rows)
+    rnd.shuffle(rows)
+    t = pa.table({"cell": pa.array([c for c, _, _ in rows], pa.int64()),
+                  "admin_id": pa.array([a for _, a, _ in rows], pa.int64()),
+                  "level": pa.array([l for _, _, l in rows], pa.int64())})
+    got = _overlap_pairs_block(t)
+    got_pairs = sorted(zip(got["admin_a"].to_pylist(), got["admin_b"].to_pylist()))
+    want = []
+    cells = {c for c, _, _ in rows}
+    for c in cells:
+        a0 = sorted({a for cc, a, l in rows if cc == c and l == 0})
+        b1 = sorted({a for cc, a, l in rows if cc == c and l == 1})
+        for a in a0:
+            for b in b1:
+                want.append((a, b))
+    assert got_pairs == sorted(want)
+
+
+@given(st.lists(st.integers(0, 8), min_size=1, max_size=60),
+       st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99)),
+                min_size=0, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_q114_range_flatten_vs_bruteforce(queries, index_rows):
+    """q114 lookup kernel: the vectorized searchsorted range-flatten must
+    emit exactly the brute-force (query, value) multiset, in query
+    order."""
+    import numpy as np
+
+    cells = np.array(sorted(k for k, _ in index_rows), dtype=np.int64)
+    order = np.argsort([k for k, _ in index_rows], kind="stable")
+    adm = np.array([index_rows[i][1] for i in order], dtype=np.int64)
+    c = np.array(queries, dtype=np.int64)
+    left = np.searchsorted(cells, c, side="left")
+    right = np.searchsorted(cells, c, side="right")
+    counts = right - left
+    tot = int(counts.sum())
+    if tot:
+        starts = np.repeat(left, counts)
+        csum = np.r_[0, np.cumsum(counts)[:-1]]
+        offs = starts + (np.arange(tot) - np.repeat(csum, counts))
+        got = list(zip(np.repeat(np.arange(len(c)), counts).tolist(),
+                       adm[offs].tolist()))
+    else:
+        got = []
+    want = []
+    srt = sorted(index_rows, key=lambda kv: kv[0])
+    for qi, q in enumerate(queries):
+        for k, v in srt:
+            if k == q:
+                want.append((qi, v))
+    assert got == want
