@@ -195,6 +195,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q112_region_label": es.region_label_query,
             "q113_admin_buffer": es.admin_buffer_query,
             "q114_page_near_admin": es.page_near_admin_query,
+            "q115_boilerplate_lines": es.boilerplate_query,
         }
     )
     return out

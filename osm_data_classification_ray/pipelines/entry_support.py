@@ -85,6 +85,89 @@ def pages_query(sf_dir: str):
     )
 
 
+#: q115: a line is boilerplate within its host when >= this many distinct
+#: pages of the host contain it (the CCNet/RefinedWeb repeated-line rule)
+BOILER_MIN_DOCS = 3
+
+
+def boilerplate_query(sf_dir: str):
+    """q115: per-host boilerplate line detection — the repeated-line stage
+    of CCNet/RefinedWeb-style corpus cleaning. A (host, line) is
+    boilerplate when ≥ BOILER_MIN_DOCS distinct pages of that host
+    contain the (non-empty) line; per page the output counts its
+    distinct lines and how many are boilerplate: (url, n_lines,
+    n_boiler) — all integers.
+
+    Shape: one vectorized line explode (Arrow split_pattern + list
+    flatten, per-page dedup in-block), ONE (host, line)-keyed hash
+    exchange — every occurrence of a line lands in one block, where a
+    run-length distinct-url count flags it — then a url-keyed count
+    aggregate. At corpus scale the line strings would be replaced by a
+    128-bit fingerprint before the exchange (the engine's standard
+    id-carrier move); at oracle scale the strings ship so DuckDB can
+    mirror the grouping with plain string equality."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_pages(cfg, ["url", "host", "extracted_text"])
+
+    def split_lines(t: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "host": pa.array([], pa.string()),
+                          "line": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        lines = pc.split_pattern(t["extracted_text"].combine_chunks(), "\n")
+        flat = pc.list_flatten(lines)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(t.num_rows), counts)
+        out = pa.table({"url": t["url"].combine_chunks().take(pa.array(idx)),
+                        "host": t["host"].combine_chunks().take(pa.array(idx)),
+                        "line": flat})
+        out = out.filter(pc.greater(pc.binary_length(out["line"]), 0))
+        # per-page distinct lines (a page's rows are contiguous here)
+        keys = pc.sort_indices(out, sort_keys=[("url", "ascending"),
+                                               ("line", "ascending")])
+        out = out.take(keys)
+        u = np.asarray(pc.dictionary_encode(out["url"].combine_chunks()).indices)
+        ln = np.asarray(pc.dictionary_encode(out["line"].combine_chunks()).indices)
+        keep = np.r_[True, (u[1:] != u[:-1]) | (ln[1:] != ln[:-1])]
+        return out.filter(pa.array(keep))
+
+    rows = ds.map_batches(split_lines, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host", "line"],
+                            sort=False)
+
+    def flag(block: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "one": pa.array([], pa.int64()),
+                          "boiler": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("line", "ascending")])
+        block = block.take(order)
+        h = np.asarray(pc.dictionary_encode(block["host"].combine_chunks()).indices)
+        ln = np.asarray(pc.dictionary_encode(block["line"].combine_chunks()).indices)
+        starts = np.flatnonzero(np.r_[True, (h[1:] != h[:-1]) | (ln[1:] != ln[:-1])])
+        run_len = np.diff(np.r_[starts, len(h)])
+        # rows are distinct per (url, line) already, so run length = the
+        # distinct-page count of this (host, line)
+        nd = np.repeat(run_len, run_len)
+        return pa.table({
+            "url": block["url"],
+            "one": pa.array(np.ones(len(h), np.int64), pa.int64()),
+            "boiler": pa.array((nd >= BOILER_MIN_DOCS).astype(np.int64), pa.int64()),
+        })
+
+    flagged = rows.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    return flagged.groupby("url", num_partitions=default_partitions()).aggregate(
+        Sum("one", alias_name="n_lines"), Sum("boiler", alias_name="n_boiler"))
+
+
 def _hex(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -1717,6 +1800,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q112_region_label": spatialsql.q112_sql(REGION_MINPTS),
         "q113_admin_buffer": spatialsql.q113_sql(BUFFER_K),
         "q114_page_near_admin": spatialsql.q114_sql(BUFFER_K),
+        "q115_boilerplate_lines": spatialsql.q115_sql(BOILER_MIN_DOCS),
     }
 
 

@@ -857,6 +857,23 @@ SELECT pg.url, CAST(d.admin_id AS BIGINT) AS admin_id
 FROM pg JOIN dilc d ON d.cell = pg.cell_r5"""
 
 
+def q115_sql(min_docs: int) -> str:
+    """q115 oracle: per-host repeated-line (boilerplate) counts — distinct
+    non-empty lines per latest page, a line flagged when ≥ min_docs
+    distinct pages of its host contain it. Pure string grouping (the
+    engine ships the line strings at oracle scale for exactly this
+    mirrorability)."""
+    return f"""WITH {captures_ctes()},
+pg AS (SELECT url, host, ext FROM cap WHERE is_latest),
+ls0 AS (SELECT url, host, UNNEST(string_split(ext, chr(10))) AS line FROM pg),
+ls AS (SELECT DISTINCT url, host, line FROM ls0 WHERE line <> ''),
+bl AS (SELECT host, line, COUNT(*) AS nd FROM ls GROUP BY host, line)
+SELECT l.url, COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN b.nd >= {min_docs} THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+FROM ls l JOIN bl b ON b.host = l.host AND b.line = l.line
+GROUP BY l.url"""
+
+
 def q110_sql() -> str:
     """q110 oracle: level-0 × level-1 polygon overlap in shared res-5
     cells. Candidates enumerate the LEVEL-1 padded rects only (exact for

@@ -62,6 +62,8 @@ def _spatial_oracles():
                               es.SPATIAL_SQL["q113_admin_buffer"]),
         "q114_page_near_admin": (es.page_near_admin_query,
                                  es.SPATIAL_SQL["q114_page_near_admin"]),
+        "q115_boilerplate_lines": (es.boilerplate_query,
+                                   es.SPATIAL_SQL["q115_boilerplate_lines"]),
     }
 
 
