@@ -2478,6 +2478,81 @@ FROM per
 """
 
 
+def q116_corpus_audit(sf_dir: str):
+    """q116: per-document filter AUDIT with frozen reason codes — the
+    dataset-card artifact (C4/Gopher-style): every doc gets kept 0/1 and
+    the FIRST failing rule in frozen order: too_short (n_tokens < 20) →
+    lang_unknown (langid 'und') → repetitive (rep3 > 0.02) → low_quality
+    (quality_score < 0.7) → '' (kept). Composes the three oracle-mirrored
+    signal kernels (q27 quality, q26 langid, q62 repetition) in ONE
+    stateless vectorized pass; all compared doubles are bit-identical to
+    their mirrors, so the threshold CASEs can never diverge. Unlike q47
+    (which emits per-language stats of the cleaned corpus), the audit
+    keeps one row per input doc — the 'why was this dropped' table."""
+    from ..functions.strhash import word_shingle_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        qual = [textstats.quality_one(x or "") for x in texts]
+        lang = [textstats.langid_one(x or "")[0] for x in texts]
+        uniq = word_shingle_hashes(texts, k=3)
+        n_toks = [len((s or "").split()) for s in texts]
+        tot = np.fromiter((0 if n == 0 else max(n - 2, 1) for n in n_toks),
+                          dtype=np.int64, count=len(texts))
+        dst = np.fromiter((len(u) for u in uniq), dtype=np.int64,
+                          count=len(texts))
+        rep = np.where(tot > 0,
+                       np.round((tot - dst) / np.maximum(tot, 1), 6), 0.0)
+        reasons, kept = [], []
+        for i, q in enumerate(qual):
+            if q["n_tokens"] < 20.0:
+                r = "too_short"
+            elif lang[i] == "und":
+                r = "lang_unknown"
+            elif rep[i] > 0.02:
+                r = "repetitive"
+            elif q["quality_score"] < 0.7:
+                r = "low_quality"
+            else:
+                r = ""
+            reasons.append(r)
+            kept.append(0 if r else 1)
+        return pa.table({"doc_id": t["doc_id"],
+                         "kept": pa.array(kept, pa.int64()),
+                         "reason": pa.array(reasons, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# the audit CASE over the three mirrors, wrapped verbatim as subqueries so
+# the thresholds compare the very doubles the green q26/q27/q62 rows pin
+Q116_SQL = """
+SELECT q.doc_id,
+       CAST(CASE WHEN q.n_tokens < 20.0 THEN 0
+            WHEN l.lang_pred = 'und' THEN 0
+            WHEN g.rep3 > 0.02 THEN 0
+            WHEN q.quality_score < 0.7 THEN 0
+            ELSE 1 END AS BIGINT) AS kept,
+       CASE WHEN q.n_tokens < 20.0 THEN 'too_short'
+            WHEN l.lang_pred = 'und' THEN 'lang_unknown'
+            WHEN g.rep3 > 0.02 THEN 'repetitive'
+            WHEN q.quality_score < 0.7 THEN 'low_quality'
+            ELSE '' END AS reason
+FROM ({Q27}) q
+JOIN ({Q26}) l USING (doc_id)
+JOIN ({Q62}) g USING (doc_id)
+"""
+
+
+def _q116_sql() -> str:
+    from .relational import Q62_SQL
+
+    return (Q116_SQL.replace("{Q27}", Q27_SQL).replace("{Q26}", Q26_SQL)
+            .replace("{Q62}", Q62_SQL))
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "q19_bpe_tokens": (q19_bpe_tokens, Q19_SQL),
     "q20_minhash_near_dup": (q20_minhash_near_dup, Q20_SQL),
@@ -2506,6 +2581,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q55_tfidf_top_terms": (q55_tfidf_top_terms, Q55_SQL),
     "q104_sparse_dot_topk": (q104_sparse_dot_topk, Q104_SQL),
     "q107_novelty_score": (q107_novelty_score, Q107_SQL),
+    "q116_corpus_audit": (q116_corpus_audit, _q116_sql()),
     "q66_minhash_bands": (q66_minhash_bands, _q66_sql()),
     "q69_decontaminate": (q69_decontaminate, _q69_sql()),
     "q70_substring_dup": (q70_substring_dup, Q70_SQL),
