@@ -196,6 +196,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q113_admin_buffer": es.admin_buffer_query,
             "q114_page_near_admin": es.page_near_admin_query,
             "q115_boilerplate_lines": es.boilerplate_query,
+            "q117_admin_centroid": es.admin_centroid_query,
         }
     )
     return out

@@ -1519,6 +1519,47 @@ def coverage_gap_query(sf_dir: str):
     )
 
 
+def admin_centroid_query(sf_dir: str):
+    """q117: zonal centroid — the integer center-of-mass of each winning
+    admin polygon's pages (the raster-zonal-statistics companion of
+    q91's count profile): per admin_id, page count plus the exact
+    microdegree coordinate sums (sum_ilat, sum_ilon). All-integer
+    output — the consumer divides — so the comparison is exact at any
+    scale (the q111 num/den policy). One url-keyed hash join of the
+    page_admin checkpoint with the latest geocoded coordinates, one
+    keyed aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    cfg, _ = ensure_outputs(sf_dir)
+    matched = spatial.read_stage(cfg.out_root, "page_admin", ["url", "admin_id"])
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["url", "lat", "lon", "has_geo", "is_latest"])
+
+    def micro(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        return pa.table({
+            "url": t["url"],
+            "ilat": pa.array(np.rint(lat * 1e6).astype(np.int64), pa.int64()),
+            "ilon": pa.array(np.rint(lon * 1e6).astype(np.int64), pa.int64()),
+        })
+
+    caps = caps.map_batches(micro, batch_format="pyarrow")
+    j = matched.join(caps, join_type="inner",
+                     num_partitions=default_partitions(), on=("url",))
+    agg = (j.groupby("admin_id", num_partitions=default_partitions())
+           .aggregate(Count(alias_name="n_pages"),
+                      Sum("ilat", alias_name="sum_ilat"),
+                      Sum("ilon", alias_name="sum_ilon")))
+    return agg.map_batches(
+        lambda t: pa.table({"admin_id": t["admin_id"],
+                            "n_pages": pc.cast(t["n_pages"], pa.int64()),
+                            "sum_ilat": pc.cast(t["sum_ilat"], pa.int64()),
+                            "sum_ilon": pc.cast(t["sum_ilon"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def admin_profile_query(sf_dir: str):
     """q91: per-admin-polygon page profile — the report a user runs on the
     PIP join's output: page count, distinct-host count (exact two-level
@@ -1801,6 +1842,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q113_admin_buffer": spatialsql.q113_sql(BUFFER_K),
         "q114_page_near_admin": spatialsql.q114_sql(BUFFER_K),
         "q115_boilerplate_lines": spatialsql.q115_sql(BOILER_MIN_DOCS),
+        "q117_admin_centroid": spatialsql.q117_sql(),
     }
 
 

@@ -1104,6 +1104,31 @@ SELECT CAST(admin_id AS BIGINT) AS admin_id,
 FROM m GROUP BY admin_id"""
 
 
+def q117_sql() -> str:
+    """q117 oracle: zonal centroid sums over the q31 join (shared
+    _pip_join_ctes + best pick) — exact integer microdegree sums per
+    winning polygon, the q91 shape minus every float."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+m AS (
+  SELECT b.admin_id,
+         CAST(ROUND(c.lat * 1000000.0) AS BIGINT) AS ilat,
+         CAST(ROUND(c.lon * 1000000.0) AS BIGINT) AS ilon
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+)
+SELECT CAST(admin_id AS BIGINT) AS admin_id,
+       COUNT(*)::BIGINT AS n_pages,
+       SUM(ilat)::BIGINT AS sum_ilat,
+       SUM(ilon)::BIGINT AS sum_ilon
+FROM m GROUP BY admin_id"""
+
+
 def q90_sql() -> str:
     """q90 oracle: the PIP join's complement — latest geocoded pages
     contained in NO polygon, counted per host (coverage-gap report)."""

@@ -64,6 +64,8 @@ def _spatial_oracles():
                                  es.SPATIAL_SQL["q114_page_near_admin"]),
         "q115_boilerplate_lines": (es.boilerplate_query,
                                    es.SPATIAL_SQL["q115_boilerplate_lines"]),
+        "q117_admin_centroid": (es.admin_centroid_query,
+                                es.SPATIAL_SQL["q117_admin_centroid"]),
     }
 
 
