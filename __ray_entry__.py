@@ -197,6 +197,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q114_page_near_admin": es.page_near_admin_query,
             "q115_boilerplate_lines": es.boilerplate_query,
             "q117_admin_centroid": es.admin_centroid_query,
+            "q118_admin_adjacency": es.admin_adjacency_query,
         }
     )
     return out

@@ -1360,6 +1360,96 @@ def _overlap_pairs_block(block: pa.Table) -> pa.Table:
                      "admin_b": pa.array(np.concatenate(out_b), pa.int64())})
 
 
+def admin_adjacency_query(sf_dir: str):
+    """q118: polygon contiguity graph — every pair of level-1 admin
+    polygons whose res-5 rasterizations touch (some cell of one within
+    hex distance ≤ 1 of a cell of the other, shared cells included).
+    The topology-extraction op behind polygon-level spatial statistics
+    (choropleth smoothing, areal Moran's I) — same-level touching,
+    where q110 is cross-level overlap.
+
+    Shape: per-polygon rasterize map → each kept cell emits itself as an
+    OWNER row plus its 6 grid_ring neighbors as REACHER rows → ONE
+    cell-keyed hash exchange → per-block owner×reacher pairs with
+    admin_a < admin_b → global distinct via a keyed groupby. The oracle
+    rebuilds reach as kept × 7 literal axial offsets equi-joined back
+    onto kept — no hex-distance predicate, no grid_ring table."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    ds = rd.from_arrow(polys).repartition(16)
+    def level1_cells(t: pa.Table) -> pa.Table:
+        r = _raster_cells_block(t)
+        return r.filter(pc.equal(r["level"], pa.scalar(1, pa.int64())))
+
+    cells = ds.map_batches(level1_cells, batch_format="pyarrow")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if not len(c):
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "admin_id": pa.array([], pa.int64()),
+                             "owner": pa.array([], pa.int8())})
+        nb = hexgrid.grid_ring(c.view(np.uint64), 1).view(np.int64)  # (n, 6)
+        cell_out = np.concatenate([c, nb.ravel()])
+        adm_out = np.concatenate([a, np.repeat(a, 6)])
+        own = np.concatenate([np.ones(len(c), np.int8),
+                              np.zeros(6 * len(c), np.int8)])
+        return pa.table({"cell": pa.array(cell_out, pa.int64()),
+                         "admin_id": pa.array(adm_out, pa.int64()),
+                         "owner": pa.array(own, pa.int8())})
+
+    rows = cells.map_batches(scatter, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_a": pa.array([], pa.int64()),
+                          "admin_b": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ow = np.asarray(block["owner"].to_numpy(zero_copy_only=False), dtype=np.int8)
+        order = np.lexsort((ow, a, c))
+        c, a, ow = c[order], a[order], ow[order]
+        # dedup identical (cell, admin, owner) rows (a reacher can target
+        # the same cell via several of its owner's cells)
+        uniq = np.r_[True, (c[1:] != c[:-1]) | (a[1:] != a[:-1]) | (ow[1:] != ow[:-1])]
+        c, a, ow = c[uniq], a[uniq], ow[uniq]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            owners = a[s:e][ow[s:e] == 1]
+            reach = a[s:e]  # owners touch reachers AND co-owners
+            if owners.size == 0 or reach.size < 2:
+                continue
+            lo = np.repeat(owners, reach.size)
+            hi = np.tile(reach, owners.size)
+            keep = lo < hi
+            out_a.append(lo[keep])
+            out_b.append(hi[keep])
+        if not out_a:
+            return empty
+        return pa.table({"admin_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "admin_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    p = rows.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    # global distinct: the same touching pair can fire in many cells
+    agg = p.groupby(["admin_a", "admin_b"],
+                    num_partitions=default_partitions()).aggregate(
+        Count(alias_name="_n"))
+    return agg.map_batches(lambda t: t.select(["admin_a", "admin_b"]),
+                           batch_format="pyarrow")
+
+
 def admin_overlap_query(sf_dir: str):
     """q110: polygon×polygon spatial join — overlap of every level-0 admin
     polygon with every level-1 polygon, measured in shared res-5 raster
@@ -1843,6 +1933,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q114_page_near_admin": spatialsql.q114_sql(BUFFER_K),
         "q115_boilerplate_lines": spatialsql.q115_sql(BOILER_MIN_DOCS),
         "q117_admin_centroid": spatialsql.q117_sql(),
+        "q118_admin_adjacency": spatialsql.q118_sql(),
     }
 
 

@@ -874,6 +874,69 @@ FROM ls l JOIN bl b ON b.host = l.host AND b.line = l.line
 GROUP BY l.url"""
 
 
+def q118_sql() -> str:
+    """q118 oracle: level-1 polygon contiguity rebuilt independently —
+    the q110-style kept sets (padded-rect lattice + shared PIP CASE),
+    touching derived as kept × 7 literal axial offsets equi-joined back
+    onto kept (distance ≤ 1 ⇔ one of the 7 offsets lands on a kept cell)
+    — no hex-distance predicate, no grid_ring offset table."""
+    from ..fixtures import gen
+
+    size = 0.08
+    sqrt3 = float(np.sqrt(3.0))
+    rect_rows = []
+    for rec in gen.gen_admin_polygons().to_pylist():
+        if rec["level"] != 1:
+            continue
+        pts = [(p["lat"], p["lon"]) for ring in rec["rings"] for p in ring]
+        pad = 3.0 * size
+        lo_lat = min(p[0] for p in pts) - pad
+        hi_lat = max(p[0] for p in pts) + pad
+        lo_lon = min(p[1] for p in pts) - pad
+        hi_lon = max(p[1] for p in pts) + pad
+        qf = [(sqrt3 / 3.0 * lon - lat / 3.0) / size
+              for lat in (lo_lat, hi_lat) for lon in (lo_lon, hi_lon)]
+        rf = [(2.0 / 3.0 * lat) / size for lat in (lo_lat, hi_lat)]
+        q0, q1 = int(np.floor(min(qf))) - 2, int(np.ceil(max(qf))) + 2
+        r0, r1 = int(np.floor(min(rf))) - 2, int(np.ceil(max(rf))) + 2
+        rect_rows.append(f"({rec['admin_id']}, {q0}, {q1}, {r0}, {r1})")
+    edges1 = ", ".join(
+        f"({aid}, {ay!r}, {ax!r}, {by!r}, {bx!r})"
+        for aid, lvl, ay, ax, by, bx in _polygon_edge_rows() if lvl == 1)
+    rects = ", ".join(rect_rows)
+    cross1, edge1 = _pip_case_sql("c.clat", "c.clon")
+    return f"""WITH rect(admin_id, q0, q1, r0, r1) AS (VALUES {rects}),
+edges1(admin_id, ay, ax, by, bx) AS (VALUES {edges1}),
+cand_q AS (
+  SELECT admin_id, UNNEST(generate_series(q0, q1)) AS q, r0, r1 FROM rect
+),
+cand_qr AS (
+  SELECT admin_id, q, UNNEST(generate_series(r0, r1)) AS r FROM cand_q
+),
+cand AS (
+  SELECT admin_id, q, r,
+         0.005 * 16.0 * 1.5 * CAST(r AS DOUBLE) AS clat,
+         0.005 * 16.0 * SQRT(3.0) * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS clon
+  FROM cand_qr
+),
+cr1 AS (
+  SELECT c.admin_id, c.q, c.r,
+    SUM({cross1}) AS n_cross, MAX({edge1}) AS on_edge
+  FROM cand c JOIN edges1 e USING (admin_id)
+  GROUP BY c.admin_id, c.q, c.r
+),
+kept AS (
+  SELECT admin_id, q, r FROM cr1 WHERE n_cross % 2 = 1 OR on_edge = 1
+),
+off(dq, dr) AS (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)),
+nb AS (
+  SELECT admin_id, q + dq AS q, r + dr AS r FROM kept CROSS JOIN off
+)
+SELECT DISTINCT CAST(n.admin_id AS BIGINT) AS admin_a,
+       CAST(k.admin_id AS BIGINT) AS admin_b
+FROM nb n JOIN kept k ON k.q = n.q AND k.r = n.r AND n.admin_id < k.admin_id"""
+
+
 def q110_sql() -> str:
     """q110 oracle: level-0 × level-1 polygon overlap in shared res-5
     cells. Candidates enumerate the LEVEL-1 padded rects only (exact for

@@ -66,6 +66,8 @@ def _spatial_oracles():
                                    es.SPATIAL_SQL["q115_boilerplate_lines"]),
         "q117_admin_centroid": (es.admin_centroid_query,
                                 es.SPATIAL_SQL["q117_admin_centroid"]),
+        "q118_admin_adjacency": (es.admin_adjacency_query,
+                                 es.SPATIAL_SQL["q118_admin_adjacency"]),
     }
 
 
