@@ -198,6 +198,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q115_boilerplate_lines": es.boilerplate_query,
             "q117_admin_centroid": es.admin_centroid_query,
             "q118_admin_adjacency": es.admin_adjacency_query,
+            "q119_dist_transform": es.distance_transform_query,
         }
     )
     return out

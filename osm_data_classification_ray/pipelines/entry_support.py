@@ -1450,6 +1450,102 @@ def admin_adjacency_query(sf_dir: str):
                            batch_format="pyarrow")
 
 
+#: q119 distance-transform cap (hex steps); cells farther than this from
+#: every target cell collapse to DIST_K + 1 (the "far" bucket)
+DIST_K = 4
+
+
+def distance_transform_query(sf_dir: str):
+    """q119: raster distance transform — for every occupied res-5 page
+    cell (latest geocoded captures), the hex-grid distance to the nearest
+    cell of the level-1 admin rasterization, capped at DIST_K (farther
+    cells report DIST_K + 1). The proximity-surface op of raster GIS
+    (cost-distance seeding, service-gap surfaces), completing the raster
+    algebra beside buffer (q113), region-label (q112) and focal (q97).
+    Output per occupied cell: (cell, n_pages, dist) — all exact integers.
+
+    Shape: the bounded fixture polygon layer rasterizes driver-side into
+    the multi-source target set; DIST_K rounds of grid_ring dilation
+    label each lattice cell with its BFS round (BFS on the hex lattice IS
+    the hex metric, so round = exact distance); the (cell → dist) map —
+    bounded by |targets| × 3K(K+1) — broadcasts once via ``ray.put``;
+    pages stream through ONE map_batches emitting per-block (cell, n)
+    partials, then one small cell-keyed exchange over the bounded res-5
+    universe sums them and attaches dist by searchsorted. The oracle
+    recomputes the TRUE min distance as a closed-form axial expression
+    over occupied × kept cross pairs — independent of grid_ring's offset
+    table and of the BFS entirely."""
+    import ray
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    lv1 = polys.filter(pc.equal(polys["level"], pa.scalar(1, pa.int64())))
+    targets = np.unique(
+        np.asarray(_raster_cells_block(lv1)["cell"].to_numpy(
+            zero_copy_only=False), dtype=np.int64).view(np.uint64))
+    # multi-source BFS: dist 0 = targets; round d = ring-1 neighbors of
+    # round d-1 not yet assigned (exact hex distance by induction)
+    assigned = targets
+    frontier = targets
+    map_cells = [targets]
+    map_dist = [np.zeros(targets.size, np.int64)]
+    for d in range(1, DIST_K + 1):
+        nb = np.unique(hexgrid.grid_ring(frontier, 1).ravel())
+        new = np.setdiff1d(nb, assigned, assume_unique=True)
+        if new.size == 0:
+            break
+        map_cells.append(new)
+        map_dist.append(np.full(new.size, d, np.int64))
+        assigned = np.union1d(assigned, new)
+        frontier = new
+    mc = np.concatenate(map_cells)
+    md = np.concatenate(map_dist)
+    order = np.argsort(mc)
+    dist_ref = ray.put((mc[order], md[order]))
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = pts.map_batches(partial, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def combine(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        tot = np.zeros(cells.size, np.int64)
+        np.add.at(tot, inv, n)
+        dc, dd = ray.get(dist_ref)
+        ucells = cells.view(np.uint64)
+        pos = np.minimum(np.searchsorted(dc, ucells), max(len(dc) - 1, 0))
+        hit = dc[pos] == ucells if len(dc) else np.zeros(cells.size, bool)
+        dist = np.where(hit, dd[pos] if len(dc) else 0, DIST_K + 1)
+        return pa.table({"cell": pa.array(ucells, pa.uint64()),
+                         "n_pages": pa.array(tot, pa.int64()),
+                         "dist": pa.array(dist.astype(np.int64), pa.int64())})
+
+    return parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
 def admin_overlap_query(sf_dir: str):
     """q110: polygon×polygon spatial join — overlap of every level-0 admin
     polygon with every level-1 polygon, measured in shared res-5 raster
@@ -1934,6 +2030,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q115_boilerplate_lines": spatialsql.q115_sql(BOILER_MIN_DOCS),
         "q117_admin_centroid": spatialsql.q117_sql(),
         "q118_admin_adjacency": spatialsql.q118_sql(),
+        "q119_dist_transform": spatialsql.q119_sql(DIST_K),
     }
 
 

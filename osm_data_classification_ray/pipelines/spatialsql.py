@@ -841,6 +841,40 @@ FROM rect r LEFT JOIN dil d ON d.admin_id = r.admin_id
 GROUP BY r.admin_id"""
 
 
+def q119_sql(k: int) -> str:
+    """q119 oracle: raster distance transform — per occupied res-5 page
+    cell (latest geocoded captures), the TRUE min hex distance to the
+    level-1 kept (center-inside) set, computed as the closed-form axial
+    expression ((|dq|+|dr|+|dq+dr|)/2) over the occupied × kept cross
+    pairs and capped at k+1. Entirely independent of the engine's BFS
+    rounds and grid_ring offset table: a dilation that over- or
+    under-reaches by one cell shows up as a dist mismatch. Occupied-cell
+    axial coords are unpacked from the packed id (the _pack inverse), so
+    the engine's encode and the mirror's lattice must agree bit-for-bit."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+{_buffer_ctes(0)},
+pg AS (
+  SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n_pages
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+),
+pgq AS (
+  SELECT cell, n_pages,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM pg
+),
+tgt AS (SELECT DISTINCT q, r FROM kept),
+d AS (
+  SELECT p.cell, p.n_pages,
+         MIN((abs(p.q - t.q) + abs(p.r - t.r)
+              + abs((p.q - t.q) + (p.r - t.r))) / 2) AS mind
+  FROM pgq p CROSS JOIN tgt t
+  GROUP BY p.cell, p.n_pages
+)
+SELECT cell, n_pages, CAST(LEAST(mind, {k + 1}) AS BIGINT) AS dist FROM d"""
+
+
 def q114_sql(k: int) -> str:
     """q114 oracle: proximity join — latest geocoded pages joined to every
     level-1 polygon whose independently derived dilated set

@@ -68,6 +68,8 @@ def _spatial_oracles():
                                 es.SPATIAL_SQL["q117_admin_centroid"]),
         "q118_admin_adjacency": (es.admin_adjacency_query,
                                  es.SPATIAL_SQL["q118_admin_adjacency"]),
+        "q119_dist_transform": (es.distance_transform_query,
+                                es.SPATIAL_SQL["q119_dist_transform"]),
     }
 
 
