@@ -199,6 +199,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q117_admin_centroid": es.admin_centroid_query,
             "q118_admin_adjacency": es.admin_adjacency_query,
             "q119_dist_transform": es.distance_transform_query,
+            "q120_nearest_admin": es.nearest_admin_query,
         }
     )
     return out

@@ -1546,6 +1546,103 @@ def distance_transform_query(sf_dir: str):
     return parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
 
 
+def nearest_admin_query(sf_dir: str):
+    """q120: nearest-feature spatial join — every latest geocoded page
+    assigned to the NEAREST level-1 admin polygon by hex raster distance
+    (distance from the page's res-5 cell to the nearest cell of the
+    admin's rasterization), capped at DIST_K; pages farther than DIST_K
+    from every polygon are dropped. Ties at equal distance break to the
+    smallest admin_id. The "join by nearest" op of desktop GIS (service
+    assignment for out-of-boundary points), completing q119's distance
+    transform with an argmin label — where q31 answers "which polygon
+    CONTAINS the point", q120 answers "which polygon is CLOSEST".
+
+    Shape: labeled multi-source BFS on the lattice, driver-side over the
+    bounded target set — round-d frontier labels are provably the exact
+    (min-distance, min-admin) assignment (any admin at true distance d
+    from a cell is reachable through a round-(d-1) frontier neighbor
+    whose stored min-label is itself at distance d, so the per-round
+    min-label dedup preserves the argmin); the (cell → admin, dist) map
+    broadcasts once via ``ray.put``; pages stream through ONE shuffle-
+    free map_batches doing a searchsorted exact probe per batch. The
+    oracle recomputes per-cell per-admin TRUE min distances as the
+    closed-form axial expression over occupied × kept cross pairs and
+    picks the (dist, admin_id) argmin with a window rank — independent
+    of grid_ring's offset table and of the BFS entirely."""
+    import ray
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    lv1 = polys.filter(pc.equal(polys["level"], pa.scalar(1, pa.int64())))
+    raster = _raster_cells_block(lv1)
+    tc = np.asarray(raster["cell"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64).view(np.uint64)
+    tl = np.asarray(raster["admin_id"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+
+    def _dedup_min_label(cells: np.ndarray, labels: np.ndarray):
+        # per cell keep the smallest admin label
+        order = np.lexsort((labels, cells))
+        cells, labels = cells[order], labels[order]
+        first = np.r_[True, cells[1:] != cells[:-1]]
+        return cells[first], labels[first]
+
+    fc, fl = _dedup_min_label(tc, tl)  # dist-0 frontier, sorted by cell
+    map_cells = [fc]
+    map_lab = [fl]
+    map_dist = [np.zeros(fc.size, np.int64)]
+    assigned = fc  # sorted
+    for d in range(1, DIST_K + 1):
+        nb = hexgrid.grid_ring(fc, 1)  # (n, 6)
+        cand_c = nb.ravel()
+        cand_l = np.repeat(fl, 6)
+        pos = np.searchsorted(assigned, cand_c)
+        pos = np.minimum(pos, max(assigned.size - 1, 0))
+        new = (assigned[pos] != cand_c) if assigned.size else \
+            np.ones(cand_c.size, bool)
+        if not new.any():
+            break
+        fc, fl = _dedup_min_label(cand_c[new], cand_l[new])
+        map_cells.append(fc)
+        map_lab.append(fl)
+        map_dist.append(np.full(fc.size, d, np.int64))
+        assigned = np.union1d(assigned, fc)
+    mc = np.concatenate(map_cells)
+    ml = np.concatenate(map_lab)
+    md = np.concatenate(map_dist)
+    order = np.argsort(mc)
+    ref = ray.put((mc[order], ml[order], md[order]))
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["url", "h3_r5", "has_geo", "is_latest"])
+
+    def lookup(t: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "admin_id": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        if t.num_rows == 0:
+            return empty
+        scells, sadm, sdist = ray.get(ref)
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        pos = np.minimum(np.searchsorted(scells, c),
+                         max(scells.size - 1, 0))
+        hit = (scells[pos] == c) if scells.size else np.zeros(c.size, bool)
+        if not hit.any():
+            return empty
+        urls = t["url"].combine_chunks().filter(pa.array(hit))
+        return pa.table({"url": urls,
+                         "admin_id": pa.array(sadm[pos[hit]], pa.int64()),
+                         "dist": pa.array(sdist[pos[hit]], pa.int64())})
+
+    return pts.map_batches(lookup, batch_format="pyarrow")
+
+
 def admin_overlap_query(sf_dir: str):
     """q110: polygon×polygon spatial join — overlap of every level-0 admin
     polygon with every level-1 polygon, measured in shared res-5 raster
@@ -2031,6 +2128,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q117_admin_centroid": spatialsql.q117_sql(),
         "q118_admin_adjacency": spatialsql.q118_sql(),
         "q119_dist_transform": spatialsql.q119_sql(DIST_K),
+        "q120_nearest_admin": spatialsql.q120_sql(DIST_K),
     }
 
 

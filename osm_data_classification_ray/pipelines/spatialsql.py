@@ -875,6 +875,44 @@ d AS (
 SELECT cell, n_pages, CAST(LEAST(mind, {k + 1}) AS BIGINT) AS dist FROM d"""
 
 
+def q120_sql(k: int) -> str:
+    """q120 oracle: nearest-feature join — per latest geocoded page the
+    level-1 admin whose kept (center-inside) rasterization has the TRUE
+    min hex distance to the page's res-5 cell, ties to the smallest
+    admin_id, pages farther than k from every polygon dropped. The min
+    distance is the closed-form axial expression over occupied × kept
+    cross pairs and the argmin a window rank — entirely independent of
+    the engine's labeled BFS and of grid_ring's offset table."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+{_buffer_ctes(0)},
+pg AS (
+  SELECT url, cell_r5 AS cell FROM cap WHERE has_geo AND is_latest
+),
+oc AS (
+  SELECT DISTINCT cell,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM pg
+),
+ad AS (
+  SELECT o.cell, t.admin_id,
+         MIN((abs(o.q - t.q) + abs(o.r - t.r)
+              + abs((o.q - t.q) + (o.r - t.r))) / 2) AS d
+  FROM oc o CROSS JOIN kept t
+  GROUP BY o.cell, t.admin_id
+),
+best AS (
+  SELECT cell, admin_id, d,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d, admin_id) AS rn
+  FROM ad
+)
+SELECT p.url, CAST(b.admin_id AS BIGINT) AS admin_id,
+       CAST(b.d AS BIGINT) AS dist
+FROM pg p JOIN best b ON b.cell = p.cell
+WHERE b.rn = 1 AND b.d <= {k}"""
+
+
 def q114_sql(k: int) -> str:
     """q114 oracle: proximity join — latest geocoded pages joined to every
     level-1 polygon whose independently derived dilated set

@@ -70,6 +70,8 @@ def _spatial_oracles():
                                  es.SPATIAL_SQL["q118_admin_adjacency"]),
         "q119_dist_transform": (es.distance_transform_query,
                                 es.SPATIAL_SQL["q119_dist_transform"]),
+        "q120_nearest_admin": (es.nearest_admin_query,
+                               es.SPATIAL_SQL["q120_nearest_admin"]),
     }
 
 
