@@ -200,6 +200,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q118_admin_adjacency": es.admin_adjacency_query,
             "q119_dist_transform": es.distance_transform_query,
             "q120_nearest_admin": es.nearest_admin_query,
+            "q121_gravity_access": es.gravity_access_query,
         }
     )
     return out

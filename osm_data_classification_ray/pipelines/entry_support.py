@@ -1643,6 +1643,98 @@ def nearest_admin_query(sf_dir: str):
     return pts.map_batches(lookup, batch_format="pyarrow")
 
 
+#: q121 gravity-kernel radius (hex steps); contribution weight is the
+#: integer linear decay GRAV_K + 1 - d (exact — no float reciprocal)
+GRAV_K = 3
+
+
+def gravity_access_query(sf_dir: str):
+    """q121: gravity accessibility surface — for every occupied res-5
+    page cell (latest geocoded captures), the distance-decayed sum of
+    the surrounding page mass within GRAV_K hex steps:
+    ``access = sum_j n_pages_j * (GRAV_K + 1 - d(i, j))`` with the self
+    cell included at full weight. The spatial-interaction / accessibility
+    op of geo-analytics (gravity models, catchment scoring, Hansen
+    accessibility), on an integer LINEAR decay kernel so every value is
+    exact (the q111 precedent: no float kernel, no hash drift).
+
+    Shape (ONE keyed exchange): per-block (cell, n) partials from the
+    captures checkpoint scatter DIRECTLY — the kernel is linear in mass,
+    so partial masses scatter independently and sum correctly after the
+    exchange (no pre-aggregation pass needed, unlike a max/argmin
+    kernel); each partial row emits its grid_ring neighborhoods out to
+    GRAV_K with contrib = n * (K+1-d), the d=0 row doubling as the
+    own-mass occupancy marker. One hash repartition on the destination
+    cell over the bounded res-5 universe, then a vectorized per-block
+    combine sums contrib and own_n and keeps only occupied cells
+    (own_n > 0) — contributions landing on empty lattice cells die in
+    the combine. At corpus scale the exchange ships 1 + 3K(K+1) int64
+    triples per distinct (block, cell), bounded by the res-5 universe ×
+    block count, never by page count. The oracle recomputes the surface
+    as an occupied × occupied axial self-join with the closed-form hex
+    distance ((|dq|+|dr|+|dq+dr|)/2) — independent of grid_ring's
+    offset table."""
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+
+    def scatter(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "contrib": pa.array([], pa.int64()),
+                          "own_n": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        if t.num_rows == 0:
+            return empty
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        n = n.astype(np.int64)
+        ucells = cells.view(np.uint64)
+        out_c = [cells]
+        out_w = [n * (GRAV_K + 1)]
+        out_o = [n]
+        for d in range(1, GRAV_K + 1):
+            ring = hexgrid.grid_ring(ucells, d)  # (n_cells, 6d)
+            out_c.append(ring.ravel().view(np.int64))
+            out_w.append(np.repeat(n * (GRAV_K + 1 - d), 6 * d))
+            out_o.append(np.zeros(ring.size, np.int64))
+        return pa.table({"cell": pa.array(np.concatenate(out_c), pa.int64()),
+                         "contrib": pa.array(np.concatenate(out_w), pa.int64()),
+                         "own_n": pa.array(np.concatenate(out_o), pa.int64())})
+
+    rows = pts.map_batches(scatter, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def combine(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "access": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        w = np.asarray(block["contrib"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o = np.asarray(block["own_n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        acc = np.zeros(cells.size, np.int64)
+        own = np.zeros(cells.size, np.int64)
+        np.add.at(acc, inv, w)
+        np.add.at(own, inv, o)
+        keep = own > 0
+        return pa.table(
+            {"cell": pa.array(cells[keep].view(np.uint64), pa.uint64()),
+             "n_pages": pa.array(own[keep], pa.int64()),
+             "access": pa.array(acc[keep], pa.int64())})
+
+    return rows.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
 def admin_overlap_query(sf_dir: str):
     """q110: polygon×polygon spatial join — overlap of every level-0 admin
     polygon with every level-1 polygon, measured in shared res-5 raster
@@ -2129,6 +2221,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q118_admin_adjacency": spatialsql.q118_sql(),
         "q119_dist_transform": spatialsql.q119_sql(DIST_K),
         "q120_nearest_admin": spatialsql.q120_sql(DIST_K),
+        "q121_gravity_access": spatialsql.q121_sql(GRAV_K),
     }
 
 

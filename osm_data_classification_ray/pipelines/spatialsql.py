@@ -913,6 +913,39 @@ FROM pg p JOIN best b ON b.cell = p.cell
 WHERE b.rn = 1 AND b.d <= {k}"""
 
 
+def q121_sql(k: int) -> str:
+    """q121 oracle: gravity accessibility — per occupied res-5 page cell
+    the distance-decayed page-mass sum ``SUM(n_j * (k+1 - d(i,j)))`` over
+    all occupied cells within hex distance k (self included at full
+    weight), the distance computed as the closed-form axial expression
+    ((|dq|+|dr|+|dq+dr|)/2) over an occupied × occupied self-join —
+    independent of the engine's grid_ring offset table and of its
+    scatter/combine decomposition. All-integer linear kernel, so the
+    comparison is exact. Occupied-cell axial coords are unpacked from
+    the packed id (the _pack inverse), so the engine's encode and the
+    mirror's lattice must agree bit-for-bit."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+pg AS (
+  SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n_pages
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+),
+pgq AS (
+  SELECT cell, n_pages,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM pg
+)
+SELECT a.cell, a.n_pages,
+       CAST(SUM(b.n_pages * ({k + 1}
+            - (abs(a.q - b.q) + abs(a.r - b.r)
+               + abs((a.q - b.q) + (a.r - b.r))) / 2)) AS BIGINT) AS access
+FROM pgq a JOIN pgq b
+  ON (abs(a.q - b.q) + abs(a.r - b.r)
+      + abs((a.q - b.q) + (a.r - b.r))) / 2 <= {k}
+GROUP BY a.cell, a.n_pages"""
+
+
 def q114_sql(k: int) -> str:
     """q114 oracle: proximity join — latest geocoded pages joined to every
     level-1 polygon whose independently derived dilated set

@@ -72,6 +72,8 @@ def _spatial_oracles():
                                 es.SPATIAL_SQL["q119_dist_transform"]),
         "q120_nearest_admin": (es.nearest_admin_query,
                                es.SPATIAL_SQL["q120_nearest_admin"]),
+        "q121_gravity_access": (es.gravity_access_query,
+                                es.SPATIAL_SQL["q121_gravity_access"]),
     }
 
 
