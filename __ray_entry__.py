@@ -53,7 +53,6 @@ _DRIVER_WINDOW = [
     # green rows. q105 — geohash/Morton page keys, the third cell-index
     # family beside hex (q63) and S2 (q92), BIGINT-exact oracle — enters.)
     "q36_tiles_rollup", "q37_dedup_urls", "q103_spatial_split",
-    "q105_page_geohash",
     # (q59 rotated out late round 5: sequence chunk/pack machinery stays
     # in-window via q71 (chunking) and q72 (numericalize); q59 keeps its
     # repo oracle test and CORRECTNESS_r01-r04 green rows. q106 — the
@@ -65,6 +64,14 @@ _DRIVER_WINDOW = [
     # point×polygon (q31) and point×point (q85) — a NEW operator, not a
     # variant. q106 keeps its repo oracle test and rehearsal PASS.)
     "q110_admin_overlap",
+    # (q105 rotated out at round-5 close: the cell-index family keeps two
+    # in-window members (q63 hex, q92 S2 — q105's geohash/Morton mirror
+    # stays pytest- and rehearsal-green past the window). q120 — the
+    # nearest-feature join (every page assigned to the CLOSEST admin by
+    # raster distance, exact labeled-BFS argmin vs a window-rank oracle)
+    # — enters, adding the J-family's "join by nearest" member beside
+    # containment (q31), radius (q85) and overlay (q110).)
+    "q120_nearest_admin",
     # (q51 rotated out late round 5: it is rows-only by design (the
     # fixed_size_list column the driver's row-sorted hash cannot key) and
     # q33 hash-checks the identical 16 features unpacked; the packing
