@@ -208,6 +208,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q119_dist_transform": es.distance_transform_query,
             "q120_nearest_admin": es.nearest_admin_query,
             "q121_gravity_access": es.gravity_access_query,
+            "q122_diffusion": es.diffusion_query,
+            "q123_modal_smooth": es.modal_smooth_query,
         }
     )
     return out

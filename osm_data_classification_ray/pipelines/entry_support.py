@@ -1735,6 +1735,207 @@ def gravity_access_query(sf_dir: str):
     return rows.map_batches(combine, batch_format="pyarrow", batch_size=None)
 
 
+def modal_smooth_query(sf_dir: str):
+    """q123: focal majority filter — for every cell of the level-1 admin
+    rasterization, the MODAL admin label among the raster rows in its
+    ring-≤1 neighborhood (self included), ties to the smallest admin_id.
+    The categorical-raster smoothing op of GIS (majority/mode filter,
+    the classifier-noise cleanup pass) — the categorical sibling of the
+    numeric focal mean (q97). Because polygons overlap, a cell can carry
+    several labels; every (cell, admin) raster row votes once per
+    neighbor relation, which is exactly the semantics the oracle's
+    distance-≤1 self-join reproduces.
+
+    Shape (q118's scatter/exchange skeleton, different combine kernel):
+    per-polygon rasterize map → each raster row votes for its own cell
+    (own=1 marks the cell as a raster member) and its 6 ring-1 neighbors
+    → ONE cell-keyed hash exchange → per-block vectorized mode: lexsort
+    (cell, admin), run-length vote counts, winner per cell by (count
+    desc, admin asc) lexsort — no Python loop over rows. Votes landing
+    on cells outside the raster die in the combine (no own=1 row). The
+    oracle recomputes votes as kept × kept join on the closed-form axial
+    distance ≤ 1 with a window-rank argmax — independent of grid_ring's
+    offset table and of the scatter decomposition."""
+    import ray.data as rd
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    ds = rd.from_arrow(polys).repartition(16)
+
+    def level1_cells(t: pa.Table) -> pa.Table:
+        r = _raster_cells_block(t)
+        return r.filter(pc.equal(r["level"], pa.scalar(1, pa.int64())))
+
+    cells = ds.map_batches(level1_cells, batch_format="pyarrow")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        if not len(c):
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "admin_id": pa.array([], pa.int64()),
+                             "own": pa.array([], pa.int8())})
+        nb = hexgrid.grid_ring(c.view(np.uint64), 1).view(np.int64)
+        cell_out = np.concatenate([c, nb.ravel()])
+        adm_out = np.concatenate([a, np.repeat(a, 6)])
+        own = np.concatenate([np.ones(len(c), np.int8),
+                              np.zeros(nb.size, np.int8)])
+        return pa.table({"cell": pa.array(cell_out, pa.int64()),
+                         "admin_id": pa.array(adm_out, pa.int64()),
+                         "own": pa.array(own, pa.int8())})
+
+    rows = cells.map_batches(scatter, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def mode(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "admin_id": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o = np.asarray(block["own"].to_numpy(zero_copy_only=False),
+                       dtype=np.int8)
+        order = np.lexsort((a, c))
+        c, a, o = c[order], a[order], o[order]
+        # vote counts per (cell, admin) run + raster-membership per cell
+        new = np.r_[True, (c[1:] != c[:-1]) | (a[1:] != a[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(c)]
+        rc, ra = c[starts], a[starts]
+        votes = ends - starts
+        own_run = np.zeros(len(starts), np.int8)
+        np.maximum.at(own_run, np.cumsum(new) - 1, o)
+        cell_new = np.r_[True, rc[1:] != rc[:-1]]
+        cell_idx = np.cumsum(cell_new) - 1
+        member = np.zeros(cell_idx[-1] + 1 if len(cell_idx) else 0, np.int8)
+        np.maximum.at(member, cell_idx, own_run)
+        # winner per cell: (votes desc, admin asc) — lexsort ascending on
+        # (-votes) with admin as the earlier (finer) key
+        order2 = np.lexsort((ra, -votes, rc))
+        rc2, ra2 = rc[order2], ra[order2]
+        first = np.r_[True, rc2[1:] != rc2[:-1]]
+        win_c, win_a = rc2[first], ra2[first]
+        keep = member[cell_idx[order2][first]] > 0
+        return pa.table(
+            {"cell": pa.array(win_c[keep].view(np.uint64), pa.uint64()),
+             "admin_id": pa.array(win_a[keep], pa.int64())})
+
+    return rows.map_batches(mode, batch_format="pyarrow", batch_size=None)
+
+
+#: q122 diffusion steps (3-step heat kernel; walk counts stay exact in
+#: int64 — per-cell mass × 6^T with T = 3 is far below overflow)
+DIFFUSION_T = 3
+
+
+def diffusion_query(sf_dir: str):
+    """q122: hex heat-kernel diffusion — DIFFUSION_T rounds of pure
+    adjacency diffusion of the page mass over the res-5 lattice (each
+    round every cell sends its FULL mass to each of its 6 ring-1
+    neighbors; no self-loop, no division), reported for occupied cells:
+    ``walk = sum_j n_pages_j * W3(i - j)`` where W3 is the number of
+    length-T walks on the hex lattice between the cells. The graph-
+    convolution / heat-kernel op of spatial analytics (A^T · m with A
+    the lattice adjacency), and the engine's first ITERATIVE distributed
+    stencil: state lives in the bounded cell table, never in pages.
+
+    Shape: one page→cell partial pass (q119's partial), then T rounds of
+    scatter (self row carries the occupancy marker at zero mass, 6
+    neighbor rows carry the mass) → hash repartition on cell → vectorized
+    combine-sum. Each round's exchange is bounded by the touched lattice
+    (res-5 universe + T dilation rings), never by page count. Mass
+    crossing EMPTY cells is kept (they are real walk states) and only
+    the final combine filters to occupied cells. The oracle never
+    iterates: by translation invariance the T-step walk count is a fixed
+    function of the axial offset, so it convolves the six universal
+    axial unit directions T times at SQL-build time and joins occupied ×
+    occupied against that literal weight table — independent of the
+    engine's grid_ring offsets AND of its scatter/combine loop."""
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        n = n.astype(np.int64)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "mass": pa.array(n, pa.int64()),
+                         "own_n": pa.array(n, pa.int64())})
+
+    state = pts.map_batches(partial, batch_format="pyarrow")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        m = np.asarray(t["mass"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o = np.asarray(t["own_n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        nb = hexgrid.grid_ring(c.view(np.uint64), 1)  # (n, 6)
+        out_c = np.concatenate([c, nb.ravel().view(np.int64)])
+        out_m = np.concatenate([np.zeros(c.size, np.int64), np.repeat(m, 6)])
+        out_o = np.concatenate([o, np.zeros(nb.size, np.int64)])
+        return pa.table({"cell": pa.array(out_c, pa.int64()),
+                         "mass": pa.array(out_m, pa.int64()),
+                         "own_n": pa.array(out_o, pa.int64())})
+
+    def combine(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "mass": pa.array([], pa.int64()),
+                             "own_n": pa.array([], pa.int64())})
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        m = np.asarray(block["mass"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o = np.asarray(block["own_n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        ms = np.zeros(cells.size, np.int64)
+        os_ = np.zeros(cells.size, np.int64)
+        np.add.at(ms, inv, m)
+        np.add.at(os_, inv, o)
+        # drop dead rows (zero mass AND zero occupancy) so the touched
+        # lattice, not its ever-growing halo, bounds the next exchange
+        keep = (ms != 0) | (os_ != 0)
+        return pa.table({"cell": pa.array(cells[keep], pa.int64()),
+                         "mass": pa.array(ms[keep], pa.int64()),
+                         "own_n": pa.array(os_[keep], pa.int64())})
+
+    for _ in range(DIFFUSION_T):
+        state = state.map_batches(scatter, batch_format="pyarrow")
+        state = state.repartition(default_partitions(), keys=["cell"],
+                                  sort=False)
+        state = state.map_batches(combine, batch_format="pyarrow",
+                                  batch_size=None)
+
+    def finalize(block: pa.Table) -> pa.Table:
+        keep = pc.greater(block["own_n"], pa.scalar(0, pa.int64()))
+        t = block.filter(keep)
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64).view(np.uint64)
+        return pa.table({"cell": pa.array(cells, pa.uint64()),
+                         "n_pages": t["own_n"],
+                         "walk": t["mass"]})
+
+    return state.map_batches(finalize, batch_format="pyarrow")
+
+
 def admin_overlap_query(sf_dir: str):
     """q110: polygon×polygon spatial join — overlap of every level-0 admin
     polygon with every level-1 polygon, measured in shared res-5 raster
@@ -2222,6 +2423,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q119_dist_transform": spatialsql.q119_sql(DIST_K),
         "q120_nearest_admin": spatialsql.q120_sql(DIST_K),
         "q121_gravity_access": spatialsql.q121_sql(GRAV_K),
+        "q122_diffusion": spatialsql.q122_sql(DIFFUSION_T),
+        "q123_modal_smooth": spatialsql.q123_sql(),
     }
 
 

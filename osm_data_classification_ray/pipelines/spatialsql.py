@@ -946,6 +946,75 @@ FROM pgq a JOIN pgq b
 GROUP BY a.cell, a.n_pages"""
 
 
+def q123_sql() -> str:
+    """q123 oracle: focal majority — per distinct cell of the level-1
+    kept (center-inside) rasterization, the modal admin label over the
+    kept rows within closed-form axial distance ≤ 1 (self included),
+    ties to the smallest admin_id via a window rank. Votes are counted
+    as raw kept rows (a cell neighboring two cells of the same admin
+    receives two votes from it) — exactly the engine's per-row scatter
+    semantics. The neighborhood is the q118-oracle style equi-join
+    against the 7 universal axial offsets (the hex unit directions plus
+    self — lattice constants, not the engine's grid_ring table)."""
+    return f"""WITH {_buffer_ctes(0)},
+cells AS (SELECT DISTINCT q, r FROM kept),
+offs(dq, dr) AS (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                        (1, -1), (-1, 1)),
+v AS (
+  SELECT c.q, c.r, k.admin_id, COUNT(*) AS n
+  FROM cells c CROSS JOIN offs o
+  JOIN kept k ON k.q = c.q + o.dq AND k.r = c.r + o.dr
+  GROUP BY c.q, c.r, k.admin_id
+),
+best AS (
+  SELECT q, r, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY q, r ORDER BY n DESC, admin_id) AS rn
+  FROM v
+)
+SELECT {_pack(5, 'q', 'r')} AS cell, CAST(admin_id AS BIGINT) AS admin_id
+FROM best WHERE rn = 1"""
+
+
+def q122_sql(t: int) -> str:
+    """q122 oracle: hex heat-kernel diffusion — per occupied res-5 page
+    cell the t-step walk-count sum ``SUM(n_j * Wt(i - j))`` over occupied
+    cells. The engine ITERATES a distributed stencil; this mirror never
+    does: by translation invariance Wt is a fixed function of the axial
+    offset, so it is built here by convolving the six universal axial
+    unit directions t times in plain Python dicts (first principles —
+    independent of the engine's grid_ring offsets and of its
+    scatter/combine loop) and embedded as a literal VALUES weight table
+    joined against the occupied × occupied offset. All-integer, exact."""
+    dirs = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+    w: dict[tuple[int, int], int] = {(0, 0): 1}
+    for _ in range(t):
+        nw: dict[tuple[int, int], int] = {}
+        for (q, r), c in w.items():
+            for dq, dr in dirs:
+                key = (q + dq, r + dr)
+                nw[key] = nw.get(key, 0) + c
+        w = nw
+    rows = ", ".join(f"({q}, {r}, {c})" for (q, r), c in sorted(w.items()))
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+wt(dq, dr, w) AS (VALUES {rows}),
+pg AS (
+  SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n_pages
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+),
+pgq AS (
+  SELECT cell, n_pages,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM pg
+)
+SELECT a.cell, a.n_pages,
+       CAST(SUM(b.n_pages * wt.w) AS BIGINT) AS walk
+FROM pgq a JOIN pgq b ON abs(b.q - a.q) <= {t} AND abs(b.r - a.r) <= {t}
+JOIN wt ON wt.dq = b.q - a.q AND wt.dr = b.r - a.r
+GROUP BY a.cell, a.n_pages"""
+
+
 def q114_sql(k: int) -> str:
     """q114 oracle: proximity join — latest geocoded pages joined to every
     level-1 polygon whose independently derived dilated set

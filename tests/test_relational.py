@@ -74,6 +74,10 @@ def _spatial_oracles():
                                es.SPATIAL_SQL["q120_nearest_admin"]),
         "q121_gravity_access": (es.gravity_access_query,
                                 es.SPATIAL_SQL["q121_gravity_access"]),
+        "q122_diffusion": (es.diffusion_query,
+                           es.SPATIAL_SQL["q122_diffusion"]),
+        "q123_modal_smooth": (es.modal_smooth_query,
+                              es.SPATIAL_SQL["q123_modal_smooth"]),
     }
 
 
