@@ -210,6 +210,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q121_gravity_access": es.gravity_access_query,
             "q122_diffusion": es.diffusion_query,
             "q123_modal_smooth": es.modal_smooth_query,
+            "q124_od_flow": es.od_flow_query,
+            "q125_gyration": es.gyration_query,
+            "q126_cell_diversity": es.cell_diversity_query,
         }
     )
     return out

@@ -1735,6 +1735,251 @@ def gravity_access_query(sf_dir: str):
     return rows.map_batches(combine, batch_format="pyarrow", batch_size=None)
 
 
+def od_flow_query(sf_dir: str):
+    """q124: origin–destination flow matrix — per host, order its
+    geocoded captures by (warc_ts, url) and emit every consecutive
+    res-7 cell transition (self-transitions included); output the global
+    (cell_from, cell_to, n_moves) count matrix. The sequential-spatial
+    op of mobility analytics (OD matrices, flow mapping) applied to a
+    web corpus: how a host's successive captures move across the grid.
+
+    Shape (two keyed exchanges, both pre-aggregated): hash-repartition
+    the narrow (host, url, ts, cell) projection on host so each block
+    holds complete host groups → per-block Arrow multi-key sort
+    (host, warc_ts, url) → vectorized adjacent-pair emission (host run
+    boundaries via an Arrow slice-equality on the string buffers — no
+    Python row loop) → per-block (from, to) run-length partial counts →
+    one small groupby Sum over the bounded cell-pair universe. The
+    oracle replays the same order with a LAG window over the captures
+    mirror — engine never uses a window, oracle never sees the
+    pair-partial decomposition."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "url", "warc_ts", "h3_r7", "has_geo"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_geo"])
+        return t.select(["host", "url", "warc_ts", "h3_r7"])
+
+    rows = pts.map_batches(narrow, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_from": pa.array([], pa.uint64()),
+                          "cell_to": pa.array([], pa.uint64()),
+                          "n": pa.array([], pa.int64())})
+        if block.num_rows < 2:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("warc_ts", "ascending"),
+                                                  ("url", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = block["host"].combine_chunks()
+        same = pc.equal(h.slice(1), h.slice(0, len(h) - 1))
+        same = np.asarray(same.to_numpy(zero_copy_only=False), dtype=bool)
+        c = np.asarray(block["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        fr, to = c[:-1][same], c[1:][same]
+        if not fr.size:
+            return empty
+        o = np.lexsort((to, fr))
+        fr, to = fr[o], to[o]
+        new = np.r_[True, (fr[1:] != fr[:-1]) | (to[1:] != to[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(fr)])
+        return pa.table(
+            {"cell_from": pa.array(fr[starts].view(np.uint64), pa.uint64()),
+             "cell_to": pa.array(to[starts].view(np.uint64), pa.uint64()),
+             "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    p = rows.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    agg = p.groupby(["cell_from", "cell_to"],
+                    num_partitions=default_partitions()).aggregate(
+        Sum(on="n", alias_name="n_moves"))
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        # the hash-shuffle aggregate lands the uint64 keys as int64;
+        # restore the engine-wide packed-cell dtype
+        return pa.table({"cell_from": t["cell_from"].cast(pa.uint64()),
+                         "cell_to": t["cell_to"].cast(pa.uint64()),
+                         "n_moves": t["n_moves"]})
+
+    return agg.map_batches(fix_types, batch_format="pyarrow")
+
+
+def gyration_query(sf_dir: str):
+    """q125: per-host mobility profile — for every host the modal res-7
+    "home" cell of its geocoded captures (ties to the smallest cell id),
+    the capture count, and the radius-of-gyration numerator
+    ``gyr2 = sum_c n_c * d(c, home)^2`` with d the exact hex distance.
+    The radius-of-gyration statistic of mobility analytics (González et
+    al.'s human-mobility metric) in all-integer form: squared hex steps
+    instead of a float great-circle mean, so the comparison is exact.
+
+    Shape: ONE host-keyed exchange of narrow (host, cell) rows →
+    per-block vectorized profile: lexsort (host, cell), run-length
+    (host, cell) counts, per-host argmax count with (count desc, cell
+    asc) tie-break, then one vectorized hex_distance over the
+    (host, cell) rows against their host's home (np.repeat per run —
+    no Python loop). The oracle replays the mode with a window rank and
+    the distance with the closed-form axial expression."""
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "h3_r7", "has_geo"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_geo"])
+        return t.select(["host", "h3_r7"])
+
+    rows = pts.map_batches(narrow, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def profile(block: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "home_cell": pa.array([], pa.uint64()),
+                          "n_captures": pa.array([], pa.int64()),
+                          "gyr2": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("h3_r7", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = block["host"]
+        c = np.asarray(block["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        hsame = np.r_[False, np.asarray(pc.equal(
+            h.slice(1), h.slice(0, len(h) - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)]
+        new = ~hsame | np.r_[True, c[1:] != c[:-1]]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(c)])
+        rc = c[starts]
+        run_host_new = ~hsame[starts]          # run starts a new host?
+        host_idx = np.cumsum(run_host_new) - 1  # host index per run
+        n_hosts = host_idx[-1] + 1
+        # per-host home: order runs by (host, count desc, cell asc)
+        o2 = np.lexsort((rc, -cnt, host_idx))
+        first = np.r_[True, host_idx[o2][1:] != host_idx[o2][:-1]]
+        home = np.empty(n_hosts, np.uint64)
+        home[host_idx[o2][first]] = rc[o2][first]
+        n_cap = np.zeros(n_hosts, np.int64)
+        np.add.at(n_cap, host_idx, cnt)
+        d = hexgrid.hex_distance(rc, home[host_idx]).astype(np.int64)
+        gyr2 = np.zeros(n_hosts, np.int64)
+        np.add.at(gyr2, host_idx, cnt * d * d)
+        host_first = h.take(pa.array(starts[run_host_new], pa.int64()))
+        return pa.table({"host": host_first,
+                         "home_cell": pa.array(home, pa.uint64()),
+                         "n_captures": pa.array(n_cap, pa.int64()),
+                         "gyr2": pa.array(gyr2, pa.int64())})
+
+    return rows.map_batches(profile, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def cell_diversity_query(sf_dir: str):
+    """q126: per-cell host diversity — for every occupied res-5 cell
+    (latest geocoded pages) the page count, the exact distinct host
+    count, and the Simpson concentration numerator
+    ``simpson_num = sum_h n_h * (n_h - 1)`` (the unnormalized
+    probability-of-same-host statistic — ecology's Simpson index and
+    competition law's HHI in exact integer form, no division). The
+    diversity-index op of spatial ecology / market analytics over the
+    web corpus: is a cell one dominant host or a diverse mix?
+
+    Shape (the A7 two-level pattern with a richer final): per-block
+    (cell, host, n) partial counts → ONE cell-keyed exchange (bounded
+    by cells × hosts, never pages) → per-block final combining partial
+    counts per (cell, host) then folding richness / Simpson per cell —
+    all run-length vectorized. The oracle is the plain two-level SQL
+    aggregate."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "h3_r5", "has_geo", "is_latest"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.uint64()),
+                             "host": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({"cell": t["h3_r5"], "host": t["host"]})
+        order = pc.sort_indices(g, sort_keys=[("cell", "ascending"),
+                                              ("host", "ascending")])
+        g = g.take(order).combine_chunks()
+        c = np.asarray(g["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        h = g["host"]
+        hsame = np.r_[False, np.asarray(pc.equal(
+            h.slice(1), h.slice(0, len(h) - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)]
+        new = np.r_[True, c[1:] != c[:-1]] | ~hsame
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(c)])
+        return pa.table(
+            {"cell": pa.array(c[starts], pa.uint64()),
+             "host": h.take(pa.array(starts, pa.int64())),
+             "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = pts.map_batches(partial, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["cell"],
+                              sort=False)
+
+    def final(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "n_hosts": pa.array([], pa.int64()),
+                          "simpson_num": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("cell", "ascending"),
+                                                  ("host", "ascending")])
+        block = block.take(order).combine_chunks()
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        h = block["host"]
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        hsame = np.r_[False, np.asarray(pc.equal(
+            h.slice(1), h.slice(0, len(h) - 1)).to_numpy(
+                zero_copy_only=False), dtype=bool)]
+        new = np.r_[True, c[1:] != c[:-1]] | ~hsame
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        nh = np.zeros(starts.size, np.int64)   # per (cell, host) total
+        np.add.at(nh, run, n)
+        rc = c[starts]
+        cell_new = np.r_[True, rc[1:] != rc[:-1]]
+        cidx = np.cumsum(cell_new) - 1
+        ncells = cidx[-1] + 1
+        pages = np.zeros(ncells, np.int64)
+        hosts = np.zeros(ncells, np.int64)
+        simp = np.zeros(ncells, np.int64)
+        np.add.at(pages, cidx, nh)
+        np.add.at(hosts, cidx, 1)
+        np.add.at(simp, cidx, nh * (nh - 1))
+        return pa.table(
+            {"cell": pa.array(rc[cell_new], pa.uint64()),
+             "n_pages": pa.array(pages, pa.int64()),
+             "n_hosts": pa.array(hosts, pa.int64()),
+             "simpson_num": pa.array(simp, pa.int64())})
+
+    return parts.map_batches(final, batch_format="pyarrow",
+                             batch_size=None)
+
+
 def modal_smooth_query(sf_dir: str):
     """q123: focal majority filter — for every cell of the level-1 admin
     rasterization, the MODAL admin label among the raster rows in its
@@ -2425,6 +2670,9 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q121_gravity_access": spatialsql.q121_sql(GRAV_K),
         "q122_diffusion": spatialsql.q122_sql(DIFFUSION_T),
         "q123_modal_smooth": spatialsql.q123_sql(),
+        "q124_od_flow": spatialsql.q124_sql(),
+        "q125_gyration": spatialsql.q125_sql(),
+        "q126_cell_diversity": spatialsql.q126_sql(),
     }
 
 

@@ -946,6 +946,70 @@ FROM pgq a JOIN pgq b
 GROUP BY a.cell, a.n_pages"""
 
 
+def q124_sql() -> str:
+    """q124 oracle: OD flow — LAG window over the captures mirror
+    (PARTITION BY host ORDER BY ts_us, url — ts_us is unique by
+    construction, url pins determinism anyway), count per
+    (cell_from, cell_to). The engine never uses a window (adjacent
+    pairs after a per-block multi-key sort); the mirror never sees the
+    pair-partial decomposition."""
+    return f"""WITH {captures_ctes()},
+seq AS (
+  SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo
+),
+p AS (
+  SELECT cell_r7 AS cell_to,
+         LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+           AS cell_from
+  FROM seq
+)
+SELECT cell_from, cell_to, COUNT(*)::BIGINT AS n_moves
+FROM p WHERE cell_from IS NOT NULL
+GROUP BY cell_from, cell_to"""
+
+
+def q125_sql() -> str:
+    """q125 oracle: radius-of-gyration mobility profile — modal home
+    cell per host via a window rank (count desc, cell asc), gyration
+    numerator via the closed-form axial hex distance squared as exact
+    integers. Independent of the engine's run-length kernels and of
+    hexgrid.hex_distance."""
+    mask = (1 << 30) - 1
+    dq = f"(CAST((hc.cell >> 30) & {mask} AS BIGINT) - CAST((h2.home >> 30) & {mask} AS BIGINT))"
+    dr = f"(CAST(hc.cell & {mask} AS BIGINT) - CAST(h2.home & {mask} AS BIGINT))"
+    dist = f"((abs({dq}) + abs({dr}) + abs({dq} + {dr})) / 2)"
+    return f"""WITH {captures_ctes()},
+hc AS (
+  SELECT host, cell_r7 AS cell, COUNT(*)::BIGINT AS n
+  FROM cap WHERE has_geo GROUP BY host, cell_r7
+),
+rk AS (
+  SELECT host, cell,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY n DESC, cell) AS rn
+  FROM hc
+),
+h2 AS (SELECT host, cell AS home FROM rk WHERE rn = 1)
+SELECT hc.host, h2.home AS home_cell,
+       SUM(hc.n)::BIGINT AS n_captures,
+       CAST(SUM(hc.n * {dist} * {dist}) AS BIGINT) AS gyr2
+FROM hc JOIN h2 ON h2.host = hc.host
+GROUP BY hc.host, h2.home"""
+
+
+def q126_sql() -> str:
+    """q126 oracle: per-cell host diversity — the plain two-level SQL
+    aggregate (per (cell, host) counts, then richness / Simpson
+    numerator per cell). All-integer; no engine decomposition leaks."""
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT cell_r5 AS cell, host, COUNT(*)::BIGINT AS n
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5, host
+)
+SELECT cell, SUM(n)::BIGINT AS n_pages, COUNT(*)::BIGINT AS n_hosts,
+       CAST(SUM(n * (n - 1)) AS BIGINT) AS simpson_num
+FROM g GROUP BY cell"""
+
+
 def q123_sql() -> str:
     """q123 oracle: focal majority — per distinct cell of the level-1
     kept (center-inside) rasterization, the modal admin label over the

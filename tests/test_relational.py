@@ -78,6 +78,12 @@ def _spatial_oracles():
                            es.SPATIAL_SQL["q122_diffusion"]),
         "q123_modal_smooth": (es.modal_smooth_query,
                               es.SPATIAL_SQL["q123_modal_smooth"]),
+        "q124_od_flow": (es.od_flow_query,
+                         es.SPATIAL_SQL["q124_od_flow"]),
+        "q125_gyration": (es.gyration_query,
+                          es.SPATIAL_SQL["q125_gyration"]),
+        "q126_cell_diversity": (es.cell_diversity_query,
+                                es.SPATIAL_SQL["q126_cell_diversity"]),
     }
 
 
