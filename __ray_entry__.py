@@ -143,7 +143,13 @@ _DRIVER_WINDOW = [
     # its oracle wraps _q74_sql verbatim; q68 rotated out: q95 strictly
     # generalizes its hash-threshold split machinery with per-source
     # bounds. Both keep repo oracle tests and CORRECTNESS_r04 green rows.)
-    "q73_frame_sample_stats", "q79_label_prototypes",
+    # (q79 rotated out at round-5 close: integer-exact prototype
+    # aggregation stays in-window via q89 (the geo-conditioned member on
+    # the same quantization rule); q79 keeps its repo oracle test and
+    # CORRECTNESS_r03/r04 green rows. q124 — the origin–destination flow
+    # matrix, the sequential-spatial mobility family's first member
+    # (LAG-window oracle vs adjacent-pair engine plan) — enters.)
+    "q73_frame_sample_stats", "q124_od_flow",
     # relational representatives — one per op class (agg, top-k, broadcast
     # join, semi/anti, datetime rollup, chains, dedup, as-of, sessionize,
     # sketch, bloom semi, prefix-sum packing, ROLLUP, deterministic split)
