@@ -219,6 +219,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q124_od_flow": es.od_flow_query,
             "q125_gyration": es.gyration_query,
             "q126_cell_diversity": es.cell_diversity_query,
+            "q127_host_colocation": es.colocation_query,
+            "q128_admin_gini": es.gini_query,
         }
     )
     return out

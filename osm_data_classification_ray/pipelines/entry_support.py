@@ -1812,6 +1812,216 @@ def od_flow_query(sf_dir: str):
     return agg.map_batches(fix_types, batch_format="pyarrow")
 
 
+#: q127 minimum shared-admin count for a co-service edge (1: no host
+#: pair shares two admins on this corpus — the threshold machinery is
+#: still exercised, it just keeps every edge)
+COLOC_MIN = 1
+
+
+def colocation_query(sf_dir: str):
+    """q127: host co-service graph — every pair of hosts whose latest
+    geocoded pages land in at least COLOC_MIN common winning admin
+    polygons (the q31 PIP assignment), with the shared-admin count as
+    the edge weight. The bipartite-projection / co-visitation op of
+    spatial data mining (co-service networks), projected from the
+    (host, admin) incidence table. (Res-5/7 cell incidence is
+    degenerate on this corpus — hosts are geographically separated by
+    construction, ≤3 shared cells — so the projection runs at the admin
+    level, where the graph is dense enough to exercise the kernel.)
+
+    Shape: host extracted from the page_admin checkpoint's url column
+    with Arrow string kernels (split + list_element, no Python loop);
+    host strings interned once against a broadcast sorted dictionary
+    (pc.index_in) so only int32 ids cross the exchanges; per-block
+    distinct (admin, hid) partials → ONE admin-keyed exchange → per-
+    admin global distinct + triangular pair emission (the q110/q118
+    bounded-run pattern) → pair-keyed count groupby → threshold +
+    re-attach host strings from the broadcast dictionary. Dense admins
+    make the emission quadratic in hosts-per-admin — the q85
+    hot-square treatment (chunked emission) is the scale cure, never a
+    cap."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "page_admin",
+                             ["url", "admin_id"])
+
+    def with_host(t: pa.Table) -> pa.Table:
+        host = pc.list_element(
+            pc.split_pattern(t["url"].combine_chunks(), "/"), 2)
+        return pa.table({"host": host, "admin_id": t["admin_id"]})
+
+    hp = pts.map_batches(with_host, batch_format="pyarrow")
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"host": pc.unique(t["host"].combine_chunks())})
+
+    hosts = pa.concat_tables(
+        [x for x in ray.get(hp.map_batches(
+            host_partial, batch_format="pyarrow").to_arrow_refs())])
+    host_arr = pc.unique(hosts["host"].combine_chunks())
+    host_arr = host_arr.take(pc.array_sort_indices(host_arr))
+    host_ref = ray.put(host_arr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if t.num_rows == 0:
+            return pa.table({"admin_id": pa.array([], pa.int64()),
+                             "hid": pa.array([], pa.int32())})
+        hid = pc.index_in(t["host"].combine_chunks(),
+                          value_set=_ray.get(host_ref)).cast(pa.int32())
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        hv = np.asarray(hid.to_numpy(zero_copy_only=False), dtype=np.int32)
+        order = np.lexsort((hv, a))
+        a, hv = a[order], hv[order]
+        uniq = np.r_[True, (a[1:] != a[:-1]) | (hv[1:] != hv[:-1])]
+        return pa.table({"admin_id": pa.array(a[uniq], pa.int64()),
+                         "hid": pa.array(hv[uniq], pa.int32())})
+
+    rows = hp.map_batches(partial, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["admin_id"],
+                            sort=False)
+
+    def pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table({"ha": pa.array([], pa.int32()),
+                          "hb": pa.array([], pa.int32())})
+        if block.num_rows == 0:
+            return empty
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        h = np.asarray(block["hid"].to_numpy(zero_copy_only=False),
+                       dtype=np.int32)
+        order = np.lexsort((h, a))
+        a, h = a[order], h[order]
+        uniq = np.r_[True, (a[1:] != a[:-1]) | (h[1:] != h[:-1])]
+        a, h = a[uniq], h[uniq]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            hs = h[s:e]
+            if hs.size < 2:
+                continue
+            ia, ib = np.triu_indices(hs.size, k=1)
+            out_a.append(hs[ia])
+            out_b.append(hs[ib])
+        if not out_a:
+            return empty
+        return pa.table({"ha": pa.array(np.concatenate(out_a), pa.int32()),
+                         "hb": pa.array(np.concatenate(out_b), pa.int32())})
+
+    p = rows.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    agg = p.groupby(["ha", "hb"],
+                    num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_shared"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = t.filter(pc.greater_equal(t["n_shared"],
+                                      pa.scalar(COLOC_MIN, pa.int64())))
+        hs = _ray.get(host_ref)
+        return pa.table(
+            {"host_a": hs.take(t["ha"].combine_chunks().cast(pa.int64())),
+             "host_b": hs.take(t["hb"].combine_chunks().cast(pa.int64())),
+             "n_shared": t["n_shared"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def gini_query(sf_dir: str):
+    """q128: per-admin concentration (Gini numerator) — for every
+    winning admin of the PIP join, how unequally its latest pages are
+    distributed across its res-7 cells: with per-cell counts x sorted
+    ascending (rank i of m cells), ``gini_num = sum_i (2i - m - 1) x_i``
+    — the exact-integer numerator of the Gini coefficient (the sorted
+    closed form; ties rank-invariant by algebra, so no float and no
+    tie-break drift). The inequality / spatial-concentration op of
+    regional analytics (is an admin one dense hub or an even spread?).
+
+    Shape: narrow (admin_id, h3_r7) read of the page_admin checkpoint →
+    per-block (admin, cell, n) partials → ONE admin-keyed exchange
+    (bounded by admins × cells, never pages) → per-block run-length
+    combine + per-admin sorted-rank fold, all lexsort-vectorized. The
+    oracle replays the formula with a window rank over the shared
+    _pip_join_ctes mirror."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pa_ds = spatial.read_stage(cfg.out_root, "page_admin",
+                               ["admin_id", "h3_r7"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        c = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        order = np.lexsort((c, a))
+        a, c = a[order], c[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(a)])
+        return pa.table({"admin_id": pa.array(a[starts], pa.int64()),
+                         "cell": pa.array(c[starts], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = pa_ds.map_batches(partial, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["admin_id"],
+                              sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "n_cells": pa.array([], pa.int64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "gini_num": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        # combine partials per (admin, cell)
+        order = np.lexsort((c, a))
+        a, c, n = a[order], c[order], n[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        tot = np.zeros(starts.size, np.int64)
+        np.add.at(tot, run, n)
+        ra, rc = a[starts], c[starts]
+        # per-admin ascending (n, cell) rank fold
+        o2 = np.lexsort((rc, tot, ra))
+        ra2, tot2 = ra[o2], tot[o2]
+        astart = np.flatnonzero(np.r_[True, ra2[1:] != ra2[:-1]])
+        alen = np.diff(np.r_[astart, len(ra2)])
+        i = np.arange(len(ra2)) - np.repeat(astart, alen) + 1
+        m = np.repeat(alen, alen)
+        w = 2 * i - m - 1
+        nadm = astart.size
+        aidx = np.repeat(np.arange(nadm), alen)
+        pages = np.zeros(nadm, np.int64)
+        gini = np.zeros(nadm, np.int64)
+        np.add.at(pages, aidx, tot2)
+        np.add.at(gini, aidx, w * tot2)
+        return pa.table({"admin_id": pa.array(ra2[astart], pa.int64()),
+                         "n_cells": pa.array(alen.astype(np.int64),
+                                             pa.int64()),
+                         "n_pages": pa.array(pages, pa.int64()),
+                         "gini_num": pa.array(gini, pa.int64())})
+
+    return parts.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 def gyration_query(sf_dir: str):
     """q125: per-host mobility profile — for every host the modal res-7
     "home" cell of its geocoded captures (ties to the smallest cell id),
@@ -2673,6 +2883,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q124_od_flow": spatialsql.q124_sql(),
         "q125_gyration": spatialsql.q125_sql(),
         "q126_cell_diversity": spatialsql.q126_sql(),
+        "q127_host_colocation": spatialsql.q127_sql(COLOC_MIN),
+        "q128_admin_gini": spatialsql.q128_sql(),
     }
 
 

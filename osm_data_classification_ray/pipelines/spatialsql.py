@@ -968,6 +968,66 @@ FROM p WHERE cell_from IS NOT NULL
 GROUP BY cell_from, cell_to"""
 
 
+def q127_sql(k: int) -> str:
+    """q127 oracle: host co-service graph — distinct (admin, host)
+    incidence from the PIP-join mirror (shared _pip_join_ctes + best
+    pick), self-joined on admin with host_a < host_b (binary collation
+    matches the engine's sorted-dictionary int ids), count >= k. No
+    engine decomposition leaks."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+m AS (
+  SELECT DISTINCT b.admin_id, c.host
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       COUNT(*)::BIGINT AS n_shared
+FROM m a JOIN m b ON a.admin_id = b.admin_id AND a.host < b.host
+GROUP BY a.host, b.host
+HAVING COUNT(*) >= {k}"""
+
+
+def q128_sql() -> str:
+    """q128 oracle: per-admin Gini concentration numerator — per-cell
+    page counts of each winning admin (shared _pip_join_ctes + best
+    pick), ranked ascending by (n, cell) with a window, folded through
+    the exact sorted closed form sum((2i - m - 1) * x_i). All-integer;
+    rank ties are algebraically invariant so the tie key only pins the
+    plan, not the value."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+m AS (
+  SELECT b.admin_id, c.cell_r7 AS cell
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+),
+x AS (
+  SELECT admin_id, cell, COUNT(*)::BIGINT AS n FROM m GROUP BY admin_id, cell
+),
+r AS (
+  SELECT admin_id, n,
+         ROW_NUMBER() OVER (PARTITION BY admin_id ORDER BY n, cell) AS i,
+         COUNT(*) OVER (PARTITION BY admin_id) AS m_
+  FROM x
+)
+SELECT CAST(admin_id AS BIGINT) AS admin_id,
+       CAST(MAX(m_) AS BIGINT) AS n_cells,
+       SUM(n)::BIGINT AS n_pages,
+       CAST(SUM((2 * i - m_ - 1) * n) AS BIGINT) AS gini_num
+FROM r GROUP BY admin_id"""
+
+
 def q125_sql() -> str:
     """q125 oracle: radius-of-gyration mobility profile — modal home
     cell per host via a window rank (count desc, cell asc), gyration

@@ -84,6 +84,10 @@ def _spatial_oracles():
                           es.SPATIAL_SQL["q125_gyration"]),
         "q126_cell_diversity": (es.cell_diversity_query,
                                 es.SPATIAL_SQL["q126_cell_diversity"]),
+        "q127_host_colocation": (es.colocation_query,
+                                 es.SPATIAL_SQL["q127_host_colocation"]),
+        "q128_admin_gini": (es.gini_query,
+                            es.SPATIAL_SQL["q128_admin_gini"]),
     }
 
 
