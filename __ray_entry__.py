@@ -221,6 +221,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q126_cell_diversity": es.cell_diversity_query,
             "q127_host_colocation": es.colocation_query,
             "q128_admin_gini": es.gini_query,
+            "q129_host_median": es.host_median_query,
+            "q130_cell_skyline": es.skyline_query,
         }
     )
     return out

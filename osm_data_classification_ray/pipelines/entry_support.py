@@ -2022,6 +2022,107 @@ def gini_query(sf_dir: str):
     return parts.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+def host_median_query(sf_dir: str):
+    """q129: per-group exact order statistic — for every host the LOW
+    MEDIAN (the ⌈n/2⌉-th smallest, an actual data value — no float
+    midpoint) of n_tokens over its latest captures, plus the count.
+    The distributed per-group quantile beside q40's global quantiles:
+    per-group medians cannot be pre-aggregated (order statistics are
+    not algebraic), so the plan co-locates each group's values with ONE
+    host-keyed exchange of narrow (host, n_tokens) rows and picks the
+    rank per run — run-length vectorized, no Python loop. The oracle
+    replays the pick with a window rank at the same ⌈n/2⌉ position."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "n_tokens", "is_latest"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_latest"])
+        return t.select(["host", "n_tokens"])
+
+    rows = pts.map_batches(narrow, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def med(block: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "median_tokens": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("n_tokens", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = block["host"]
+        v = np.asarray(block["n_tokens"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        hsame = np.asarray(pc.equal(h.slice(1), h.slice(0, len(h) - 1))
+                           .to_numpy(zero_copy_only=False), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, ~hsame])
+        n = np.diff(np.r_[starts, len(v)])
+        pick = starts + (n + 1) // 2 - 1
+        return pa.table(
+            {"host": h.take(pa.array(starts, pa.int64())),
+             "n_pages": pa.array(n.astype(np.int64), pa.int64()),
+             "median_tokens": pa.array(v[pick], pa.int64())})
+
+    return rows.map_batches(med, batch_format="pyarrow", batch_size=None)
+
+
+def skyline_query(sf_dir: str):
+    """q130: cell skyline (Pareto frontier) — the occupied res-5 cells
+    not dominated on (n_pages, n_hosts): no other cell has ≥ on both
+    and > on at least one. The multi-criteria filter of analytics
+    (skyline query, Börzsönyi et al.) over the q126 base table —
+    which cells are simultaneously page-dense AND host-diverse?
+
+    Shape: the skyline operator is DISTRIBUTIVE — skyline(∪ blocks) =
+    skyline(∪ local skylines) (any dominator of x in the union also
+    survives its own block's local skyline, so x is still eliminated in
+    the merge) — so the plan computes the q126 per-cell base (one
+    cell-keyed exchange), takes a vectorized local skyline per block
+    (sort pages desc / hosts desc, group-max + exclusive running-max
+    sweep handling ties: equal vectors never dominate each other), and
+    merges the bounded local skylines through a single-partition final
+    pass of the SAME kernel — never a driver collect. The oracle is the
+    textbook NOT EXISTS dominance anti-join."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    base = cell_diversity_query(sf_dir)
+
+    def skyline_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "n_hosts": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        p = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        hn = np.asarray(t["n_hosts"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        order = np.lexsort((-hn, -p))
+        p, hn, c = p[order], hn[order], c[order]
+        gstart = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        glen = np.diff(np.r_[gstart, len(p)])
+        gmax = hn[gstart]                       # per-pages-group max hosts
+        prevmax = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(gmax)[:-1]]
+        gidx = np.repeat(np.arange(gstart.size), glen)
+        keep = (hn == gmax[gidx]) & (gmax[gidx] > prevmax[gidx])
+        return pa.table({"cell": pa.array(c[keep], pa.uint64()),
+                         "n_pages": pa.array(p[keep], pa.int64()),
+                         "n_hosts": pa.array(hn[keep], pa.int64())})
+
+    local = base.map_batches(skyline_block, batch_format="pyarrow")
+    merged = local.repartition(1)
+    return merged.map_batches(skyline_block, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def gyration_query(sf_dir: str):
     """q125: per-host mobility profile — for every host the modal res-7
     "home" cell of its geocoded captures (ties to the smallest cell id),
@@ -2885,6 +2986,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q126_cell_diversity": spatialsql.q126_sql(),
         "q127_host_colocation": spatialsql.q127_sql(COLOC_MIN),
         "q128_admin_gini": spatialsql.q128_sql(),
+        "q129_host_median": spatialsql.q129_sql(),
+        "q130_cell_skyline": spatialsql.q130_sql(),
     }
 
 

@@ -1028,6 +1028,45 @@ SELECT CAST(admin_id AS BIGINT) AS admin_id,
 FROM r GROUP BY admin_id"""
 
 
+def q129_sql() -> str:
+    """q129 oracle: per-host low median of n_tokens over latest
+    captures — a window rank picking the ⌈n/2⌉-th smallest. No engine
+    decomposition leaks (the engine never uses a window)."""
+    return f"""WITH {captures_ctes()},
+r AS (
+  SELECT host, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_tokens) AS i,
+         COUNT(*) OVER (PARTITION BY host) AS n
+  FROM cap WHERE is_latest
+)
+SELECT host, CAST(MAX(n) AS BIGINT) AS n_pages,
+       CAST(MAX(CASE WHEN i = (n + 1) // 2 THEN n_tokens END) AS BIGINT)
+         AS median_tokens
+FROM r GROUP BY host"""
+
+
+def q130_sql() -> str:
+    """q130 oracle: cell skyline — the textbook NOT EXISTS dominance
+    anti-join over the q126 base aggregate (equal vectors never
+    dominate each other). Independent of the engine's sweep kernel and
+    of its local-skyline distributivity."""
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT cell_r5 AS cell, host, COUNT(*)::BIGINT AS n
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5, host
+),
+b AS (
+  SELECT cell, SUM(n)::BIGINT AS n_pages, COUNT(*)::BIGINT AS n_hosts
+  FROM g GROUP BY cell
+)
+SELECT a.cell, a.n_pages, a.n_hosts
+FROM b a
+WHERE NOT EXISTS (
+  SELECT 1 FROM b d
+  WHERE d.n_pages >= a.n_pages AND d.n_hosts >= a.n_hosts
+    AND (d.n_pages > a.n_pages OR d.n_hosts > a.n_hosts))"""
+
+
 def q125_sql() -> str:
     """q125 oracle: radius-of-gyration mobility profile — modal home
     cell per host via a window rank (count desc, cell asc), gyration

@@ -88,6 +88,10 @@ def _spatial_oracles():
                                  es.SPATIAL_SQL["q127_host_colocation"]),
         "q128_admin_gini": (es.gini_query,
                             es.SPATIAL_SQL["q128_admin_gini"]),
+        "q129_host_median": (es.host_median_query,
+                             es.SPATIAL_SQL["q129_host_median"]),
+        "q130_cell_skyline": (es.skyline_query,
+                              es.SPATIAL_SQL["q130_cell_skyline"]),
     }
 
 
