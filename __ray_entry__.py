@@ -242,6 +242,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q128_admin_gini": es.gini_query,
             "q129_host_median": es.host_median_query,
             "q130_cell_skyline": es.skyline_query,
+            "q131_cost_distance": es.cost_distance_query,
         }
     )
     return out

@@ -2387,6 +2387,125 @@ def modal_smooth_query(sf_dir: str):
     return rows.map_batches(mode, batch_format="pyarrow", batch_size=None)
 
 
+#: q131 obstructed-BFS cap (hex steps); cells farther than this from the
+#: depot along passable paths collapse to OBST_K + 1 (the "cut off" bucket)
+OBST_K = 6
+
+
+def cost_distance_query(sf_dir: str):
+    """q131: obstructed cost distance — for every occupied res-5 page
+    cell OUTSIDE the exclusion zone, the length of the shortest hex
+    path to the depot polygon (the smallest level-1 admin_id) that
+    never crosses another level-1 admin's territory; unreachable-
+    within-OBST_K cells collapse to OBST_K + 1. The least-cost-path /
+    cost-distance op of raster GIS (service routing around exclusion
+    zones) — q119's free-space distance transform upgraded with
+    obstacles, where no closed form exists and the metric is genuinely
+    path-based: an obstacle ring can make the obstructed distance
+    arbitrarily larger than the q119 crow-flies distance.
+
+    Shape: depot and obstacle sets both come from the one bounded
+    level-1 rasterization (obstacles = other admins' cells minus the
+    depot's — overlap cells stay passable); a driver-side multi-source
+    BFS over the bounded touched lattice excludes obstacle cells from
+    every frontier (round d IS the exact obstructed geodesic by
+    induction, exactly q119's argument restricted to passable cells);
+    the (cell → dist) map broadcasts once via ``ray.put``; pages stream
+    through ONE shuffle-free map_batches probing dist by searchsorted,
+    dropping exclusion-zone cells. The oracle recomputes the geodesic
+    with a recursive-CTE BFS over the 7-offset adjacency minus
+    obstacles (MIN(d) per cell, depth-capped) — an independent
+    implementation of the metric, not of the engine's loop."""
+    import ray
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    lv1 = polys.filter(pc.equal(polys["level"], pa.scalar(1, pa.int64())))
+    raster = _raster_cells_block(lv1)
+    rc = np.asarray(raster["cell"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64).view(np.uint64)
+    ra = np.asarray(raster["admin_id"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    depot_admin = int(ra.min())
+    dep = np.unique(rc[ra == depot_admin])
+    obs = np.setdiff1d(np.unique(rc[ra != depot_admin]), dep,
+                       assume_unique=True)
+
+    assigned = dep
+    frontier = dep
+    map_cells = [dep]
+    map_dist = [np.zeros(dep.size, np.int64)]
+    for d in range(1, OBST_K + 1):
+        nb = np.unique(hexgrid.grid_ring(frontier, 1).ravel())
+        new = np.setdiff1d(nb, assigned, assume_unique=True)
+        new = np.setdiff1d(new, obs, assume_unique=True)
+        if new.size == 0:
+            break
+        map_cells.append(new)
+        map_dist.append(np.full(new.size, d, np.int64))
+        assigned = np.union1d(assigned, new)
+        frontier = new
+    mc = np.concatenate(map_cells)
+    md = np.concatenate(map_dist)
+    order = np.argsort(mc)
+    ref = ray.put((mc[order], md[order], obs))
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = pts.map_batches(partial, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["cell"],
+                              sort=False)
+
+    def combine(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        tot = np.zeros(cells.size, np.int64)
+        np.add.at(tot, inv, n)
+        dc, dd, ob = ray.get(ref)
+        uc = cells.view(np.uint64)
+        # drop exclusion-zone cells
+        if ob.size:
+            pos_o = np.minimum(np.searchsorted(ob, uc), ob.size - 1)
+            keep = ob[pos_o] != uc
+        else:
+            keep = np.ones(uc.size, bool)
+        uc, tot = uc[keep], tot[keep]
+        if len(dc):
+            pos = np.minimum(np.searchsorted(dc, uc), len(dc) - 1)
+            hit = dc[pos] == uc
+            dist = np.where(hit, dd[pos], OBST_K + 1)
+        else:
+            dist = np.full(uc.size, OBST_K + 1, np.int64)
+        return pa.table({"cell": pa.array(uc, pa.uint64()),
+                         "n_pages": pa.array(tot, pa.int64()),
+                         "dist": pa.array(dist.astype(np.int64),
+                                          pa.int64())})
+
+    return parts.map_batches(combine, batch_format="pyarrow",
+                             batch_size=None)
+
+
 #: q122 diffusion steps (3-step heat kernel; walk counts stay exact in
 #: int64 — per-cell mass × 6^T with T = 3 is far below overflow)
 DIFFUSION_T = 3
@@ -2988,6 +3107,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q128_admin_gini": spatialsql.q128_sql(),
         "q129_host_median": spatialsql.q129_sql(),
         "q130_cell_skyline": spatialsql.q130_sql(),
+        "q131_cost_distance": spatialsql.q131_sql(OBST_K),
     }
 
 

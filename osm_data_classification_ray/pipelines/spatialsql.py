@@ -1138,6 +1138,51 @@ SELECT {_pack(5, 'q', 'r')} AS cell, CAST(admin_id AS BIGINT) AS admin_id
 FROM best WHERE rn = 1"""
 
 
+def q131_sql(k: int) -> str:
+    """q131 oracle: obstructed cost distance — depot = cells of the
+    smallest level-1 admin in the kept rasterization, obstacles = other
+    level-1 cells minus the depot's; geodesic recomputed as a
+    recursive-CTE BFS over the 7-offset adjacency (self offset unused:
+    steps go through the 6 unit directions) that never enters an
+    obstacle, MIN(d) per cell, depth ≤ k; occupied page cells outside
+    the exclusion zone join the surface (unreached ⇒ k + 1). An
+    independent implementation of the path metric — SQL set recursion
+    vs the engine's numpy frontier loop."""
+    mask = (1 << 30) - 1
+    return f"""WITH RECURSIVE {captures_ctes()},
+{_buffer_ctes(0)},
+dep AS (
+  SELECT DISTINCT q, r FROM kept
+  WHERE admin_id = (SELECT MIN(admin_id) FROM kept)
+),
+obs AS (
+  SELECT DISTINCT k.q, k.r FROM kept k
+  WHERE k.admin_id <> (SELECT MIN(admin_id) FROM kept)
+    AND NOT EXISTS (SELECT 1 FROM dep d WHERE d.q = k.q AND d.r = k.r)
+),
+dirs(dq, dr) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)),
+bfs(q, r, d) AS (
+  SELECT q, r, 0 FROM dep
+  UNION
+  SELECT b.q + dirs.dq, b.r + dirs.dr, b.d + 1
+  FROM bfs b CROSS JOIN dirs
+  WHERE b.d < {k}
+    AND NOT EXISTS (SELECT 1 FROM obs o
+                    WHERE o.q = b.q + dirs.dq AND o.r = b.r + dirs.dr)
+),
+dmin AS (SELECT q, r, MIN(d) AS d FROM bfs GROUP BY q, r),
+pg AS (
+  SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n_pages,
+         CAST((cell_r5 >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell_r5 & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+)
+SELECT p.cell, p.n_pages,
+       CAST(COALESCE(m.d, {k + 1}) AS BIGINT) AS dist
+FROM pg p LEFT JOIN dmin m ON m.q = p.q AND m.r = p.r
+WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.q = p.q AND o.r = p.r)"""
+
+
 def q122_sql(t: int) -> str:
     """q122 oracle: hex heat-kernel diffusion — per occupied res-5 page
     cell the t-step walk-count sum ``SUM(n_j * Wt(i - j))`` over occupied

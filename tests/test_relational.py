@@ -92,6 +92,8 @@ def _spatial_oracles():
                              es.SPATIAL_SQL["q129_host_median"]),
         "q130_cell_skyline": (es.skyline_query,
                               es.SPATIAL_SQL["q130_cell_skyline"]),
+        "q131_cost_distance": (es.cost_distance_query,
+                               es.SPATIAL_SQL["q131_cost_distance"]),
     }
 
 
