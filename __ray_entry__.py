@@ -102,7 +102,12 @@ _DRIVER_WINDOW = [
     # raster, integer-exact centered algebra with an independent axial
     # self-join oracle — enters. q88 keeps its repo oracle test and
     # CORRECTNESS_r03/r04 green rows.)
-    "q90_coverage_gap", "q91_admin_profile", "q92_page_s2_cells",
+    # (q90 rotated out at round-5 close: the spatial anti-join's J5
+    # family keeps q08 (anti), q58 (bloom semi) and q69 (decontaminate)
+    # in-window, and q90 keeps its repo oracle test and r04 green row.
+    # q131 — obstructed cost distance, the least-cost-path family where
+    # no closed form exists (recursive-CTE BFS oracle) — enters.)
+    "q131_cost_distance", "q91_admin_profile", "q92_page_s2_cells",
     "q97_focal_smooth", "q99_morans_i", "q101_hotspot_gistar",
     # text / dedup / LLM-pipeline family (q25 IVF is recall<1 by design —
     # rows-only, so it yields the weaker check and sits past the window)
