@@ -1,0 +1,52 @@
+"""Partition-count invariance for the round-5-close operators.
+
+The driver rehearsal checks engine == oracle at ONE block layout; these
+tests pin that each new exchange/combine kernel is invariant to the
+partition count (4 vs 6 — the q104 precedent: a prune-without-tombstone
+bug once emitted phantom rows at one layout and none at another).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "gravity_access_query",      # q121: linear-kernel scatter + combine
+    "diffusion_query",           # q122: iterative stencil, 3 exchanges
+    "modal_smooth_query",        # q123: vote scatter + run-length mode
+    "od_flow_query",             # q124: host exchange + adjacent pairs
+    "gyration_query",            # q125: host exchange + rank fold
+    "cell_diversity_query",      # q126: two-level partial/final
+    "colocation_query",          # q127: interned ids, pair emission
+    "gini_query",                # q128: admin exchange + sorted fold
+    "host_median_query",         # q129: co-locating exchange + rank pick
+    "skyline_query",             # q130: local skyline + merge
+    "cost_distance_query",       # q131: broadcast BFS surface probe
+]
+
+
+def _norm(res) -> pa.Table:
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return t.take(pc.sort_indices(
+        t, sort_keys=[(c, "ascending") for c in t.column_names]))
+
+
+@pytest.mark.parametrize("fn_name", QUERIES)
+def test_partition_count_invariance(ray_session, monkeypatch, fn_name):
+    from osm_data_classification_ray.pipelines import entry_support as es
+
+    fn = getattr(es, fn_name)
+
+    def run(cpus: str) -> pa.Table:
+        monkeypatch.setenv("RAY_GRAFT_CPUS", cpus)
+        return _norm(fn(SF))
+
+    # 8 → 4 partitions, 12 → 6 (16 partitions' aggregator pool would not
+    # fit the 4-CPU test session)
+    a, b = run("8"), run("12")
+    assert a.num_rows > 0
+    assert a.equals(b)
