@@ -248,6 +248,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q129_host_median": es.host_median_query,
             "q130_cell_skyline": es.skyline_query,
             "q131_cost_distance": es.cost_distance_query,
+            "q132_flow_pagerank": es.flow_pagerank_query,
         }
     )
     return out

@@ -2123,6 +2123,110 @@ def skyline_query(sf_dir: str):
                               batch_size=None)
 
 
+#: q132 power-iteration rounds and integer damping rule: ranks live at
+#: PR_SCALE fixed-point, damping is (85 · inflow) // 100 + PR_TELEPORT —
+#: every division an explicit positive floor, so the iteration is exact
+PAGERANK_T = 3
+PR_SCALE = 1_000_000
+PR_TELEPORT = 150_000
+
+
+def flow_pagerank_query(sf_dir: str):
+    """q132: flow PageRank — PAGERANK_T rounds of the damped power
+    iteration over the q124 origin–destination graph (cells as nodes,
+    n_moves as edge weights), entirely in scaled integer arithmetic:
+    each node splits its rank over its out-edges proportionally
+    (``(r · w) // W_out``, an explicit floor), inflows are damped as
+    ``PR_TELEPORT + (85 · inflow) // 100``, sink mass drops (the
+    classical lost-mass variant — the oracle mirrors it). The iterative
+    graph-centrality op of network analytics, and the engine's second
+    iterative family beside q122's lattice stencil — here the iteration
+    runs on a DERIVED graph, not the raster.
+
+    Shape: the bounded edge table (cell-pair universe — never pages)
+    materializes once; per round the bounded node-state (rank, out-
+    weight) broadcasts via ``ray.put`` and the edges stream through one
+    map_batches emitting per-block (to, contrib) partials → one to-keyed
+    exchange → combine; the new node table is a bounded collect (nodes ≤
+    2 × cells — the same sub-corpus bound as q119's surface). The
+    oracle never loops: it unrolls the T rounds as chained CTEs with
+    DuckDB's ``//`` integer division, so a single off-by-one in any
+    floor diverges the hash."""
+    import ray
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    edges = od_flow_query(sf_dir).materialize()
+    et = pa.concat_tables(ray.get(edges.to_arrow_refs())).combine_chunks()
+    fr = np.asarray(et["cell_from"].to_numpy(zero_copy_only=False),
+                    dtype=np.uint64)
+    to = np.asarray(et["cell_to"].to_numpy(zero_copy_only=False),
+                    dtype=np.uint64)
+    nodes = np.unique(np.concatenate([fr, to]))
+    # out-weight per node (0 for sinks)
+    w_all = np.asarray(et["n_moves"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    outw = np.zeros(nodes.size, np.int64)
+    np.add.at(outw, np.searchsorted(nodes, fr), w_all)
+    ranks = np.full(nodes.size, PR_SCALE, np.int64)
+
+    for _ in range(PAGERANK_T):
+        state_ref = ray.put((nodes, ranks, outw))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            nn, rr, ow = _ray.get(state_ref)
+            f = np.asarray(t["cell_from"].to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
+            tt = np.asarray(t["cell_to"].to_numpy(zero_copy_only=False),
+                            dtype=np.uint64)
+            w = np.asarray(t["n_moves"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            pos = np.searchsorted(nn, f)
+            c = (rr[pos] * w) // ow[pos]
+            dst, inv = np.unique(tt, return_inverse=True)
+            infl = np.zeros(dst.size, np.int64)
+            np.add.at(infl, inv, c)
+            return pa.table(
+                {"node": pa.array(dst.view(np.int64), pa.int64()),
+                 "infl": pa.array(infl, pa.int64())})
+
+        parts = edges.map_batches(contrib, batch_format="pyarrow")
+        parts = parts.repartition(default_partitions(), keys=["node"],
+                                  sort=False)
+
+        def combine(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "infl": pa.array([], pa.int64())})
+            nnn = np.asarray(block["node"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            ii = np.asarray(block["infl"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            dst, inv = np.unique(nnn, return_inverse=True)
+            tot = np.zeros(dst.size, np.int64)
+            np.add.at(tot, inv, ii)
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "infl": pa.array(tot, pa.int64())})
+
+        agg = pa.concat_tables(ray.get(
+            parts.map_batches(combine, batch_format="pyarrow",
+                              batch_size=None).to_arrow_refs()))
+        infl = np.zeros(nodes.size, np.int64)
+        if agg.num_rows:
+            an = np.asarray(agg["node"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64).view(np.uint64)
+            ai = np.asarray(agg["infl"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            infl[np.searchsorted(nodes, an)] = ai
+        ranks = PR_TELEPORT + (85 * infl) // 100
+
+    return pa.table({"cell": pa.array(nodes, pa.uint64()),
+                     "pr": pa.array(ranks, pa.int64())})
+
+
 def gyration_query(sf_dir: str):
     """q125: per-host mobility profile — for every host the modal res-7
     "home" cell of its geocoded captures (ties to the smallest cell id),
@@ -3108,6 +3212,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q129_host_median": spatialsql.q129_sql(),
         "q130_cell_skyline": spatialsql.q130_sql(),
         "q131_cost_distance": spatialsql.q131_sql(OBST_K),
+        "q132_flow_pagerank": spatialsql.q132_sql(PAGERANK_T, PR_SCALE,
+                                                  PR_TELEPORT),
     }
 
 

@@ -1067,6 +1067,47 @@ WHERE NOT EXISTS (
     AND (d.n_pages > a.n_pages OR d.n_hosts > a.n_hosts))"""
 
 
+def q132_sql(t_rounds: int, scale: int, teleport: int) -> str:
+    """q132 oracle: flow PageRank — the q124 edge mirror, then the T
+    damped power-iteration rounds UNROLLED as chained CTEs in exact
+    integer arithmetic (DuckDB ``//`` floors match the engine's numpy
+    floors; sinks lose mass in both). Never loops, so the engine's
+    round structure cannot leak in."""
+    edge_ctes = f"""WITH {captures_ctes()},
+seq AS (
+  SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo
+),
+p AS (
+  SELECT cell_r7 AS cell_to,
+         LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+           AS cell_from
+  FROM seq
+),
+e AS (
+  SELECT cell_from AS fr, cell_to AS t, COUNT(*)::BIGINT AS w
+  FROM p WHERE cell_from IS NOT NULL GROUP BY cell_from, cell_to
+),
+ow AS (SELECT fr, SUM(w)::BIGINT AS ow FROM e GROUP BY fr),
+nodes AS (SELECT fr AS c FROM e UNION SELECT t FROM e),
+r0 AS (SELECT c, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    layers = []
+    for i in range(1, t_rounds + 1):
+        layers.append(f"""i{i} AS (
+  SELECT e.t AS c, SUM((r{i - 1}.r * e.w) // o.ow) AS infl
+  FROM e JOIN r{i - 1} ON r{i - 1}.c = e.fr JOIN ow o ON o.fr = e.fr
+  GROUP BY e.t
+),
+r{i} AS (
+  SELECT n.c,
+         CAST({teleport} + (85 * COALESCE(i{i}.infl, 0)) // 100 AS BIGINT)
+           AS r
+  FROM nodes n LEFT JOIN i{i} ON i{i}.c = n.c
+)""")
+    body = ",\n".join(layers)
+    return (f"{edge_ctes},\n{body}\n"
+            f"SELECT c AS cell, r AS pr FROM r{t_rounds}")
+
+
 def q125_sql() -> str:
     """q125 oracle: radius-of-gyration mobility profile — modal home
     cell per host via a window rank (count desc, cell asc), gyration

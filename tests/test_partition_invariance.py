@@ -26,11 +26,13 @@ QUERIES = [
     "host_median_query",         # q129: co-locating exchange + rank pick
     "skyline_query",             # q130: local skyline + merge
     "cost_distance_query",       # q131: broadcast BFS surface probe
+    "flow_pagerank_query",       # q132: iterative power iteration
 ]
 
 
 def _norm(res) -> pa.Table:
-    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    t = (res if isinstance(res, pa.Table)
+         else pa.Table.from_pandas(res.to_pandas(), preserve_index=False))
     return t.take(pc.sort_indices(
         t, sort_keys=[(c, "ascending") for c in t.column_names]))
 

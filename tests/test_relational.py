@@ -94,6 +94,8 @@ def _spatial_oracles():
                               es.SPATIAL_SQL["q130_cell_skyline"]),
         "q131_cost_distance": (es.cost_distance_query,
                                es.SPATIAL_SQL["q131_cost_distance"]),
+        "q132_flow_pagerank": (es.flow_pagerank_query,
+                               es.SPATIAL_SQL["q132_flow_pagerank"]),
     }
 
 
