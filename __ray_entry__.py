@@ -249,6 +249,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q130_cell_skyline": es.skyline_query,
             "q131_cost_distance": es.cost_distance_query,
             "q132_flow_pagerank": es.flow_pagerank_query,
+            "q133_semivariogram": es.semivariogram_query,
         }
     )
     return out

@@ -47,8 +47,12 @@ def _input_id(sf_dir: str, table: str = "documents") -> str:
 def _cfg(sf_dir: str) -> spatial.EngineConfig:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     iid = _input_id(sf_dir)
+    # GRAFT_ENGINE_ROOT: private checkpoint root for ad-hoc runs so they
+    # never contend with a concurrently running suite over the same stage
+    # dirs (checkpoint._commit makes that contention safe, not free)
+    root = os.environ.get("GRAFT_ENGINE_ROOT", "/tmp/graft_engine")
     return spatial.EngineConfig(
-        out_root=os.path.join("/tmp/graft_engine", f"{name}-{iid}"),
+        out_root=os.path.join(root, f"{name}-{iid}"),
         num_partitions=default_partitions(),
         pip_concurrency=(1, 4),
         hot_threshold=200_000,
@@ -2227,6 +2231,147 @@ def flow_pagerank_query(sf_dir: str):
                      "pr": pa.array(ranks, pa.int64())})
 
 
+#: q133 semivariogram lag cap (hex steps on the res-5 lattice): bins
+#: d = 1..VARIO_K; pairs farther apart contribute to no bin
+VARIO_K = 3
+
+
+def semivariogram_query(sf_dir: str):
+    """q133: empirical semivariogram — for every lag distance d = 1..
+    VARIO_K on the res-5 hex lattice, the ORDERED-pair count and the
+    exact integer sum of squared differences ``(n_i - n_j)^2`` of
+    per-cell page mass (latest geocoded captures) over occupied cell
+    pairs at hex distance d. The variography op of geostatistics
+    (Matheron's 2γ(h)·N(h) numerator — kriging's input), completing the
+    spatial-statistics algebra beside Moran's I (q99, global), Gi*
+    (q101, local) and Ripley-K (q106, point-pattern). Ordered pairs keep
+    the sums integral and symmetric (each unordered pair counted twice,
+    identically on both sides).
+
+    Shape: the squared-difference kernel is NOT linear in mass (unlike
+    q121's gravity kernel), so per-block partial masses cannot scatter
+    independently — the plan first settles exact per-cell totals with
+    ONE cell-keyed exchange of (cell, n) partials, then each settled
+    cell scatters its rings out to VARIO_K carrying its total (d = 0
+    doubling as the occupancy marker), a second keyed exchange
+    co-locates arrivals with the destination's own total, and the
+    per-block (d, n_pairs, sum_sqdiff) partials — at most VARIO_K rows
+    each — merge through a single-partition final pass. The exchanges
+    ship int64 triples bounded by the res-5 universe × ring size, never
+    by page count. The oracle recomputes the surface as an occupied ×
+    occupied axial self-join with the closed-form hex distance —
+    independent of grid_ring's offset table and of the two-exchange
+    decomposition."""
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        if t.num_rows == 0:
+            return empty
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = pts.map_batches(partials, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def settle_scatter(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "n_src": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        w = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        n = np.zeros(cells.size, np.int64)
+        np.add.at(n, inv, w)  # exact totals: the exchange co-located all partials
+        out_c = [cells]
+        out_d = [np.zeros(cells.size, np.int64)]
+        out_n = [n]
+        ucells = cells.view(np.uint64)
+        for d in range(1, VARIO_K + 1):
+            ring = hexgrid.grid_ring(ucells, d)  # (n_cells, 6d)
+            out_c.append(ring.ravel().view(np.int64))
+            out_d.append(np.full(ring.size, d, np.int64))
+            out_n.append(np.repeat(n, 6 * d))
+        return pa.table({"cell": pa.array(np.concatenate(out_c), pa.int64()),
+                         "d": pa.array(np.concatenate(out_d), pa.int64()),
+                         "n_src": pa.array(np.concatenate(out_n), pa.int64())})
+
+    rows = parts.map_batches(settle_scatter, batch_format="pyarrow",
+                             batch_size=None)
+    rows = rows.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def combine(block: pa.Table) -> pa.Table:
+        empty = pa.table({"dist": pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "sum_sqdiff": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(block["d"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ns = np.asarray(block["n_src"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        own = np.zeros(cells.size, np.int64)
+        here = d == 0
+        own[inv[here]] = ns[here]          # one settled total per cell
+        occupied = np.zeros(cells.size, bool)
+        occupied[inv[here]] = True
+        keep = (~here) & occupied[inv]     # arrivals landing on occupied cells
+        if not keep.any():
+            return empty
+        diff = ns[keep] - own[inv[keep]]
+        dk = d[keep]
+        sq = diff * diff
+        dist = np.arange(1, VARIO_K + 1, dtype=np.int64)
+        cnt = np.zeros(VARIO_K, np.int64)
+        ssq = np.zeros(VARIO_K, np.int64)
+        np.add.at(cnt, dk - 1, 1)
+        np.add.at(ssq, dk - 1, sq)
+        nz = cnt > 0
+        return pa.table({"dist": pa.array(dist[nz], pa.int64()),
+                         "n_pairs": pa.array(cnt[nz], pa.int64()),
+                         "sum_sqdiff": pa.array(ssq[nz], pa.int64())})
+
+    local = rows.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    merged = local.repartition(1)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dist": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "sum_sqdiff": pa.array([], pa.int64())})
+        d = np.asarray(t["dist"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cn = np.asarray(t["n_pairs"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sq = np.asarray(t["sum_sqdiff"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        dist, inv = np.unique(d, return_inverse=True)
+        cnt = np.zeros(dist.size, np.int64)
+        ssq = np.zeros(dist.size, np.int64)
+        np.add.at(cnt, inv, cn)
+        np.add.at(ssq, inv, sq)
+        return pa.table({"dist": pa.array(dist, pa.int64()),
+                         "n_pairs": pa.array(cnt, pa.int64()),
+                         "sum_sqdiff": pa.array(ssq, pa.int64())})
+
+    return merged.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
 def gyration_query(sf_dir: str):
     """q125: per-host mobility profile — for every host the modal res-7
     "home" cell of its geocoded captures (ties to the smallest cell id),
@@ -3214,6 +3359,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q131_cost_distance": spatialsql.q131_sql(OBST_K),
         "q132_flow_pagerank": spatialsql.q132_sql(PAGERANK_T, PR_SCALE,
                                                   PR_TELEPORT),
+        "q133_semivariogram": spatialsql.q133_sql(VARIO_K),
     }
 
 

@@ -946,6 +946,36 @@ FROM pgq a JOIN pgq b
 GROUP BY a.cell, a.n_pages"""
 
 
+def q133_sql(k: int) -> str:
+    """q133 oracle: empirical semivariogram — per-cell page totals from
+    the captures mirror, then an occupied × occupied axial self-join at
+    closed-form hex distance 1..k, grouped by lag: ordered-pair count
+    and HUGEINT-exact sum of squared mass differences. Independent of
+    the engine's grid_ring offset table and of its settle-then-scatter
+    two-exchange decomposition (the mirror never forms partials)."""
+    mask = (1 << 30) - 1
+    dexpr = ("(abs(a.q - b.q) + abs(a.r - b.r)"
+             " + abs((a.q - b.q) + (a.r - b.r))) / 2")
+    return f"""WITH {captures_ctes()},
+pg AS (
+  SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n_pages
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+),
+pgq AS (
+  SELECT cell, n_pages,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM pg
+)
+SELECT CAST({dexpr} AS BIGINT) AS dist,
+       COUNT(*)::BIGINT AS n_pairs,
+       CAST(SUM(CAST(a.n_pages - b.n_pages AS HUGEINT)
+                * (a.n_pages - b.n_pages)) AS BIGINT) AS sum_sqdiff
+FROM pgq a JOIN pgq b
+  ON {dexpr} BETWEEN 1 AND {k}
+GROUP BY 1"""
+
+
 def q124_sql() -> str:
     """q124 oracle: OD flow — LAG window over the captures mirror
     (PARTITION BY host ORDER BY ts_us, url — ts_us is unique by

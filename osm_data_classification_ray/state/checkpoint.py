@@ -74,6 +74,27 @@ def is_complete(root: str, stage: str, fp: str) -> bool:
         return False
 
 
+def _commit(tmp: str, final: str, root: str, stage: str, fp: str) -> None:
+    """Atomically promote ``tmp`` to ``final``. If a CONCURRENT writer of
+    the same stage won the rename first (two jobs sharing a checkpoint
+    root — e.g. the test suite and an ad-hoc bench both materializing
+    sf0.001), accept its output iff it completes with the SAME
+    fingerprint; only then drop our duplicate tmp. Any other rename
+    failure re-raises. The winner writes ``_SUCCESS`` an instant after
+    its rename, so the loser polls briefly instead of failing on the
+    gap."""
+    try:
+        os.replace(tmp, final)
+        return
+    except OSError:
+        for _ in range(50):
+            if is_complete(root, stage, fp):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            time.sleep(0.1)
+        raise
+
+
 def _partition_lineage(d: str) -> list[dict[str, Any]]:
     import pyarrow.parquet as pq
 
@@ -144,7 +165,7 @@ def run_stage(
         json.dump(manifest, f, indent=1)
     with open(os.path.join(tmp, "stats.txt"), "w") as f:
         f.write(stats)
-    os.replace(tmp, final)
+    _commit(tmp, final, root, stage, fp)
     with open(os.path.join(final, "_SUCCESS"), "w") as f:
         f.write("")
     return final
@@ -175,7 +196,7 @@ def finalize_dir_stage(
     }
     with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
-    os.replace(tmp_dir, final)
+    _commit(tmp_dir, final, root, stage, fp)
     with open(os.path.join(final, "_SUCCESS"), "w") as f:
         f.write("")
     return final

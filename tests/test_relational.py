@@ -96,6 +96,8 @@ def _spatial_oracles():
                                es.SPATIAL_SQL["q131_cost_distance"]),
         "q132_flow_pagerank": (es.flow_pagerank_query,
                                es.SPATIAL_SQL["q132_flow_pagerank"]),
+        "q133_semivariogram": (es.semivariogram_query,
+                               es.SPATIAL_SQL["q133_semivariogram"]),
     }
 
 
