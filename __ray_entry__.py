@@ -250,6 +250,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q131_cost_distance": es.cost_distance_query,
             "q132_flow_pagerank": es.flow_pagerank_query,
             "q133_semivariogram": es.semivariogram_query,
+            "q134_admin_boundary": es.admin_boundary_query,
+            "q135_cell_trend": es.cell_trend_query,
+            "q136_dup_lines": es.dup_lines_query,
         }
     )
     return out

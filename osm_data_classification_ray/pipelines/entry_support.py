@@ -172,6 +172,68 @@ def boilerplate_query(sf_dir: str):
         Sum("one", alias_name="n_lines"), Sum("boiler", alias_name="n_boiler"))
 
 
+def dup_lines_query(sf_dir: str):
+    """q136: per-document duplicate-line repetition stats — the
+    Gopher-style intra-document repetition quality rule (Rae et al.'s
+    "fraction of duplicate lines" signal, the within-doc sibling of
+    q115's cross-doc boilerplate rule). Per latest page: the non-empty
+    line count, the number of line occurrences belonging to a
+    within-doc duplicate group (count ≥ 2), and the total character
+    mass of those occurrences — all integers, so the ratio thresholds a
+    downstream filter would apply stay exact on both sides.
+
+    Shape: embarrassingly parallel — one stateless vectorized
+    map_batches (Arrow split_pattern + list flatten, per-block
+    (doc, line) sort, run-length duplicate marking, np.add.at doc
+    rollup); no exchange at any scale. The oracle is plain SQL string
+    grouping per (url, line)."""
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_pages(cfg, ["url", "extracted_text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_dup_lines": pa.array([], pa.int64()),
+                          "dup_chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lines = pc.split_pattern(t["extracted_text"].combine_chunks(), "\n")
+        flat = pc.list_flatten(lines)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(t.num_rows), counts)
+        nonempty = pc.greater(pc.binary_length(flat), 0)
+        mask = np.asarray(nonempty.to_numpy(zero_copy_only=False), dtype=bool)
+        idx = idx[mask]
+        tab = pa.table({"i": pa.array(idx, pa.int64()),
+                        "line": flat.filter(nonempty)})
+        if tab.num_rows == 0:
+            return empty
+        order = pc.sort_indices(tab, sort_keys=[("i", "ascending"),
+                                                ("line", "ascending")])
+        tab = tab.take(order).combine_chunks()
+        i = np.asarray(tab["i"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ln = np.asarray(pc.dictionary_encode(tab["line"].combine_chunks()).indices)
+        chlen = np.asarray(pc.utf8_length(tab["line"]).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, (i[1:] != i[:-1]) | (ln[1:] != ln[:-1])])
+        run_len = np.diff(np.r_[starts, len(i)])
+        is_dup = np.repeat(run_len >= 2, run_len)
+        n_lines = np.zeros(t.num_rows, np.int64)
+        n_dup = np.zeros(t.num_rows, np.int64)
+        d_chars = np.zeros(t.num_rows, np.int64)
+        np.add.at(n_lines, i, 1)
+        np.add.at(n_dup, i, is_dup.astype(np.int64))
+        np.add.at(d_chars, i, np.where(is_dup, chlen, 0))
+        present = n_lines > 0  # docs whose ext is all-empty mirror to no rows
+        return pa.table(
+            {"url": t["url"].combine_chunks().filter(pa.array(present)),
+             "n_lines": pa.array(n_lines[present], pa.int64()),
+             "n_dup_lines": pa.array(n_dup[present], pa.int64()),
+             "dup_chars": pa.array(d_chars[present], pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def _hex(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -1454,6 +1516,113 @@ def admin_adjacency_query(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def admin_boundary_query(sf_dir: str):
+    """q134: boundary extraction — per level-1 admin polygon, the size
+    of its res-5 rasterization and the number of BOUNDARY cells: kept
+    cells with fewer than 6 axial neighbors owned by the same admin.
+    The morphological-erosion / edge-detection op of raster GIS
+    (perimeter estimation, coastline cells), completing the morphology
+    algebra: dilate (q113 buffer), label (q112 regions), erode-edge
+    (this). Interior count is ``n_cells - n_boundary``.
+
+    Shape (the q118 scatter pattern, counted instead of paired): each
+    kept raster cell emits itself as an OWNER row plus its 6 grid_ring
+    neighbors as NEIGHBOR rows under the same admin → ONE cell-keyed
+    hash exchange → per (cell, admin) run: boundary iff the owner row
+    is present and fewer than 6 neighbor rows arrived (raster cells are
+    unique per admin, so neighbor arrivals count distinct owned
+    neighbors exactly) → bounded per-block (admin, n_cells, n_boundary)
+    partials merge through a single-partition final pass. The oracle
+    re-derives kept from the q87 candidate-lattice mirror and LEFT
+    JOINs the 6 literal axial offsets — no grid_ring table, no scatter
+    decomposition."""
+    import ray.data as rd
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    ds = rd.from_arrow(polys).repartition(16)
+
+    def level1_cells(t: pa.Table) -> pa.Table:
+        r = _raster_cells_block(t)
+        return r.filter(pc.equal(r["level"], pa.scalar(1, pa.int64())))
+
+    cells = ds.map_batches(level1_cells, batch_format="pyarrow")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if not len(c):
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "admin_id": pa.array([], pa.int64()),
+                             "owner": pa.array([], pa.int8())})
+        nb = hexgrid.grid_ring(c.view(np.uint64), 1).view(np.int64)  # (n, 6)
+        cell_out = np.concatenate([c, nb.ravel()])
+        adm_out = np.concatenate([a, np.repeat(a, 6)])
+        own = np.concatenate([np.ones(len(c), np.int8),
+                              np.zeros(6 * len(c), np.int8)])
+        return pa.table({"cell": pa.array(cell_out, pa.int64()),
+                         "admin_id": pa.array(adm_out, pa.int64()),
+                         "owner": pa.array(own, pa.int8())})
+
+    rows = cells.map_batches(scatter, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def classify(block: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "n_cells": pa.array([], pa.int64()),
+                          "n_boundary": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ow = np.asarray(block["owner"].to_numpy(zero_copy_only=False), dtype=np.int8)
+        order = np.lexsort((c, a))
+        c, a, ow = c[order], a[order], ow[order]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (c[1:] != c[:-1])])
+        run_len = np.diff(np.r_[starts, len(c)])
+        ridx = np.repeat(np.arange(starts.size), run_len)
+        owned = np.zeros(starts.size, bool)
+        np.logical_or.at(owned, ridx, ow == 1)
+        n_nb = np.zeros(starts.size, np.int64)
+        np.add.at(n_nb, ridx, (ow == 0).astype(np.int64))
+        keep = owned
+        adm = a[starts][keep]
+        bnd = (n_nb[keep] < 6).astype(np.int64)
+        admins, inv = np.unique(adm, return_inverse=True)
+        n_cells = np.zeros(admins.size, np.int64)
+        n_bnd = np.zeros(admins.size, np.int64)
+        np.add.at(n_cells, inv, 1)
+        np.add.at(n_bnd, inv, bnd)
+        return pa.table({"admin_id": pa.array(admins, pa.int64()),
+                         "n_cells": pa.array(n_cells, pa.int64()),
+                         "n_boundary": pa.array(n_bnd, pa.int64())})
+
+    local = rows.map_batches(classify, batch_format="pyarrow", batch_size=None)
+    merged = local.repartition(1)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"admin_id": pa.array([], pa.int64()),
+                             "n_cells": pa.array([], pa.int64()),
+                             "n_boundary": pa.array([], pa.int64())})
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nc = np.asarray(t["n_cells"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nb = np.asarray(t["n_boundary"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        admins, inv = np.unique(a, return_inverse=True)
+        cells_tot = np.zeros(admins.size, np.int64)
+        bnd_tot = np.zeros(admins.size, np.int64)
+        np.add.at(cells_tot, inv, nc)
+        np.add.at(bnd_tot, inv, nb)
+        return pa.table({"admin_id": pa.array(admins, pa.int64()),
+                         "n_cells": pa.array(cells_tot, pa.int64()),
+                         "n_boundary": pa.array(bnd_tot, pa.int64())})
+
+    return merged.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
 #: q119 distance-transform cap (hex steps); cells farther than this from
 #: every target cell collapse to DIST_K + 1 (the "far" bucket)
 DIST_K = 4
@@ -2234,6 +2403,97 @@ def flow_pagerank_query(sf_dir: str):
 #: q133 semivariogram lag cap (hex steps on the res-5 lattice): bins
 #: d = 1..VARIO_K; pairs farther apart contribute to no bin
 VARIO_K = 3
+
+#: q135 trend time-bin width: 30 days in microseconds. The bin count per
+#: cell is bounded by the corpus's crawl window (fixed for a real crawl),
+#: never by page count — the O(B^2) sign kernel stays constant-size
+TREND_BIN_US = 30 * 86_400_000_000
+
+
+def cell_trend_query(sf_dir: str):
+    """q135: per-cell temporal trend — for every occupied res-5 cell
+    (ALL geocoded captures), the Mann-Kendall S statistic over its
+    30-day activity series: ``S = sum_{i<j} sign(c_j - c_i)`` across the
+    DENSE bin range [first, last] of that cell (empty months inside the
+    span count as zeros — they are what makes a die-off a downtrend).
+    The emerging-hot-spot / trend-detection op of space-time analytics
+    (ESRI's emerging hot spot analysis runs exactly this statistic per
+    cell), joining Knox (q109) in the space-time family. All-integer:
+    S, the span length, and the page total are exact.
+
+    Shape: ONE cell-keyed exchange of per-block (cell, bin, n) partials
+    co-locates each cell's timeline; the per-cell dense vector and the
+    pairwise sign sum are computed vectorized per run (B x B sign matrix
+    over a bounded bin count — the crawl window, not the page count).
+    The oracle rebuilds the dense series with generate_series per cell
+    and an i<j self-join — never seeing the engine's binning kernel."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "warc_ts", "has_geo"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "bin": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        t = t.filter(t["has_geo"])
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = ts // TREND_BIN_US
+        key = np.stack([c, b], axis=1)
+        uk, n = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"cell": pa.array(uk[:, 0], pa.int64()),
+                         "bin": pa.array(uk[:, 1], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = pts.map_batches(partials, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def trend(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_bins": pa.array([], pa.int64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "mk_s": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("cell", "ascending"),
+                                                  ("bin", "ascending")])
+        block = block.take(order).combine_chunks()
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(block["bin"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        w = np.asarray(block["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        out_c, out_b, out_n, out_s = [], [], [], []
+        for s, e in zip(starts, ends):
+            bb, ww = b[s:e], w[s:e]
+            # partials for the same (cell, bin) from different blocks
+            ub, inv = np.unique(bb, return_inverse=True)
+            cnt = np.zeros(ub.size, np.int64)
+            np.add.at(cnt, inv, ww)
+            b0, b1 = int(ub[0]), int(ub[-1])
+            dense = np.zeros(b1 - b0 + 1, np.int64)
+            dense[ub - b0] = cnt
+            sign = np.sign(dense[None, :] - dense[:, None])
+            s_stat = int(np.triu(sign, k=1).sum())
+            out_c.append(c[s])
+            out_b.append(b1 - b0 + 1)
+            out_n.append(int(cnt.sum()))
+            out_s.append(s_stat)
+        return pa.table(
+            {"cell": pa.array(np.array(out_c, np.int64).view(np.uint64),
+                              pa.uint64()),
+             "n_bins": pa.array(out_b, pa.int64()),
+             "n_pages": pa.array(out_n, pa.int64()),
+             "mk_s": pa.array(out_s, pa.int64())})
+
+    return parts.map_batches(trend, batch_format="pyarrow", batch_size=None)
 
 
 def semivariogram_query(sf_dir: str):
@@ -3360,6 +3620,9 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q132_flow_pagerank": spatialsql.q132_sql(PAGERANK_T, PR_SCALE,
                                                   PR_TELEPORT),
         "q133_semivariogram": spatialsql.q133_sql(VARIO_K),
+        "q134_admin_boundary": spatialsql.q134_sql(),
+        "q135_cell_trend": spatialsql.q135_sql(TREND_BIN_US),
+        "q136_dup_lines": spatialsql.q136_sql(),
     }
 
 

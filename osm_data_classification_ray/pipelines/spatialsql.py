@@ -976,6 +976,41 @@ FROM pgq a JOIN pgq b
 GROUP BY 1"""
 
 
+def q135_sql(bin_us: int) -> str:
+    """q135 oracle: per-cell Mann-Kendall S — per (cell, 30-day bin)
+    counts from the captures mirror, the DENSE bin series rebuilt with
+    generate_series over each cell's [first, last] span (zeros filled by
+    a LEFT JOIN), then the textbook i<j pairwise sign self-join. Never
+    sees the engine's run-length binning or its B×B sign-matrix
+    kernel."""
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT cell_r5 AS cell, ts_us // {bin_us} AS b, COUNT(*)::BIGINT AS n
+  FROM cap WHERE has_geo GROUP BY cell_r5, b
+),
+sp AS (
+  SELECT cell, MIN(b) AS b0, MAX(b) AS b1, SUM(n)::BIGINT AS n_pages
+  FROM g GROUP BY cell
+),
+dense AS (
+  SELECT cell, UNNEST(generate_series(b0, b1)) AS b FROM sp
+),
+v AS (
+  SELECT d.cell, d.b, COALESCE(g.n, 0) AS n
+  FROM dense d LEFT JOIN g ON g.cell = d.cell AND g.b = d.b
+),
+s AS (
+  SELECT a.cell,
+         SUM(CASE WHEN b2.n > a.n THEN 1
+                  WHEN b2.n < a.n THEN -1 ELSE 0 END) AS s
+  FROM v a JOIN v b2 ON b2.cell = a.cell AND b2.b > a.b
+  GROUP BY a.cell
+)
+SELECT sp.cell, CAST(sp.b1 - sp.b0 + 1 AS BIGINT) AS n_bins, sp.n_pages,
+       CAST(COALESCE(s.s, 0) AS BIGINT) AS mk_s
+FROM sp LEFT JOIN s ON s.cell = sp.cell"""
+
+
 def q124_sql() -> str:
     """q124 oracle: OD flow — LAG window over the captures mirror
     (PARTITION BY host ORDER BY ts_us, url — ts_us is unique by
@@ -1209,6 +1244,29 @@ SELECT {_pack(5, 'q', 'r')} AS cell, CAST(admin_id AS BIGINT) AS admin_id
 FROM best WHERE rn = 1"""
 
 
+def q134_sql() -> str:
+    """q134 oracle: boundary extraction — the kept (center-inside)
+    level-1 rasterization from the candidate-lattice mirror, each cell
+    LEFT JOINed against the 6 literal axial unit offsets within the same
+    admin; boundary iff fewer than 6 matched. Independent of the
+    engine's grid_ring offset table and of its owner/neighbor scatter
+    decomposition."""
+    return f"""WITH {_buffer_ctes(0)},
+dirs(dq, dr) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)),
+nb AS (
+  SELECT k.admin_id, k.q, k.r,
+         SUM(CASE WHEN k2.q IS NOT NULL THEN 1 ELSE 0 END) AS n_nb
+  FROM kept k CROSS JOIN dirs d
+  LEFT JOIN kept k2 ON k2.admin_id = k.admin_id
+                   AND k2.q = k.q + d.dq AND k2.r = k.r + d.dr
+  GROUP BY k.admin_id, k.q, k.r
+)
+SELECT CAST(admin_id AS BIGINT) AS admin_id,
+       COUNT(*)::BIGINT AS n_cells,
+       SUM(CASE WHEN n_nb < 6 THEN 1 ELSE 0 END)::BIGINT AS n_boundary
+FROM nb GROUP BY admin_id"""
+
+
 def q131_sql(k: int) -> str:
     """q131 oracle: obstructed cost distance — depot = cells of the
     smallest level-1 admin in the kept rasterization, obstacles = other
@@ -1325,6 +1383,24 @@ SELECT l.url, COUNT(*)::BIGINT AS n_lines,
        SUM(CASE WHEN b.nd >= {min_docs} THEN 1 ELSE 0 END)::BIGINT AS n_boiler
 FROM ls l JOIN bl b ON b.host = l.host AND b.line = l.line
 GROUP BY l.url"""
+
+
+def q136_sql() -> str:
+    """q136 oracle: per-document duplicate-line stats — UNNEST the
+    latest pages' non-empty lines, COUNT per (url, line), then the
+    plain conditional rollup. LENGTH is DuckDB's character count,
+    matching the engine's utf8_length. No run-length or dictionary
+    machinery leaks in."""
+    return f"""WITH {captures_ctes()},
+pg AS (SELECT url, ext FROM cap WHERE is_latest),
+l0 AS (SELECT url, UNNEST(string_split(ext, chr(10))) AS line FROM pg),
+l AS (SELECT url, line FROM l0 WHERE line <> ''),
+g AS (SELECT url, line, COUNT(*)::BIGINT AS c FROM l GROUP BY url, line)
+SELECT url, SUM(c)::BIGINT AS n_lines,
+       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup_lines,
+       CAST(SUM(CASE WHEN c >= 2 THEN c * LENGTH(line) ELSE 0 END)
+            AS BIGINT) AS dup_chars
+FROM g GROUP BY url"""
 
 
 def q118_sql() -> str:

@@ -98,6 +98,12 @@ def _spatial_oracles():
                                es.SPATIAL_SQL["q132_flow_pagerank"]),
         "q133_semivariogram": (es.semivariogram_query,
                                es.SPATIAL_SQL["q133_semivariogram"]),
+        "q134_admin_boundary": (es.admin_boundary_query,
+                                es.SPATIAL_SQL["q134_admin_boundary"]),
+        "q135_cell_trend": (es.cell_trend_query,
+                            es.SPATIAL_SQL["q135_cell_trend"]),
+        "q136_dup_lines": (es.dup_lines_query,
+                           es.SPATIAL_SQL["q136_dup_lines"]),
     }
 
 
