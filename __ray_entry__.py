@@ -161,7 +161,14 @@ _DRIVER_WINDOW = [
     # Gini concentration numerator (inequality-index family, exact
     # sorted closed form) — enters.)
     "q128_admin_gini",
-    "q55_tfidf_top_terms", "q66_minhash_bands", "q69_decontaminate",
+    # (q66 rotated out at round-5 close: MinHash band keys stay in-window
+    # via q20 (the full MinHash-LSH chain computes the identical band
+    # hashes) and q69 (decontamination joins on the same band keys); q66
+    # keeps its repo oracle test and CORRECTNESS_r03/r04 green rows.
+    # q135 — per-cell Mann-Kendall trend, the emerging-hot-spot statistic
+    # and the space-time family's in-window member beside q124's OD flows
+    # (q109 Knox stays past-window) — enters.)
+    "q55_tfidf_top_terms", "q135_cell_trend", "q69_decontaminate",
     "q70_substring_dup", "q71_chunk_docs", "q72_numericalize",
     # (q74 rotated out round 5: q98 embeds q74's projection machinery —
     # its oracle wraps _q74_sql verbatim; q68 rotated out: q95 strictly
