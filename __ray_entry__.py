@@ -260,6 +260,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q134_admin_boundary": es.admin_boundary_query,
             "q135_cell_trend": es.cell_trend_query,
             "q136_dup_lines": es.dup_lines_query,
+            "q137_lisa": es.lisa_query,
+            "q138_join_counts": es.join_counts_query,
+            "q139_covisit_pairs": es.covisit_query,
         }
     )
     return out

@@ -1113,6 +1113,361 @@ def hotspot_gistar_query(sf_dir: str):
     return nb.map_batches(finish, batch_format="pyarrow")
 
 
+def lisa_query(sf_dir: str):
+    """q137: local Moran's I (Anselin's LISA) on the res-7 hex raster —
+    the per-cell decomposition of q99's GLOBAL Moran statistic, closing
+    the local-statistics family (q97 focal mean, q101 Gi*, and now the
+    local-autocorrelation member with its cluster-quadrant labels:
+    HH/LL hot/cold clusters, HL/LH spatial outliers — the choropleth
+    "LISA cluster map" of geo-analytics).
+
+    Integer-exact at any parallelism via q99's centered algebra: with N
+    occupied cells and total S, c_i = N·x_i − S makes the per-cell local
+    numerator ``lisa_num_i = c_i · Σ_{j∈nb(i)} c_j`` pure int64 (the
+    denominator is a global constant, so ranking and quadrant signs need
+    only the numerator). The quadrant is the sign pair
+    (1 HH, 2 LL, 3 HL, 4 LH, 0 when either side is exactly the mean).
+
+    Shape: exactly q99's plan with a per-cell (not global) final — one
+    count exchange (bounded by the occupied res-7 universe) → tiny (N, S)
+    aggregate → 6-fold ring-1 scatter by lattice arithmetic → ONE
+    center-keyed aggregate; the self row carries c_i and the occupancy
+    marker, so x_i is recovered exactly as (c_i + S)/N with no join back.
+    Range contract as q99: |c_i·lag_i| < 2^63 holds to ~40M occupied
+    cells at x_max ~ 10³; beyond, split into 32-bit limbs (q66
+    precedent). Oracle: spatialsql.q137_sql — independent axial
+    self-join neighborhood (LEFT JOIN keeps isolated cells with lag 0)
+    + the identical sign algebra."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r7", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r7"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    ).materialize()  # bounded by the occupied res-7 cell universe
+
+    tot = agg.aggregate(Count(alias_name="n"), Sum("n_pages", alias_name="s"))
+    n_cells = int(tot["n"] or 0)
+    s_tot = int(tot["s"] or 0)
+
+    empty = pa.table({"h3_r7": pa.array([], pa.uint64()),
+                      "n_pages": pa.array([], pa.int64()),
+                      "n_nb": pa.array([], pa.int64()),
+                      "c_val": pa.array([], pa.int64()),
+                      "lag_c": pa.array([], pa.int64()),
+                      "lisa_num": pa.array([], pa.int64()),
+                      "quad": pa.array([], pa.int64())})
+    if n_cells == 0:
+        return empty
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"center": z, "nb_c": z, "self_c": z, "occ": z,
+                             "is_nb": z})
+        cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        x = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        c = n_cells * x - s_tot
+        disks = hexgrid.grid_disk(cells, 1)                      # (rows, 7)
+        flat_self = (disks == cells[:, None]).ravel()
+        c7 = np.repeat(c, disks.shape[1])
+        return pa.table({
+            # res-7 ids fit int63: bit-cast for the shuffle key (q97 note)
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "nb_c": pa.array(np.where(flat_self, 0, c7), pa.int64()),
+            "self_c": pa.array(np.where(flat_self, c7, 0), pa.int64()),
+            "occ": pa.array(flat_self.astype(np.int64), pa.int64()),
+            "is_nb": pa.array((~flat_self).astype(np.int64), pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("nb_c", alias_name="lag_c"),
+        Sum("self_c", alias_name="c_val"),
+        Sum("occ", alias_name="occ"),
+        Sum("is_nb", alias_name="n_nb"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # occupied centers only: exactly the cells with a self row; their
+        # n_nb counts occupied neighbors by construction (only occupied
+        # cells scatter)
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        if t.num_rows == 0:
+            return empty
+        cv = np.asarray(t["c_val"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        lag = np.asarray(t["lag_c"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nn = np.asarray(t["n_nb"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cells = np.asarray(t["center"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        # x_i = (c_i + S)/N exactly (c_i = N·x_i − S) — no extra column
+        x = (cv + s_tot) // n_cells
+        quad = np.where((cv > 0) & (lag > 0), 1,
+                        np.where((cv < 0) & (lag < 0), 2,
+                                 np.where((cv > 0) & (lag < 0), 3,
+                                          np.where((cv < 0) & (lag > 0), 4,
+                                                   0)))).astype(np.int64)
+        return pa.table({
+            "h3_r7": pa.array(cells.astype(np.uint64), pa.uint64()),
+            "n_pages": pa.array(x, pa.int64()),
+            "n_nb": pa.array(nn, pa.int64()),
+            "c_val": pa.array(cv, pa.int64()),
+            "lag_c": pa.array(lag, pa.int64()),
+            "lisa_num": pa.array(cv * lag, pa.int64()),
+            "quad": pa.array(quad, pa.int64()),
+        })
+
+    return nb.map_batches(finish, batch_format="pyarrow")
+
+
+def join_counts_query(sf_dir: str):
+    """q138: join-count statistics on the res-7 hex raster — the
+    CATEGORICAL spatial-autocorrelation statistic (Cliff & Ord's BB/BW/WW
+    join counts), beside the continuous members q99 (Moran) and q137
+    (LISA). Each occupied cell is colored black iff its page count is
+    strictly above the global mean — integer-exact as N·x_i > S, no
+    division — and the statistic counts ORDERED occupied ring-1 neighbor
+    pairs by color pair: bb (black–black), bw (mixed, both directions),
+    ww (white–white). Ordered pairs are 2× the textbook unordered counts,
+    identically on both sides (the q133 convention). One summary row:
+    (n_cells, n_black, n_white, bb, bw, ww).
+
+    Shape: q99's plan with color payloads — one count exchange → tiny
+    (N, S) aggregate → ring-1 scatter where the self row carries the
+    center's own color + occupancy and neighbor rows carry the arrival's
+    color → ONE center-keyed aggregate → per-block int64 partials →
+    constant driver combine. Oracle: spatialsql.q138_sql — independent
+    axial self-join + the identical color CASE."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r7", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r7"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    ).materialize()  # bounded by the occupied res-7 cell universe
+
+    tot = agg.aggregate(Count(alias_name="n"), Sum("n_pages", alias_name="s"))
+    n_cells = int(tot["n"] or 0)
+    s_tot = int(tot["s"] or 0)
+
+    def _final(n_black: int, bb: int, bw: int, ww: int) -> pa.Table:
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "n_black": pa.array([n_black], pa.int64()),
+            "n_white": pa.array([n_cells - n_black], pa.int64()),
+            "bb": pa.array([bb], pa.int64()),
+            "bw": pa.array([bw], pa.int64()),
+            "ww": pa.array([ww], pa.int64()),
+        })
+
+    if n_cells == 0:
+        return _final(0, 0, 0, 0)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"center": z, "nb_black": z, "nb_occ": z,
+                             "self_black": z, "occ": z})
+        cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        x = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = (n_cells * x > s_tot).astype(np.int64)   # black = above mean
+        disks = hexgrid.grid_disk(cells, 1)          # (rows, 7)
+        flat_self = (disks == cells[:, None]).ravel()
+        b7 = np.repeat(b, disks.shape[1])
+        return pa.table({
+            # res-7 ids fit int63: bit-cast for the shuffle key (q97 note)
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "nb_black": pa.array(np.where(flat_self, 0, b7), pa.int64()),
+            "nb_occ": pa.array((~flat_self).astype(np.int64), pa.int64()),
+            "self_black": pa.array(np.where(flat_self, b7, 0), pa.int64()),
+            "occ": pa.array(flat_self.astype(np.int64), pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("nb_black", alias_name="kb"),
+        Sum("nb_occ", alias_name="k"),
+        Sum("self_black", alias_name="b_self"),
+        Sum("occ", alias_name="occ"),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        # occupied centers only (w_ij requires both endpoints occupied);
+        # every scattered neighbor row came from an occupied source
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        kb = np.asarray(t["kb"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bc = np.asarray(t["b_self"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        kw = k - kb
+        return pa.table({
+            "n_black": pa.array([int(bc.sum())], pa.int64()),
+            "bb": pa.array([int(np.sum(bc * kb))], pa.int64()),
+            "bw": pa.array([int(np.sum(bc * kw + (1 - bc) * kb))], pa.int64()),
+            "ww": pa.array([int(np.sum((1 - bc) * kw))], pa.int64()),
+        })
+
+    parts = nb.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("n_black", alias_name="n_black"), Sum("bb", alias_name="bb"),
+        Sum("bw", alias_name="bw"), Sum("ww", alias_name="ww"))
+    return _final(int(parts["n_black"] or 0), int(parts["bb"] or 0),
+                  int(parts["bw"] or 0), int(parts["ww"] or 0))
+
+
+#: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
+#: out single-chance co-presence (the co-traveler repeat rule)
+COVISIT_MIN = 2
+
+
+def covisit_query(sf_dir: str):
+    """q139: host co-visit pairs — the co-traveler detection op of
+    spatiotemporal data mining: pairs of hosts co-present in the same
+    1°×1° grid square on the same UTC day at least COVISIT_MIN distinct
+    (square, day) slots, with the shared-slot count as the edge weight.
+    The spatio-TEMPORAL identity join neither q127 (shared admins, no
+    time) nor q109 (point pairs, no identity) expresses: presence =
+    DISTINCT (host, square, day) over ALL geocoded captures (movement
+    history, not just latest). The square is integer-exact: microdegree
+    coordinates (the q85 ROUND(lat·1e6) contract) floor-divided by 10⁶,
+    so both engines derive identical int64 grid keys.
+
+    Shape: q127's interning machinery — host strings interned once
+    against a broadcast sorted dictionary so only int32 ids cross the
+    exchanges — then per-block distinct (gy, gx, day, hid) partials →
+    ONE slot-keyed exchange (bounded by slots × hosts-per-slot, never
+    raw captures) → per-slot global distinct + triangular pair emission
+    (the q110/q118 bounded-run pattern; id order = binary host order
+    since the dictionary is sorted) → pair-keyed count groupby →
+    threshold + re-attach host strings. Hot slots (event days at a
+    hub square) are the q85 hot-square shape — chunked emission is the
+    scale cure, never a cap. Oracle: spatialsql.q139_sql — plain
+    DISTINCT + self-join on (gy, gx, day) with host_a < host_b."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "lat", "lon", "warc_ts", "has_geo"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["has_geo"]).select(["host", "lat", "lon",
+                                                 "warc_ts"]),
+        batch_format="pyarrow",
+    )
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"host": pc.unique(t["host"].combine_chunks())})
+
+    hosts = pa.concat_tables(
+        [x for x in ray.get(pts.map_batches(
+            host_partial, batch_format="pyarrow").to_arrow_refs())])
+    host_arr = pc.unique(hosts["host"].combine_chunks())
+    host_arr = host_arr.take(pc.array_sort_indices(host_arr))
+    host_ref = ray.put(host_arr)
+
+    _DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gy": pa.array([], pa.int64()),
+                          "gx": pa.array([], pa.int64()),
+                          "day": pa.array([], pa.int64()),
+                          "hid": pa.array([], pa.int32())})
+        if t.num_rows == 0:
+            return empty
+        import ray as _ray
+
+        hid = pc.index_in(t["host"].combine_chunks(),
+                          value_set=_ray.get(host_ref)).cast(pa.int32())
+        lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False))
+        lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False))
+        gy = np.rint(lat * 1e6).astype(np.int64) // 1_000_000
+        gx = np.rint(lon * 1e6).astype(np.int64) // 1_000_000
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = ts // _DAY_US
+        hv = np.asarray(hid.to_numpy(zero_copy_only=False), dtype=np.int32)
+        order = np.lexsort((hv, d, gx, gy))
+        gy, gx, d, hv = gy[order], gx[order], d[order], hv[order]
+        uniq = np.r_[True, (gy[1:] != gy[:-1]) | (gx[1:] != gx[:-1])
+                     | (d[1:] != d[:-1]) | (hv[1:] != hv[:-1])]
+        return pa.table({"gy": pa.array(gy[uniq], pa.int64()),
+                         "gx": pa.array(gx[uniq], pa.int64()),
+                         "day": pa.array(d[uniq], pa.int64()),
+                         "hid": pa.array(hv[uniq], pa.int32())})
+
+    rows = pts.map_batches(partial, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["gy", "gx", "day"],
+                            sort=False)
+
+    def pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table({"ha": pa.array([], pa.int32()),
+                          "hb": pa.array([], pa.int32())})
+        if block.num_rows == 0:
+            return empty
+        gy = np.asarray(block["gy"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        gx = np.asarray(block["gx"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        d = np.asarray(block["day"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        h = np.asarray(block["hid"].to_numpy(zero_copy_only=False),
+                       dtype=np.int32)
+        order = np.lexsort((h, d, gx, gy))
+        gy, gx, d, h = gy[order], gx[order], d[order], h[order]
+        uniq = np.r_[True, (gy[1:] != gy[:-1]) | (gx[1:] != gx[:-1])
+                     | (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+        gy, gx, d, h = gy[uniq], gx[uniq], d[uniq], h[uniq]
+        starts = np.flatnonzero(np.r_[True, (gy[1:] != gy[:-1])
+                                      | (gx[1:] != gx[:-1])
+                                      | (d[1:] != d[:-1])])
+        ends = np.r_[starts[1:], len(gy)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            hs = h[s:e]
+            if hs.size < 2:
+                continue
+            ia, ib = np.triu_indices(hs.size, k=1)
+            out_a.append(hs[ia])
+            out_b.append(hs[ib])
+        if not out_a:
+            return empty
+        return pa.table({"ha": pa.array(np.concatenate(out_a), pa.int32()),
+                         "hb": pa.array(np.concatenate(out_b), pa.int32())})
+
+    p = rows.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    agg = p.groupby(["ha", "hb"],
+                    num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_slots"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = t.filter(pc.greater_equal(t["n_slots"],
+                                      pa.scalar(COVISIT_MIN, pa.int64())))
+        hs = _ray.get(host_ref)
+        return pa.table(
+            {"host_a": hs.take(t["ha"].combine_chunks().cast(pa.int64())),
+             "host_b": hs.take(t["hb"].combine_chunks().cast(pa.int64())),
+             "n_slots": t["n_slots"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 #: spatial-split hash stream — distinct from q68's per-doc stream 777
 _SPATIAL_SPLIT_STREAM = 778
 
@@ -3623,6 +3978,9 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q134_admin_boundary": spatialsql.q134_sql(),
         "q135_cell_trend": spatialsql.q135_sql(TREND_BIN_US),
         "q136_dup_lines": spatialsql.q136_sql(),
+        "q137_lisa": spatialsql.q137_sql(),
+        "q138_join_counts": spatialsql.q138_sql(),
+        "q139_covisit_pairs": spatialsql.q139_sql(COVISIT_MIN),
     }
 
 

@@ -670,6 +670,81 @@ SELECT nbr.h3_r7, nbr.n_pages, nbr.k, nbr.t_sum,
 FROM nbr CROSS JOIN tot"""
 
 
+def q137_sql() -> str:
+    """q137 oracle: local Moran (LISA) rebuilt INDEPENDENTLY — the
+    contiguity relation is the axial self-join on coordinates unpacked
+    out of the cell id (the q99 mirror), kept as a LEFT JOIN so isolated
+    occupied cells stay present with lag 0, and the statistic is the
+    identical integer sign algebra: c_i = N·x_i − S, lag_i = Σ_nb c_j,
+    lisa_num = c_i·lag_i, quadrant by sign pair (1 HH, 2 LL, 3 HL,
+    4 LH, 0 on an exact-mean side). BIGINT casts on every SUM (DuckDB
+    SUM returns HUGEINT)."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7, COUNT(*)::BIGINT AS n_pages
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT h3_r7, n_pages,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+tot AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(n_pages) AS BIGINT) AS s FROM u),
+c AS (SELECT u.h3_r7, u.n_pages, u.q, u.r,
+             CAST(tot.n * u.n_pages - tot.s AS BIGINT) AS cv
+      FROM u CROSS JOIN tot),
+nb AS (SELECT a.h3_r7, a.n_pages, a.cv,
+              COUNT(b.cv)::BIGINT AS n_nb,
+              CAST(COALESCE(SUM(b.cv), 0) AS BIGINT) AS lag
+       FROM c a LEFT JOIN c b
+         ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+            AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+            AND NOT (a.q = b.q AND a.r = b.r)
+       GROUP BY a.h3_r7, a.n_pages, a.cv)
+SELECT h3_r7, n_pages, n_nb, cv AS c_val, lag AS lag_c,
+       CAST(cv * lag AS BIGINT) AS lisa_num,
+       CAST(CASE WHEN cv > 0 AND lag > 0 THEN 1
+                 WHEN cv < 0 AND lag < 0 THEN 2
+                 WHEN cv > 0 AND lag < 0 THEN 3
+                 WHEN cv < 0 AND lag > 0 THEN 4
+                 ELSE 0 END AS BIGINT) AS quad
+FROM nb"""
+
+
+def q138_sql() -> str:
+    """q138 oracle: join-count statistics rebuilt INDEPENDENTLY — colors
+    from the integer above-mean test (n·x > s, no division), the
+    adjacency from the axial self-join (the q99 mirror), ORDERED pair
+    counts by color pair. COALESCE keeps the zero row when no pair
+    exists; BIGINT casts on every SUM."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7, COUNT(*)::BIGINT AS n_pages
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT n_pages,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+tot AS (SELECT COUNT(*)::BIGINT AS n, CAST(COALESCE(SUM(n_pages), 0) AS BIGINT) AS s
+        FROM u),
+c AS (SELECT u.q, u.r,
+             CAST(CASE WHEN tot.n * u.n_pages > tot.s THEN 1 ELSE 0 END AS BIGINT) AS b
+      FROM u CROSS JOIN tot),
+pr AS (SELECT a.b AS ba, b.b AS bb_
+       FROM c a JOIN c b
+         ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+            AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+            AND NOT (a.q = b.q AND a.r = b.r)),
+agg AS (SELECT CAST(COALESCE(SUM(ba * bb_), 0) AS BIGINT) AS bb,
+               CAST(COALESCE(SUM(ba * (1 - bb_) + (1 - ba) * bb_), 0) AS BIGINT) AS bw,
+               CAST(COALESCE(SUM((1 - ba) * (1 - bb_)), 0) AS BIGINT) AS ww
+        FROM pr),
+blk AS (SELECT CAST(COALESCE(SUM(b), 0) AS BIGINT) AS n_black FROM c)
+SELECT tot.n AS n_cells, blk.n_black, tot.n - blk.n_black AS n_white,
+       agg.bb, agg.bw, agg.ww
+FROM tot CROSS JOIN blk CROSS JOIN agg"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell
@@ -1056,6 +1131,32 @@ SELECT a.host AS host_a, b.host AS host_b,
 FROM m a JOIN m b ON a.admin_id = b.admin_id AND a.host < b.host
 GROUP BY a.host, b.host
 HAVING COUNT(*) >= {k}"""
+
+
+def q139_sql(min_slots: int) -> str:
+    """q139 oracle: host co-visit pairs — presence as a plain DISTINCT
+    (host, 1° grid square, UTC day) over ALL geocoded captures, the
+    square from the microdegree FLOOR division (the q85 ROUND(lat·1e6)
+    contract — bit-identical to the engine's int64 key; DuckDB's integer
+    ``//`` truncates toward zero, so the floor goes through DOUBLE,
+    exact below 2^53), the pair weights from a self-join on
+    (gy, gx, day) with host_a < host_b (binary collation = the engine's
+    sorted-dictionary id order). Never sees the interning, the
+    partial-distinct split, or the slot exchange."""
+    return f"""WITH {captures_ctes()},
+pres AS (
+  SELECT DISTINCT host,
+         CAST(FLOOR(CAST(ROUND(lat * 1000000) AS BIGINT) / 1000000.0) AS BIGINT) AS gy,
+         CAST(FLOOR(CAST(ROUND(lon * 1000000) AS BIGINT) / 1000000.0) AS BIGINT) AS gx,
+         ts_us // 86400000000 AS day
+  FROM cap WHERE has_geo
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       COUNT(*)::BIGINT AS n_slots
+FROM pres a JOIN pres b
+  ON a.gy = b.gy AND a.gx = b.gx AND a.day = b.day AND a.host < b.host
+GROUP BY a.host, b.host
+HAVING COUNT(*) >= {min_slots}"""
 
 
 def q128_sql() -> str:

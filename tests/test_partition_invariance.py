@@ -27,6 +27,9 @@ QUERIES = [
     "skyline_query",             # q130: local skyline + merge
     "cost_distance_query",       # q131: broadcast BFS surface probe
     "flow_pagerank_query",       # q132: iterative power iteration
+    "lisa_query",                # q137: ring-1 scatter + per-cell final
+    "join_counts_query",         # q138: color scatter + global partials
+    "covisit_query",             # q139: slot exchange + pair emission
 ]
 
 

@@ -104,6 +104,11 @@ def _spatial_oracles():
                             es.SPATIAL_SQL["q135_cell_trend"]),
         "q136_dup_lines": (es.dup_lines_query,
                            es.SPATIAL_SQL["q136_dup_lines"]),
+        "q137_lisa": (es.lisa_query, es.SPATIAL_SQL["q137_lisa"]),
+        "q138_join_counts": (es.join_counts_query,
+                             es.SPATIAL_SQL["q138_join_counts"]),
+        "q139_covisit_pairs": (es.covisit_query,
+                               es.SPATIAL_SQL["q139_covisit_pairs"]),
     }
 
 
