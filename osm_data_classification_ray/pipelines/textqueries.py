@@ -370,6 +370,198 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+#: q141 alphabet size: the q72 vocabulary (ids 1..4096) plus the OOV
+#: bucket (id 0) — the add-one smoothing denominator
+_Q141_A = 4097
+
+
+def q141_bigram_lm_score(sf_dir: str):
+    """q141: bigram-LM log-probability scoring — the Markov-LM upgrade of
+    q94's unigram scorer (the KenLM-shaped member of the CCNet quality
+    family): adjacent token pairs are scored by the add-one-smoothed
+    conditional ``P(b|a) = (c(a,b)+1) / (c(a,·)+A)`` over the q72 id
+    alphabet (top-4096 vocabulary, OOV→0, A = 4097), per-pair logprobs
+    quantized to half-up micro-nats BEFORE the per-doc sum — order-free
+    int64 arithmetic at any parallelism (the q94 contract).
+
+    Shape: (1) the q94/q72 two-level unigram count → bounded vocab
+    broadcast; (2) per-block adjacent-pair id coding (a·A + b, one
+    np.unique — no Python pair loop) → ONE pair-keyed count exchange
+    whose output is bounded by min(corpus bigrams, A²) ≈ 16.8M rows —
+    the MODEL, fixed by the vocabulary, not the corpus; (3) the model
+    collects once (c(a,·) derived by bincount over left ids), logprobs
+    quantize driver-side, and ONE stateless scoring map (searchsorted
+    on the sorted pair codes) finishes. Scoring corpus == training
+    corpus ⇒ every scored pair was counted (c ≥ 1); the unseen branch
+    (ln(1/(c(a,·)+A))) is still implemented for external corpora.
+    Oracle: Q141_SQL — the q72 position chain + plain GROUP BY pair
+    counts + the identical frozen float expression."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # --- stage 1: global unigram vocabulary (the q94 machinery) ---
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("tok", "ascending")])
+        return t.take(order).slice(0, _Q72_VOCAB)
+
+    parts = agg.map_batches(topk_block, batch_format="pyarrow", batch_size=None)
+    pt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs()) if x.num_rows])
+    if pt.num_rows:
+        order = pc.sort_indices(pt, sort_keys=[("n", "descending"),
+                                               ("tok", "ascending")])
+        pt = pt.take(order).slice(0, _Q72_VOCAB)
+    tok_ref = ray.put(pt["tok"].combine_chunks())
+
+    def _ids_and_parent(t: pa.Table, tok_arr) -> tuple[np.ndarray, np.ndarray]:
+        lists = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        flat = flat.filter(keep)
+        parent = np.asarray(parent.filter(keep).to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        idx = pc.index_in(flat, value_set=tok_arr)
+        tid = np.asarray(pc.fill_null(pc.add(idx, 1), 0)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        return tid, parent
+
+    # --- stage 2: global bigram pair counts on the id alphabet ---
+    def pair_partial(t: pa.Table) -> pa.Table:
+        tid, parent = _ids_and_parent(t, ray.get(tok_ref))
+        adj = parent[1:] == parent[:-1] if len(parent) else np.zeros(0, bool)
+        codes = tid[:-1][adj] * _Q141_A + tid[1:][adj]
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    pagg = ds.map_batches(pair_partial, batch_format="pyarrow").groupby(
+        "code", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    mt = pa.concat_tables(
+        [x for x in ray.get(pagg.to_arrow_refs()) if x.num_rows])
+    if mt.num_rows:
+        codes = np.asarray(mt["code"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        cnts = np.asarray(mt["n"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        order = np.argsort(codes)
+        codes, cnts = codes[order], cnts[order]
+    else:
+        codes = np.zeros(0, np.int64)
+        cnts = np.zeros(0, np.int64)
+    cl = np.zeros(_Q141_A, np.int64)
+    np.add.at(cl, codes // _Q141_A, cnts)
+    lp_e6 = np.fromiter(
+        (math.floor(math.log((int(c) + 1) / (int(cl[a]) + _Q141_A))
+                    * 1e6 + 0.5)
+         for c, a in zip(cnts, codes // _Q141_A)),
+        dtype=np.int64, count=len(cnts))
+    model_ref = ray.put((codes, lp_e6, cl))
+
+    # --- stage 3: stateless scoring map ---
+    def score(t: pa.Table) -> pa.Table:
+        codes_s, lp_s, cl_s = ray.get(model_ref)
+        tid, parent = _ids_and_parent(t, ray.get(tok_ref))
+        adj = parent[1:] == parent[:-1] if len(parent) else np.zeros(0, bool)
+        pcode = tid[:-1][adj] * _Q141_A + tid[1:][adj]
+        pparent = parent[:-1][adj]
+        pos = np.searchsorted(codes_s, pcode)
+        pos_c = np.minimum(pos, max(len(codes_s) - 1, 0))
+        hit = (len(codes_s) > 0) & (codes_s[pos_c] == pcode) if len(codes_s) \
+            else np.zeros(len(pcode), bool)
+        lp = np.where(hit, lp_s[pos_c] if len(codes_s) else 0, 0)
+        miss = np.flatnonzero(~hit)
+        for m in miss:   # unseen pairs: only on external scoring corpora
+            a = int(pcode[m] // _Q141_A)
+            lp[m] = math.floor(
+                math.log(1.0 / (int(cl_s[a]) + _Q141_A)) * 1e6 + 0.5)
+        n_rows = t.num_rows
+        n_bi = np.bincount(pparent, minlength=n_rows).astype(np.int64)
+        sums = np.zeros(n_rows, np.int64)
+        np.add.at(sums, pparent, lp)
+        mean = np.zeros(n_rows, np.int64)
+        nz = n_bi > 0
+        mean[nz] = np.floor(sums[nz].astype(np.float64) / n_bi[nz]
+                            + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "sum_lp2_e6": pa.array(sums, pa.int64()),
+            "mean_lp2_e6": pa.array(mean, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+Q141_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vc AS (SELECT UNNEST(toks) AS tok FROM t),
+cnt AS (SELECT tok, COUNT(*) AS n FROM vc GROUP BY tok),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS tid
+  FROM cnt QUALIFY tid <= {4096}
+),
+ex AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) + 1),
+                          i -> struct_pack(pos := i, tok := toks[i]))) AS s
+    FROM t
+  ) u
+),
+ids AS (
+  SELECT ex.doc_id, ex.pos, COALESCE(v.tid, 0)::BIGINT AS tid
+  FROM ex LEFT JOIN vocab v USING (tok)
+),
+pairs AS (
+  SELECT a.doc_id, a.tid AS ta, b.tid AS tb
+  FROM ids a JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+pcnt AS (SELECT ta, tb, COUNT(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+lc AS (SELECT ta, SUM(c)::BIGINT AS cl FROM pcnt GROUP BY 1),
+lp AS (
+  SELECT p.ta, p.tb,
+         CAST(FLOOR(LN(CAST(p.c + 1 AS DOUBLE) / CAST(l.cl + {_Q141_A} AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+  FROM pcnt p JOIN lc l USING (ta)
+),
+scored AS (
+  SELECT pairs.doc_id, lp.lp_e6
+  FROM pairs JOIN lp ON pairs.ta = lp.ta AND pairs.tb = lp.tb
+),
+per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               SUM(lp_e6)::BIGINT AS sum_lp2_e6
+        FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(per.sum_lp2_e6, 0)::BIGINT AS sum_lp2_e6,
+       CASE WHEN per.n_bigrams > 0
+            THEN CAST(FLOOR(CAST(per.sum_lp2_e6 AS DOUBLE)
+                            / CAST(per.n_bigrams AS DOUBLE) + 0.5) AS BIGINT)
+            ELSE 0 END AS mean_lp2_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 _Q95_STREAM = 995
 
 
@@ -1188,6 +1380,104 @@ agg AS (
 -- empty/NULL docs have no windows: doc_fingerprint('') = 0 on the Ray side
 SELECT d.doc_id, COALESCE(agg.fp, '0000000000000000') AS min_rolling_fp
 FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+#: q140 boundary rule: a window cuts when its Rabin-Karp fingerprint has
+#: its low CDC_MASK_BITS bits zero (expected chunk ≈ 2^bits windows)
+CDC_MASK_BITS = 6
+
+
+def q140_cdc_chunking(sf_dir: str):
+    """q140: content-defined chunking statistics — the Rabin/FastCDC
+    cut-point rule of storage-level dedup pipelines (LBFS/Venti lineage):
+    a chunk boundary falls after every 64-char window whose rolling
+    fingerprint (the exact q28/q70 Rabin-Karp kernel) has its low
+    CDC_MASK_BITS bits zero. Unlike fixed-size chunking (q71), the cut
+    points are CONTENT-defined, so an insertion shifts at most one
+    chunk — the property that makes CDC the shift-resistant sibling of
+    ExactSubstr (q70) in dedup stacks. Frozen spec: no min/max chunk
+    suppression (pure Rabin rule — every qualifying window cuts), so the
+    statistic is order-free and embarrassingly parallel.
+
+    Per doc: n_chars, n_windows, n_boundaries, first_cut (1-based window
+    start of the first cut, 0 if none), n_chunks = n_boundaries + 1 —
+    all integers, NO exchange at any scale (a stateless map over the
+    pruned (doc_id, text) read; the fingerprint power tables grow once
+    per worker). Oracle: Q140_SQL reuses Q28's closed-form window CTE
+    and applies the identical mask test in HUGEINT."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mask = np.uint64((1 << CDC_MASK_BITS) - 1)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        texts = t["text"].to_pylist()
+        n_chars = np.zeros(len(texts), np.int64)
+        n_win = np.zeros(len(texts), np.int64)
+        n_bound = np.zeros(len(texts), np.int64)
+        first = np.zeros(len(texts), np.int64)
+        for k, x in enumerate(texts):
+            s = x or ""
+            n_chars[k] = len(s)
+            fps = textstats.rolling_fingerprints(s, 64)
+            n_win[k] = len(fps)
+            if len(fps):
+                cut = (fps & mask) == 0
+                n_bound[k] = int(cut.sum())
+                hits = np.flatnonzero(cut)
+                first[k] = int(hits[0]) + 1 if hits.size else 0
+        return pa.table({
+            "doc_id": ids,
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_windows": pa.array(n_win, pa.int64()),
+            "n_boundaries": pa.array(n_bound, pa.int64()),
+            "first_cut": pa.array(first, pa.int64()),
+            "n_chunks": pa.array(n_bound + 1, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# CDC mirror: Q28's window-hash CTE + the identical low-bit mask test in
+# HUGEINT; LEFT JOIN keeps empty/short docs (no windows → 0 cuts, 1 chunk).
+Q140_SQL = f"""
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (p * 1099511628211) % 18446744073709551616 FROM pw WHERE k < 63
+),
+d AS (
+  SELECT doc_id, COALESCE(text, '') AS text, LENGTH(COALESCE(text, '')) AS n,
+         LEAST(64, GREATEST(LENGTH(COALESCE(text, '')), 1)) AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, text, w, UNNEST(range(1, n - w + 2)) AS i FROM d
+),
+win AS (
+  SELECT p.doc_id, p.i,
+         SUM(CAST(ascii(substr(p.text, p.i + t.t, 1)) AS HUGEINT) * pw.p)
+           % 18446744073709551616 AS h
+  FROM pos p
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS t) t
+  JOIN pw ON pw.k = p.w - 1 - t.t
+  WHERE t.t < p.w
+  GROUP BY p.doc_id, p.i
+),
+b AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+         CAST(SUM(CASE WHEN h % {1 << CDC_MASK_BITS} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boundaries,
+         CAST(COALESCE(MIN(CASE WHEN h % {1 << CDC_MASK_BITS} = 0 THEN i END),
+                       0) AS BIGINT) AS first_cut
+  FROM win GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+       COALESCE(b.n_windows, 0) AS n_windows,
+       COALESCE(b.n_boundaries, 0) AS n_boundaries,
+       COALESCE(b.first_cut, 0) AS first_cut,
+       COALESCE(b.n_boundaries, 0) + 1 AS n_chunks
+FROM d LEFT JOIN b USING (doc_id)
 """
 
 
@@ -2572,6 +2862,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q26_langid": (q26_langid, Q26_SQL),
     "q27_quality": (q27_quality, Q27_SQL),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
+    "q140_cdc_chunking": (q140_cdc_chunking, Q140_SQL),
+    "q141_bigram_lm_score": (q141_bigram_lm_score, Q141_SQL),
     "q29_media_features": (q29_media_features, _q29_sql()),
     "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),
     "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),

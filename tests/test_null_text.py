@@ -24,7 +24,8 @@ AFFECTED = [
     "q71_chunk_docs", "q72_numericalize", "q83_lift_collocations",
     "q84_window_dup_ratio", "q94_lm_quality_score", "q96_pii_scrub",
     "q100_fuzzy_edit_pairs", "q102_incremental_dedup",
-    "q104_sparse_dot_topk", "q107_novelty_score",
+    "q104_sparse_dot_topk", "q107_novelty_score", "q140_cdc_chunking",
+    "q141_bigram_lm_score",
 ]
 
 
