@@ -263,6 +263,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q137_lisa": es.lisa_query,
             "q138_join_counts": es.join_counts_query,
             "q139_covisit_pairs": es.covisit_query,
+            "q142_range_scan": es.range_scan_query,
+            "q143_triangles": es.triangles_query,
         }
     )
     return out

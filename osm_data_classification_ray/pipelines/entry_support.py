@@ -1468,6 +1468,103 @@ def covisit_query(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+#: q142 query-window half-width (microdegrees) and Morton prefix level
+RANGE_HALF_E6 = 250_000
+RANGE_L = 10
+
+
+def _range_windows() -> list[tuple[int, int, int, int, int]]:
+    """The frozen q142 query windows: one closed microdegree bbox per
+    fixture hotspot (center ± RANGE_HALF_E6). Part of the query SPEC
+    (shared with the SQL builder, the RADIUS_MICRODEG precedent) — the
+    kernel under test is the Morton decomposition, not these bounds."""
+    out = []
+    for k, (la, lo) in enumerate(gen.HOTSPOTS):
+        la6 = int(np.rint(la * 1e6))
+        lo6 = int(np.rint(lo * 1e6))
+        out.append((k, la6 - RANGE_HALF_E6, la6 + RANGE_HALF_E6,
+                    lo6 - RANGE_HALF_E6, lo6 + RANGE_HALF_E6))
+    return out
+
+
+def range_scan_query(sf_dir: str):
+    """q142: Z-order range query — the QUERY-side op of the geohash/
+    Morton index family (q105 builds the keys; this scans them): per
+    frozen hotspot window, the count of latest geocoded pages inside the
+    closed microdegree bbox, answered index-style as Morton-PREFIX
+    pruning + exact coordinate refine (the classic space-filling-curve
+    range scan: decompose the bbox into level-RANGE_L quad cells, test
+    key prefixes, then refine candidates against the exact bounds).
+
+    Losslessness is by monotonicity: ``geohash.quantize`` is monotone
+    per axis, so the axis-cell rectangle spanned by the bbox corners
+    covers every inside page — the oracle (spatialsql.q142_sql) never
+    sees the curve at all and counts by the plain coordinate predicate,
+    so a broken decomposition surfaces as a count mismatch. Shape: the
+    prefix sets build driver-side (bounded by 4^RANGE_L), the scan is
+    ONE stateless map over pruned (lat, lon) columns emitting 5-row
+    per-block partials, then a constant combine. No exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..cellmath import geohash
+
+    cfg, _ = ensure_outputs(sf_dir)
+    windows = _range_windows()
+
+    # driver-side bbox → Morton prefix-set decomposition (bounded)
+    prefix_sets: list[np.ndarray] = []
+    shift = geohash._AXIS_BITS - RANGE_L
+    for _k, la_lo, la_hi, lo_lo, lo_hi in windows:
+        qla, qlo = geohash.quantize(np.array([la_lo, la_hi], np.int64),
+                                    np.array([lo_lo, lo_hi], np.int64))
+        la_cells = np.arange(qla[0] >> shift, (qla[1] >> shift) + 1,
+                             dtype=np.int64)
+        lo_cells = np.arange(qlo[0] >> shift, (qlo[1] >> shift) + 1,
+                             dtype=np.int64)
+        gy, gx = np.meshgrid(la_cells, lo_cells, indexing="ij")
+        # prefix = top-2L Morton bits: interleave the L-bit axis cells
+        pref = geohash.interleave30(gy.ravel() << shift, gx.ravel() << shift)
+        prefix_sets.append(np.sort(pref >> (30 - 2 * RANGE_L)))
+
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["lat", "lon", "has_geo", "is_latest"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        n = np.zeros(len(windows), np.int64)
+        if t.num_rows:
+            lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False))
+            lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False))
+            ila = np.rint(lat * 1e6).astype(np.int64)
+            ilo = np.rint(lon * 1e6).astype(np.int64)
+            qla, qlo = geohash.quantize(ila, ilo)
+            pref = geohash.interleave30(qla, qlo) >> (30 - 2 * RANGE_L)
+            for k, (_h, la_lo, la_hi, lo_lo, lo_hi) in enumerate(windows):
+                ps = prefix_sets[k]
+                pos = np.searchsorted(ps, pref)
+                cand = (ps[np.minimum(pos, ps.size - 1)] == pref)
+                if not cand.any():
+                    continue
+                cla, clo = ila[cand], ilo[cand]
+                hit = ((cla >= la_lo) & (cla <= la_hi)
+                       & (clo >= lo_lo) & (clo <= lo_hi))
+                n[k] = int(hit.sum())
+        return pa.table({"hotspot": pa.array(np.arange(len(windows),
+                                                       dtype=np.int64),
+                                             pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(scan, batch_format="pyarrow")
+    agg = parts.groupby("hotspot", num_partitions=1).aggregate(
+        Sum("n", alias_name="n_pages"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({"hotspot": t["hotspot"].cast(pa.int64()),
+                         "n_pages": t["n_pages"].cast(pa.int64())})
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
 #: spatial-split hash stream — distinct from q68's per-doc stream 777
 _SPATIAL_SPLIT_STREAM = 778
 
@@ -2462,6 +2559,170 @@ def colocation_query(sf_dir: str):
              "n_shared": t["n_shared"]})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def triangles_query(sf_dir: str):
+    """q143: per-node triangle counting on the q127 co-service graph —
+    the local clustering-coefficient numerator of graph analytics (the
+    second DERIVED-graph operator beside q132's PageRank, and a genuinely
+    different plan family: the wedge-edge JOIN of distributed triangle
+    counting, not a power iteration). Per host with at least one edge:
+    its degree and the number of triangles through it (Σ n_tri = 3·T).
+
+    Shape: the q127 edge pipeline supplies edges (host_a < host_b);
+    hosts intern against a sorted dictionary built from the BOUNDED edge
+    table (the graph is derived — nodes ≤ hosts, edges ≤ hosts²);
+    per-apex neighbor lists form via one apex-keyed exchange; each apex
+    emits its unordered neighbor pairs (v < w) as WEDGES, unioned with
+    the edge set tagged apex = −1, and ONE (v, w)-keyed exchange
+    co-locates every wedge with the edge that would close it —
+    per-block run-length matching credits each apex, and small keyed
+    sums finish degree and triangle counts. Hub apexes make wedge
+    emission quadratic in degree — the q85 hot-square chunking is the
+    scale cure (and degree-ordered orientation the classic halving),
+    never a cap. Oracle: spatialsql.q143_sql — the q127 pair mirror +
+    a textbook three-way self-join, never seeing wedges."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ed = colocation_query(sf_dir)
+
+    def edge_hosts(t: pa.Table) -> pa.Table:
+        return pa.table({"host": pc.unique(pa.concat_arrays(
+            [t["host_a"].combine_chunks(), t["host_b"].combine_chunks()]))})
+
+    hosts = pa.concat_tables(
+        [x for x in ray.get(ed.map_batches(
+            edge_hosts, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+    empty_out = pa.table({"host": pa.array([], pa.string()),
+                          "degree": pa.array([], pa.int64()),
+                          "n_tri": pa.array([], pa.int64())})
+    if hosts.num_rows == 0:
+        return empty_out
+    host_arr = pc.unique(hosts["host"].combine_chunks())
+    host_arr = host_arr.take(pc.array_sort_indices(host_arr))
+    host_ref = ray.put(host_arr)
+
+    def intern(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hs = _ray.get(host_ref)
+        a = pc.index_in(t["host_a"].combine_chunks(), value_set=hs).cast(pa.int32())
+        b = pc.index_in(t["host_b"].combine_chunks(), value_set=hs).cast(pa.int32())
+        return pa.table({"a": a, "b": b})
+
+    edges = ed.map_batches(intern, batch_format="pyarrow").materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        return pa.table({"u": pa.array(np.r_[a, b], pa.int32()),
+                         "v": pa.array(np.r_[b, a], pa.int32())})
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow")
+    und = und.repartition(default_partitions(), keys=["u"], sort=False)
+
+    def wedges(block: pa.Table) -> pa.Table:
+        empty = pa.table({"v": pa.array([], pa.int32()),
+                          "w": pa.array([], pa.int32()),
+                          "apex": pa.array([], pa.int32())})
+        if block.num_rows == 0:
+            return empty
+        u = np.asarray(block["u"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        v = np.asarray(block["v"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        out_v, out_w, out_a = [], [], []
+        for s, e in zip(starts, ends):
+            nb = v[s:e]
+            if nb.size < 2:
+                continue
+            ia, ib = np.triu_indices(nb.size, k=1)
+            out_v.append(nb[ia])
+            out_w.append(nb[ib])
+            out_a.append(np.full(ia.size, u[s], np.int32))
+        if not out_v:
+            return empty
+        return pa.table({"v": pa.array(np.concatenate(out_v), pa.int32()),
+                         "w": pa.array(np.concatenate(out_w), pa.int32()),
+                         "apex": pa.array(np.concatenate(out_a), pa.int32())})
+
+    wg = und.map_batches(wedges, batch_format="pyarrow", batch_size=None)
+
+    def edge_markers(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["a"], "w": t["b"],
+                         "apex": pa.array(np.full(t.num_rows, -1, np.int32),
+                                          pa.int32())})
+
+    marked = edges.map_batches(edge_markers, batch_format="pyarrow")
+    allrows = wg.union(marked)
+    allrows = allrows.repartition(default_partitions(), keys=["v", "w"],
+                                  sort=False)
+
+    def close(block: pa.Table) -> pa.Table:
+        empty = pa.table({"hid": pa.array([], pa.int32()),
+                          "t": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        v = np.asarray(block["v"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        w = np.asarray(block["w"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        ap = np.asarray(block["apex"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        order = np.lexsort((ap, w, v))
+        v, w, ap = v[order], w[order], ap[order]
+        starts = np.flatnonzero(np.r_[True, (v[1:] != v[:-1]) | (w[1:] != w[:-1])])
+        ends = np.r_[starts[1:], len(v)]
+        # an edge marker sorts first in its (v, w) run (apex = −1)
+        has_edge = ap[starts] == -1
+        counts = np.zeros(int(np.asarray(pc.max(block["apex"]).as_py() or 0)
+                              + 1) or 1, np.int64)
+        for s, e, m in zip(starts, ends, has_edge):
+            if not m:
+                continue
+            apx = ap[s:e]
+            apx = apx[apx >= 0]
+            np.add.at(counts, apx, 1)
+        hid = np.flatnonzero(counts)
+        return pa.table({"hid": pa.array(hid.astype(np.int32), pa.int32()),
+                         "t": pa.array(counts[hid], pa.int64())})
+
+    tri = allrows.map_batches(close, batch_format="pyarrow", batch_size=None)
+    tri_agg = tri.groupby("hid", num_partitions=default_partitions()).aggregate(
+        Sum("t", alias_name="n_tri"))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        uu, c = np.unique(u, return_counts=True)
+        return pa.table({"hid": pa.array(uu, pa.int32()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    deg = und.map_batches(deg_partial, batch_format="pyarrow").groupby(
+        "hid", num_partitions=default_partitions()).aggregate(
+        Sum("d", alias_name="degree"))
+
+    # final assembly: both sides bounded by the derived graph's node set
+    deg_t = pa.concat_tables([x for x in ray.get(deg.to_arrow_refs())
+                              if x.num_rows])
+    tri_t = pa.concat_tables([x for x in ray.get(tri_agg.to_arrow_refs())
+                              if x.num_rows])
+    hs = host_arr
+    dh = np.asarray(deg_t["hid"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    dv = np.asarray(deg_t["degree"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ntri = np.zeros(len(hs), np.int64)
+    if tri_t.num_rows:
+        th = np.asarray(tri_t["hid"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        tv = np.asarray(tri_t["n_tri"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ntri[th] = tv
+    degree = np.zeros(len(hs), np.int64)
+    degree[dh] = dv
+    return pa.table({"host": hs,
+                     "degree": pa.array(degree, pa.int64()),
+                     "n_tri": pa.array(ntri, pa.int64())})
 
 
 def gini_query(sf_dir: str):
@@ -3981,6 +4242,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q137_lisa": spatialsql.q137_sql(),
         "q138_join_counts": spatialsql.q138_sql(),
         "q139_covisit_pairs": spatialsql.q139_sql(COVISIT_MIN),
+        "q142_range_scan": spatialsql.q142_sql(_range_windows()),
+        "q143_triangles": spatialsql.q143_sql(COLOC_MIN),
     }
 
 

@@ -1159,6 +1159,68 @@ GROUP BY a.host, b.host
 HAVING COUNT(*) >= {min_slots}"""
 
 
+def q142_sql(windows) -> str:
+    """q142 oracle: Z-order range query counted WITHOUT the curve — per
+    frozen window the plain closed-bbox predicate on microdegree
+    coordinates (the q85 ROUND(lat·1e6) contract) over latest geocoded
+    captures. The windows are the shared query SPEC; the Morton prefix
+    decomposition and the refine step are exactly what this mirror never
+    sees, so a lossy decomposition diverges the counts."""
+    vals = ", ".join(f"({h}, {la_lo}, {la_hi}, {lo_lo}, {lo_hi})"
+                     for h, la_lo, la_hi, lo_lo, lo_hi in windows)
+    return f"""WITH {captures_ctes()},
+w(hotspot, la_lo, la_hi, lo_lo, lo_hi) AS (VALUES {vals}),
+pts AS (
+  SELECT CAST(ROUND(lat * 1000000) AS BIGINT) AS ila,
+         CAST(ROUND(lon * 1000000) AS BIGINT) AS ilo
+  FROM cap WHERE has_geo AND is_latest
+)
+SELECT CAST(w.hotspot AS BIGINT) AS hotspot,
+       CAST(COUNT(pts.ila) AS BIGINT) AS n_pages
+FROM w LEFT JOIN pts
+  ON pts.ila BETWEEN w.la_lo AND w.la_hi
+ AND pts.ilo BETWEEN w.lo_lo AND w.lo_hi
+GROUP BY w.hotspot"""
+
+
+def q143_sql(k: int) -> str:
+    """q143 oracle: per-node triangle counts rebuilt as a textbook
+    three-way self-join over the q127 pair mirror (edge set = host pairs
+    sharing ≥ k winning admins, host_a < host_b in binary collation =
+    the engine's sorted-dictionary id order) — never sees wedges, the
+    apex exchange, or the interning. LEFT JOIN keeps triangle-free
+    nodes at n_tri = 0."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+m AS (
+  SELECT DISTINCT b.admin_id, c.host
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+),
+e AS (
+  SELECT a.host AS ha, b.host AS hb
+  FROM m a JOIN m b ON a.admin_id = b.admin_id AND a.host < b.host
+  GROUP BY a.host, b.host
+  HAVING COUNT(*) >= {k}
+),
+und AS (SELECT ha AS h, hb AS nb FROM e UNION ALL SELECT hb, ha FROM e),
+deg AS (SELECT h, COUNT(*)::BIGINT AS degree FROM und GROUP BY h),
+tri AS (
+  SELECT u.h, COUNT(*)::BIGINT AS t
+  FROM und u
+  JOIN und v ON v.h = u.h AND v.nb > u.nb
+  JOIN e ON e.ha = u.nb AND e.hb = v.nb
+  GROUP BY u.h
+)
+SELECT d.h AS host, d.degree, COALESCE(tri.t, 0)::BIGINT AS n_tri
+FROM deg d LEFT JOIN tri ON tri.h = d.h"""
+
+
 def q128_sql() -> str:
     """q128 oracle: per-admin Gini concentration numerator — per-cell
     page counts of each winning admin (shared _pip_join_ctes + best

@@ -30,6 +30,8 @@ QUERIES = [
     "lisa_query",                # q137: ring-1 scatter + per-cell final
     "join_counts_query",         # q138: color scatter + global partials
     "covisit_query",             # q139: slot exchange + pair emission
+    "range_scan_query",          # q142: prefix-pruned scan partials
+    "triangles_query",           # q143: wedge-edge join, 3 exchanges
 ]
 
 

@@ -109,6 +109,10 @@ def _spatial_oracles():
                              es.SPATIAL_SQL["q138_join_counts"]),
         "q139_covisit_pairs": (es.covisit_query,
                                es.SPATIAL_SQL["q139_covisit_pairs"]),
+        "q142_range_scan": (es.range_scan_query,
+                            es.SPATIAL_SQL["q142_range_scan"]),
+        "q143_triangles": (es.triangles_query,
+                           es.SPATIAL_SQL["q143_triangles"]),
     }
 
 
