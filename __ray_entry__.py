@@ -52,7 +52,13 @@ _DRIVER_WINDOW = [
     # raster path. q32 keeps its repo oracle test and CORRECTNESS_r01-r04
     # green rows. q105 — geohash/Morton page keys, the third cell-index
     # family beside hex (q63) and S2 (q92), BIGINT-exact oracle — enters.)
-    "q36_tiles_rollup", "q37_dedup_urls", "q103_spatial_split",
+    # (q36 rotated out at round-5 session 7: the parent-rollup direction
+    # stays certified through q87's raster path in-window and q36 keeps
+    # its repo oracle test and r01–r04 green rows. q137 — local Moran /
+    # LISA cluster quadrants, the per-cell decomposition completing the
+    # local-statistics family beside q99 (global) and q101 (Gi*) —
+    # enters.)
+    "q137_lisa", "q37_dedup_urls", "q103_spatial_split",
     # (q59 rotated out late round 5: sequence chunk/pack machinery stays
     # in-window via q71 (chunking) and q72 (numericalize); q59 keeps its
     # repo oracle test and CORRECTNESS_r01-r04 green rows. q106 — the
@@ -145,7 +151,11 @@ _DRIVER_WINDOW = [
     # green rows. q111 — leave-one-out IDW spatial interpolation on the
     # radius core, integer-exact linear kernel, the surface-estimation
     # family's first member — enters.)
-    "q26_langid", "q111_idw_tokens", "q93_ann_ivf_exhaustive",
+    # (q26 rotated out at round-5 session 7: langid keeps its repo oracle
+    # test and r01–r04 green rows; the quality family stays via q94/q96/
+    # q116. q141 — bigram-LM scoring, the Markov upgrade of q94's
+    # unigram scorer with the bounded pair model — enters.)
+    "q141_bigram_lm_score", "q111_idw_tokens", "q93_ann_ivf_exhaustive",
     # (q44 rotated out at round-5 close: the near-dup family keeps three
     # in-window members (q20 MinHash pairs, q100 fuzzy-edit, q24
     # embedding-LSH) and the connected-components machinery keeps its
@@ -168,8 +178,17 @@ _DRIVER_WINDOW = [
     # q135 — per-cell Mann-Kendall trend, the emerging-hot-spot statistic
     # and the space-time family's in-window member beside q124's OD flows
     # (q109 Knox stays past-window) — enters.)
-    "q55_tfidf_top_terms", "q135_cell_trend", "q69_decontaminate",
-    "q70_substring_dup", "q71_chunk_docs", "q72_numericalize",
+    # (q55 rotated out at round-5 session 7: term weighting stays
+    # in-window via q104's df-banded dot products and q94's idf-shaped
+    # logprobs; q55 keeps its repo oracle test and r02–r04 green rows.
+    # q140 — content-defined chunking, the Rabin/FastCDC cut rule on the
+    # q28 kernel — enters. q71 rotated out likewise: fixed-size chunking
+    # is the degenerate sibling of CDC and q72 keeps the tokenize seat;
+    # q71 keeps its repo oracle test and r01–r04 green rows. q142 — the
+    # Z-order range query, the geohash family's QUERY op with a
+    # curve-blind oracle — enters.)
+    "q140_cdc_chunking", "q135_cell_trend", "q69_decontaminate",
+    "q70_substring_dup", "q142_range_scan", "q72_numericalize",
     # (q74 rotated out round 5: q98 embeds q74's projection machinery —
     # its oracle wraps _q74_sql verbatim; q68 rotated out: q95 strictly
     # generalizes its hash-threshold split machinery with per-source
@@ -190,10 +209,19 @@ _DRIVER_WINDOW = [
     # their repo oracle tests and CORRECTNESS_r02 green rows)
     # (q01 rotated out round 4: q11 exercises the same groupby-rollup class;
     # q56 rotated out: q39 covers the sketch family)
+    # (q43 rotated out at round-5 session 7: gap-windowed sessionization
+    # keeps its repo oracle test and r01–r04 green rows, and the
+    # searchsorted-window machinery stays covered by q64/q76 repo
+    # oracles; q139 — the spatiotemporal co-visit join (co-traveler
+    # detection), identity × space × time — enters. q67 rotated out:
+    # hierarchical rollup keeps its repo oracle + r02–r04 greens and the
+    # groupby-rollup class keeps q11; q143 — per-node triangle counting
+    # via the distributed wedge-edge join on the q127 co-service graph —
+    # enters.)
     "q03_top_revenue_orders", "q05_region_customers",
     "q08_anti_join", "q11_events_rollup", "q42_asof_join",
-    "q43_sessionize", "q58_bloom_semi_join",
-    "q67_rollup",
+    "q139_covisit_pairs", "q58_bloom_semi_join",
+    "q143_triangles",
 ]
 
 
@@ -265,6 +293,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q139_covisit_pairs": es.covisit_query,
             "q142_range_scan": es.range_scan_query,
             "q143_triangles": es.triangles_query,
+            "q144_voronoi": es.voronoi_query,
         }
     )
     return out

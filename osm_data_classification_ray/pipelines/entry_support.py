@@ -2268,6 +2268,117 @@ def nearest_admin_query(sf_dir: str):
     return pts.map_batches(lookup, batch_format="pyarrow")
 
 
+#: q144 Voronoi: seed count (busiest cells) and assignment radius cap
+VOR_SEEDS = 12
+VOR_K = 10
+
+
+def voronoi_query(sf_dir: str):
+    """q144: Voronoi allocation on the hex raster — the top-VOR_SEEDS
+    busiest occupied res-5 cells (page count desc, cell id asc) become
+    seeds, and every occupied cell within VOR_K hex steps of a seed is
+    allocated to its NEAREST seed (ties to the smallest seed cell id).
+    The discrete-Voronoi / allocation op of location analytics (service-
+    area assignment around data-derived hubs — the K-medoids assignment
+    step), distinct from q120's nearest-FEATURE join: here the targets
+    are data-derived (the oracle must re-derive them), and the output is
+    the cell tessellation itself.
+
+    Shape: ONE cell-count exchange (bounded by the res-5 universe) →
+    driver-side top-K seed pick from the bounded table → q120's labeled
+    multi-source BFS (per-round min-label dedup IS the exact argmin —
+    the proof in nearest_admin_query applies verbatim with seed ids as
+    labels) → broadcast map → shuffle-free searchsorted probe over the
+    same bounded cell table. Oracle: spatialsql.q144_sql — seeds via a
+    window rank, distances via the closed-form axial expression over
+    occupied × seed cross pairs, argmin via a second window rank; never
+    sees grid_ring or the BFS."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r5", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r5"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r5", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    ).materialize()  # bounded by the occupied res-5 cell universe
+
+    tbl = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs())
+                            if x.num_rows])
+    empty_out = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "seed": pa.array([], pa.uint64()),
+                          "dist": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty_out
+    cells_all = np.asarray(tbl["h3_r5"].to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
+    npg = np.asarray(tbl["n_pages"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((cells_all.view(np.int64), -npg))
+    seeds = cells_all[order[:VOR_SEEDS]]
+
+    def _dedup_min_label(cells: np.ndarray, labels: np.ndarray):
+        o = np.lexsort((labels, cells))
+        cells, labels = cells[o], labels[o]
+        first = np.r_[True, cells[1:] != cells[:-1]]
+        return cells[first], labels[first]
+
+    fc, fl = _dedup_min_label(seeds, seeds.view(np.int64))
+    map_cells, map_lab, map_dist = [fc], [fl], [np.zeros(fc.size, np.int64)]
+    assigned = fc
+    for d in range(1, VOR_K + 1):
+        nb = hexgrid.grid_ring(fc, 1)   # (n, 6)
+        cand_c = nb.ravel()
+        cand_l = np.repeat(fl, 6)
+        pos = np.minimum(np.searchsorted(assigned, cand_c),
+                         max(assigned.size - 1, 0))
+        new = (assigned[pos] != cand_c) if assigned.size else \
+            np.ones(cand_c.size, bool)
+        if not new.any():
+            break
+        fc, fl = _dedup_min_label(cand_c[new], cand_l[new])
+        map_cells.append(fc)
+        map_lab.append(fl)
+        map_dist.append(np.full(fc.size, d, np.int64))
+        assigned = np.union1d(assigned, fc)
+    mc = np.concatenate(map_cells)
+    ml = np.concatenate(map_lab)
+    md = np.concatenate(map_dist)
+    o = np.argsort(mc)
+    ref = ray.put((mc[o], ml[o], md[o]))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        scells, slab, sdist = ray.get(ref)
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        pos = np.minimum(np.searchsorted(scells, c),
+                         max(scells.size - 1, 0))
+        hit = (scells[pos] == c) if scells.size else np.zeros(c.size, bool)
+        if not hit.any():
+            return empty_out
+        return pa.table({
+            "cell": pa.array(c[hit], pa.uint64()),
+            "n_pages": pa.array(
+                np.asarray(t["n_pages"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)[hit], pa.int64()),
+            "seed": pa.array(slab[pos[hit]].view(np.uint64), pa.uint64()),
+            "dist": pa.array(sdist[pos[hit]], pa.int64()),
+        })
+
+    return agg.map_batches(lookup, batch_format="pyarrow")
+
+
 #: q121 gravity-kernel radius (hex steps); contribution weight is the
 #: integer linear decay GRAV_K + 1 - d (exact — no float reciprocal)
 GRAV_K = 3
@@ -4244,6 +4355,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q139_covisit_pairs": spatialsql.q139_sql(COVISIT_MIN),
         "q142_range_scan": spatialsql.q142_sql(_range_windows()),
         "q143_triangles": spatialsql.q143_sql(COLOC_MIN),
+        "q144_voronoi": spatialsql.q144_sql(VOR_SEEDS, VOR_K),
     }
 
 

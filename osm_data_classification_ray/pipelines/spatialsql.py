@@ -988,6 +988,45 @@ FROM pg p JOIN best b ON b.cell = p.cell
 WHERE b.rn = 1 AND b.d <= {k}"""
 
 
+def q144_sql(n_seeds: int, k: int) -> str:
+    """q144 oracle: Voronoi allocation rebuilt independently — seeds are
+    re-derived with a window rank (page count desc, cell asc) over the
+    occupied-cell counts, distances are the closed-form axial expression
+    over occupied × seed cross pairs, and the allocation is a second
+    window rank on (dist, seed) — never sees grid_ring, the BFS, or the
+    broadcast map."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n_pages
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+),
+gq AS (
+  SELECT cell, n_pages,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM g
+),
+seeds AS (
+  SELECT cell AS seed, q, r,
+         ROW_NUMBER() OVER (ORDER BY n_pages DESC, cell ASC) AS rk
+  FROM gq QUALIFY rk <= {n_seeds}
+),
+d AS (
+  SELECT o.cell, o.n_pages, s.seed,
+         (abs(o.q - s.q) + abs(o.r - s.r)
+          + abs((o.q - s.q) + (o.r - s.r))) / 2 AS dist
+  FROM gq o CROSS JOIN seeds s
+),
+best AS (
+  SELECT cell, n_pages, seed, dist,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist, seed) AS rn
+  FROM d
+)
+SELECT cell, n_pages, seed, CAST(dist AS BIGINT) AS dist
+FROM best WHERE rn = 1 AND dist <= {k}"""
+
+
 def q121_sql(k: int) -> str:
     """q121 oracle: gravity accessibility — per occupied res-5 page cell
     the distance-decayed page-mass sum ``SUM(n_j * (k+1 - d(i,j)))`` over

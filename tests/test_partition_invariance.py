@@ -32,6 +32,7 @@ QUERIES = [
     "covisit_query",             # q139: slot exchange + pair emission
     "range_scan_query",          # q142: prefix-pruned scan partials
     "triangles_query",           # q143: wedge-edge join, 3 exchanges
+    "voronoi_query",             # q144: count exchange + BFS probe
 ]
 
 

@@ -113,6 +113,7 @@ def _spatial_oracles():
                             es.SPATIAL_SQL["q142_range_scan"]),
         "q143_triangles": (es.triangles_query,
                            es.SPATIAL_SQL["q143_triangles"]),
+        "q144_voronoi": (es.voronoi_query, es.SPATIAL_SQL["q144_voronoi"]),
     }
 
 
