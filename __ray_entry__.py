@@ -294,6 +294,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q142_range_scan": es.range_scan_query,
             "q143_triangles": es.triangles_query,
             "q144_voronoi": es.voronoi_query,
+            "q145_burstiness": es.burstiness_query,
         }
     )
     return out

@@ -2268,6 +2268,105 @@ def nearest_admin_query(sf_dir: str):
     return pts.map_batches(lookup, batch_format="pyarrow")
 
 
+def burstiness_query(sf_dir: str):
+    """q145: per-host capture burstiness — the index-of-dispersion
+    (Fano) numerator over each host's DENSE daily activity series:
+    with B = span days (first..last inclusive, empty days count as
+    zeros — the q135 dense rule), s = total captures and
+    q = Σ n_d², the numerator ``disp_num = B·q − s²`` is ≥ 0, zero for
+    perfectly regular activity and large for bursty hosts (the
+    variance-to-mean test statistic, all-integer: dispersion =
+    disp_num / (B·s) is left to the consumer). The temporal-statistics
+    sibling of q135's trend (which asks "is activity rising?" — this
+    asks "is it bursty or regular?"); zeros inside the span contribute
+    nothing to q and s, so only B needs the dense convention.
+
+    Shape: per-block (host, day, n) partials → ONE host-keyed exchange
+    bounded by hosts × active days → per-host run-length fold (settle
+    same-day partials with np.add.at, then three sums). Oracle:
+    spatialsql.q145_sql — plain per-(host, day) grouping + MIN/MAX span,
+    never seeing the partial/settle split."""
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures", ["host", "warc_ts"])
+    _DAY_US = 86_400_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "day": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = ts // _DAY_US
+        h = pc.dictionary_encode(t["host"].combine_chunks())
+        hid = np.asarray(h.indices.to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        key = hid * 1_000_000 + (d % 1_000_000)  # block-local pair code
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(uk.size, np.int64)
+        np.add.at(cnt, inv, 1)
+        first = np.zeros(uk.size, np.int64)
+        first[inv[::-1]] = np.arange(len(key))[::-1]
+        return pa.table({"host": h.dictionary.take(
+                             pa.array(hid[first], pa.int64())),
+                         "day": pa.array(d[first], pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    parts = pts.map_batches(partials, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "n_days": pa.array([], pa.int64()),
+                          "span_days": pa.array([], pa.int64()),
+                          "n_captures": pa.array([], pa.int64()),
+                          "sum_sq": pa.array([], pa.int64()),
+                          "disp_num": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("day", "ascending")])
+        block = block.take(order).combine_chunks()
+        hcode = np.asarray(
+            pc.dictionary_encode(block["host"].combine_chunks()).indices
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(block["day"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        w = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, hcode[1:] != hcode[:-1]])
+        ends = np.r_[starts[1:], len(hcode)]
+        hosts, nd, sp, nc, sq, dn = [], [], [], [], [], []
+        for s, e in zip(starts, ends):
+            dd, ww = d[s:e], w[s:e]
+            ud, inv = np.unique(dd, return_inverse=True)
+            cnt = np.zeros(ud.size, np.int64)
+            np.add.at(cnt, inv, ww)   # settle same-day partials
+            b = int(ud[-1] - ud[0] + 1)
+            s_tot = int(cnt.sum())
+            q_tot = int(np.sum(cnt * cnt))
+            hosts.append(s)
+            nd.append(ud.size)
+            sp.append(b)
+            nc.append(s_tot)
+            sq.append(q_tot)
+            dn.append(b * q_tot - s_tot * s_tot)
+        return pa.table({
+            "host": block["host"].take(pa.array(hosts, pa.int64())),
+            "n_days": pa.array(nd, pa.int64()),
+            "span_days": pa.array(sp, pa.int64()),
+            "n_captures": pa.array(nc, pa.int64()),
+            "sum_sq": pa.array(sq, pa.int64()),
+            "disp_num": pa.array(dn, pa.int64()),
+        })
+
+    return parts.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 #: q144 Voronoi: seed count (busiest cells) and assignment radius cap
 VOR_SEEDS = 12
 VOR_K = 10
@@ -4356,6 +4455,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q142_range_scan": spatialsql.q142_sql(_range_windows()),
         "q143_triangles": spatialsql.q143_sql(COLOC_MIN),
         "q144_voronoi": spatialsql.q144_sql(VOR_SEEDS, VOR_K),
+        "q145_burstiness": spatialsql.q145_sql(),
     }
 
 

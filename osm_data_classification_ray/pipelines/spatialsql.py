@@ -1125,6 +1125,26 @@ SELECT sp.cell, CAST(sp.b1 - sp.b0 + 1 AS BIGINT) AS n_bins, sp.n_pages,
 FROM sp LEFT JOIN s ON s.cell = sp.cell"""
 
 
+def q145_sql() -> str:
+    """q145 oracle: per-host burstiness rebuilt as plain SQL — per
+    (host, UTC day) counts, then one rollup with MIN/MAX span and the
+    identical integer dispersion numerator B·q − s². Never sees the
+    partial/settle split or the host exchange."""
+    return f"""WITH {captures_ctes()},
+hd AS (
+  SELECT host, ts_us // 86400000000 AS day, COUNT(*)::BIGINT AS n
+  FROM cap GROUP BY host, day
+)
+SELECT host,
+       COUNT(*)::BIGINT AS n_days,
+       CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+       CAST(SUM(n) AS BIGINT) AS n_captures,
+       CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+       CAST((MAX(day) - MIN(day) + 1) * SUM(n * n)
+            - SUM(n) * SUM(n) AS BIGINT) AS disp_num
+FROM hd GROUP BY host"""
+
+
 def q124_sql() -> str:
     """q124 oracle: OD flow — LAG window over the captures mirror
     (PARTITION BY host ORDER BY ts_us, url — ts_us is unique by

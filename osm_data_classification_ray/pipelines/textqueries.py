@@ -1223,6 +1223,111 @@ FROM ex GROUP BY label, pos
 """
 
 
+def q146_embed_outlier(sf_dir: str):
+    """q146: embedding outlier scoring — per vector the exact integer
+    squared distance to its OWN label's prototype (the nearest-class-mean
+    residual): the curation filter that flags mislabeled / out-of-
+    distribution vectors before training (SemDeDup/CLIP-filter lineage —
+    q98 dedups within buckets, this scores distance to the class center).
+
+    Integer-exact end to end: embeddings quantize by the q74 rule
+    (floor(x·1e6 + 0.5) → int64), the prototype is the HALF-UP INTEGER
+    mean per dimension (floor(s/c + 0.5), one frozen float division on
+    exact ints < 2^53 — bit-identical in both engines), and the score is
+    ``sqdist = Σ_d (x_d − m_d)²`` in int64 (|diff| ≤ 2e6 ⇒ Σ ≤ 4e12·dim,
+    far inside int64 at any dim).
+
+    Shape: the q79 two-level (label × dim) integer partial-sum fold
+    (nothing per-row leaves the worker) → bounded prototype broadcast →
+    ONE stateless scoring map over zero-copy list buffers. Oracle:
+    Q146_SQL — plain per-(label, pos) grouping + the identical frozen
+    expressions, never seeing the partial split."""
+    import ray
+
+    from ..functions.arrays import list_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"]).astype(np.float64)
+        q = np.floor(X * _Q74_SCALE + 0.5).astype(np.int64)
+        labels = np.asarray(t["label"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        uniq = np.unique(labels)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        cnts = np.zeros(len(uniq), dtype=np.int64)
+        for li, lab in enumerate(uniq):
+            m = labels == lab
+            sums[li] = q[m].sum(axis=0)
+            cnts[li] = int(m.sum())
+        dim = q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "pos": pa.array(np.tile(np.arange(dim), len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "c": pa.array(np.repeat(cnts, dim), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    refs = [x for x in ray.get(parts.to_arrow_refs()) if x.num_rows]
+    if not refs:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64()),
+                         "sqdist": pa.array([], pa.int64())})
+    t = pa.concat_tables(refs)
+    lab = np.asarray(t["label"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    pos = np.asarray(t["pos"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    s = np.asarray(t["s"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    c = np.asarray(t["c"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ulab = np.unique(lab)
+    dim = int(pos.max()) + 1
+    smat = np.zeros((len(ulab), dim), np.int64)
+    cvec = np.zeros(len(ulab), np.int64)
+    li = np.searchsorted(ulab, lab)
+    np.add.at(smat, (li, pos), s)
+    np.add.at(cvec, li[pos == 0], c[pos == 0])
+    # half-up integer mean per dim (exact: s, c are ints < 2^53)
+    proto = np.floor(smat.astype(np.float64) / cvec[:, None] + 0.5).astype(np.int64)
+    proto_ref = ray.put((ulab, proto))
+
+    def score(t2: pa.Table) -> pa.Table:
+        labs_u, pm = ray.get(proto_ref)
+        X = list_matrix(t2["embedding"]).astype(np.float64)
+        q = np.floor(X * _Q74_SCALE + 0.5).astype(np.int64)
+        labels = np.asarray(t2["label"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        rows = np.searchsorted(labs_u, labels)
+        diff = q - pm[rows]
+        sq = np.sum(diff * diff, axis=1)
+        return pa.table({"vec_id": t2["vec_id"].cast(pa.int64()),
+                         "label": pa.array(labels, pa.int64()),
+                         "sqdist": pa.array(sq, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+Q146_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, u.s.pos AS pos,
+         CAST(FLOOR(CAST(u.s.x AS DOUBLE) * {_Q74_SCALE} + 0.5) AS BIGINT) AS qv
+  FROM (
+    SELECT vec_id, label, UNNEST(list_transform(range(1, len(embedding) + 1),
+                                 i -> struct_pack(pos := i, x := embedding[i]))) AS s
+    FROM embeddings
+  ) u
+),
+proto AS (
+  SELECT label, pos,
+         CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+  FROM ex GROUP BY label, pos
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       CAST(SUM((e.qv - p.m) * (e.qv - p.m)) AS BIGINT) AS sqdist
+FROM ex e JOIN proto p ON p.label = e.label AND p.pos = e.pos
+GROUP BY e.vec_id, e.label
+"""
+
+
 def q26_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2864,6 +2969,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
     "q140_cdc_chunking": (q140_cdc_chunking, Q140_SQL),
     "q141_bigram_lm_score": (q141_bigram_lm_score, Q141_SQL),
+    "q146_embed_outlier": (q146_embed_outlier, Q146_SQL),
     "q29_media_features": (q29_media_features, _q29_sql()),
     "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),
     "q44_near_dup_groups": (q44_near_dup_groups, Q44_SQL),

@@ -33,6 +33,7 @@ QUERIES = [
     "range_scan_query",          # q142: prefix-pruned scan partials
     "triangles_query",           # q143: wedge-edge join, 3 exchanges
     "voronoi_query",             # q144: count exchange + BFS probe
+    "burstiness_query",          # q145: host exchange + dense-span fold
 ]
 
 

@@ -114,6 +114,8 @@ def _spatial_oracles():
         "q143_triangles": (es.triangles_query,
                            es.SPATIAL_SQL["q143_triangles"]),
         "q144_voronoi": (es.voronoi_query, es.SPATIAL_SQL["q144_voronoi"]),
+        "q145_burstiness": (es.burstiness_query,
+                            es.SPATIAL_SQL["q145_burstiness"]),
     }
 
 
