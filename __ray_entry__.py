@@ -295,6 +295,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q143_triangles": es.triangles_query,
             "q144_voronoi": es.voronoi_query,
             "q145_burstiness": es.burstiness_query,
+            "q147_trip_length": es.trip_length_query,
+            "q148_k_anonymity": es.k_anonymity_query,
+            "q149_tile_pyramid": es.tile_pyramid_query,
         }
     )
     return out

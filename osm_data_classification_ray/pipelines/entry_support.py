@@ -2647,6 +2647,234 @@ def od_flow_query(sf_dir: str):
     return agg.map_batches(fix_types, batch_format="pyarrow")
 
 
+def tile_pyramid_query(sf_dir: str):
+    """q149: full tile-pyramid materialization — per-cell page counts of
+    latest geocoded pages at EVERY resolution 5..9 in ONE pass: the
+    multi-zoom tile build of a map-tiling engine (q36 rolls one level,
+    q67 rolls attribute hierarchies — this materializes the whole
+    spatial pyramid, the artifact a tile server actually serves).
+
+    Shape: only the finest cell is read; res-5..8 parents rebuild by
+    pure bit math in the map (``cell_to_parents_multi`` — one unpack +
+    a shared halving chain, no shuffle per level), per-block (res, cell)
+    unique-count partials, then ONE keyed exchange over the union of
+    all five bounded cell universes. Oracle: spatialsql.q149_sql — five
+    plain groupings over the mirror's independently-encoded per-res
+    cells, UNION ALL; a parent-chain drift at any level diverges that
+    level's counts."""
+    from ray.data.aggregate import Sum
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r9", "has_geo", "is_latest"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"res": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        if t.num_rows == 0:
+            return empty
+        c9 = np.asarray(t["h3_r9"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64)
+        parents = hexgrid.cell_to_parents_multi(c9, (5, 6, 7, 8))
+        out_r, out_c, out_n = [], [], []
+        for res in (5, 6, 7, 8, 9):
+            cells = c9 if res == 9 else parents[res]
+            u, n = np.unique(cells.view(np.int64), return_counts=True)
+            out_r.append(np.full(u.size, res, np.int64))
+            out_c.append(u)
+            out_n.append(n.astype(np.int64))
+        return pa.table({"res": pa.array(np.concatenate(out_r), pa.int64()),
+                         "cell": pa.array(np.concatenate(out_c), pa.int64()),
+                         "n": pa.array(np.concatenate(out_n), pa.int64())})
+
+    parts = pts.map_batches(partials, batch_format="pyarrow")
+    agg = parts.groupby(["res", "cell"],
+                        num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n_pages"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({"res": t["res"].cast(pa.int64()),
+                         "cell": pa.array(c.view(np.uint64), pa.uint64()),
+                         "n_pages": t["n_pages"].cast(pa.int64())})
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+#: q148 anonymity threshold: a page is re-identification-risky when its
+#: (res-7 cell, lang) quasi-identifier group holds fewer than this many
+K_ANON = 3
+
+
+def k_anonymity_query(sf_dir: str):
+    """q148: k-anonymity suppression list — privacy-risk screening over
+    the spatial corpus: the quasi-identifier is (res-7 cell, lang), and
+    every latest geocoded page whose group size is below K_ANON is
+    emitted with its group size (the suppression candidates of
+    k-anonymity; the privacy RISK measurement beside q96's PII
+    redaction). A release is k-anonymous exactly when this list is
+    empty.
+
+    Shape: ONE (cell, lang)-keyed count exchange bounded by cells ×
+    langs → the bounded group-size table broadcasts via ``ray.put`` →
+    ONE stateless map probes each page's group (searchsorted on a
+    composite sort) and keeps the risky ones. No page-side shuffle.
+    Oracle: spatialsql.q148_sql — a COUNT(*) OVER (PARTITION BY cell,
+    lang) window, never seeing the broadcast or the exchange."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["url", "h3_r7", "lang", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["url", "h3_r7", "lang"]),
+        batch_format="pyarrow",
+    )
+    grp = pts.map_batches(
+        lambda t: pa.table({"cell": t["h3_r7"].cast(pa.uint64()),
+                            "lang": t["lang"]}),
+        batch_format="pyarrow",
+    ).groupby(["cell", "lang"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="k"))
+
+    gt = pa.concat_tables([x for x in ray.get(grp.to_arrow_refs())
+                           if x.num_rows])
+    empty_out = pa.table({"url": pa.array([], pa.string()),
+                          "cell": pa.array([], pa.uint64()),
+                          "lang": pa.array([], pa.string()),
+                          "k": pa.array([], pa.int64())})
+    if gt.num_rows == 0:
+        return empty_out
+    gc = np.asarray(gt["cell"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    gl = pc.dictionary_encode(gt["lang"].combine_chunks())
+    lang_dict = gl.dictionary
+    gli = np.asarray(gl.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    gk = np.asarray(gt["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    # exact composite key via cell RANK (packed ids use high bits for the
+    # res nibble, so cell·langs would overflow int64): rank < |cells|,
+    # lang id < |langs| — both bounded, product far inside int64
+    ucells = np.unique(gc)
+    n_lang = len(lang_dict)
+    key = np.searchsorted(ucells, gc) * n_lang + gli
+    o = np.argsort(key)
+    ref = ray.put((ucells, key[o], gk[o], lang_dict))
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        uc, skey, sk, ldict = ray.get(ref)
+        c = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        li = pc.index_in(t["lang"].combine_chunks(), value_set=ldict)
+        liv = np.asarray(pc.fill_null(li, -1).to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        crank = np.minimum(np.searchsorted(uc, c), max(uc.size - 1, 0))
+        chit = uc[crank] == c
+        pkey = crank * len(ldict) + liv
+        pos = np.minimum(np.searchsorted(skey, pkey),
+                         max(skey.size - 1, 0))
+        hit = chit & (liv >= 0) & (skey[pos] == pkey)
+        k = np.where(hit, sk[pos], 0)
+        risky = hit & (k < K_ANON)
+        if not risky.any():
+            return empty_out
+        sel = pa.array(risky)
+        return pa.table({
+            "url": t["url"].combine_chunks().filter(sel),
+            "cell": pa.array(np.asarray(c[risky]).view(np.uint64)
+                             if c[risky].size else np.zeros(0, np.uint64),
+                             pa.uint64()),
+            "lang": t["lang"].combine_chunks().filter(sel),
+            "k": pa.array(k[risky], pa.int64()),
+        })
+
+    return pts.map_batches(probe, batch_format="pyarrow")
+
+
+def trip_length_query(sf_dir: str):
+    """q147: per-host trip length — order each host's geocoded captures
+    by (warc_ts, url) and sum the EXACT hex distances between
+    consecutive res-7 cells: total path length in hex steps, move count,
+    stay count (zero-step transitions) and the longest single hop. The
+    trip-statistics member of the mobility family (q124 gives the flow
+    MATRIX, q125 the spread around home — this gives the travelled
+    LENGTH, the desire-line total of movement analytics), all-integer.
+
+    Shape: ONE host-keyed exchange of the narrow projection → per-block
+    Arrow multi-key sort → vectorized adjacent pairs (the q124 kernel)
+    → ``hexgrid.hex_distance`` on the pair arrays → per-host run-length
+    fold, no second exchange (host groups are complete per block).
+    Oracle: spatialsql.q147_sql — LAG window + the closed-form axial
+    distance, independent of hexgrid.hex_distance and the pair split."""
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "url", "warc_ts", "h3_r7", "has_geo"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_geo"])
+        return t.select(["host", "url", "warc_ts", "h3_r7"])
+
+    rows = pts.map_batches(narrow, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "n_moves": pa.array([], pa.int64()),
+                          "n_stays": pa.array([], pa.int64()),
+                          "path_len": pa.array([], pa.int64()),
+                          "max_hop": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("warc_ts", "ascending"),
+                                                  ("url", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = block["host"].combine_chunks()
+        hcode = np.asarray(pc.dictionary_encode(h).indices
+                           .to_numpy(zero_copy_only=False), dtype=np.int64)
+        c = np.asarray(block["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        same = hcode[1:] == hcode[:-1]
+        d = np.zeros(len(same), np.int64)
+        if same.any():
+            d[same] = hexgrid.hex_distance(c[:-1][same], c[1:][same])
+        # per-host fold over the move positions (hosts are contiguous)
+        starts = np.flatnonzero(np.r_[True, hcode[1:] != hcode[:-1]])
+        hosts, nm, ns, pl, mh = [], [], [], [], []
+        ends = np.r_[starts[1:], len(hcode)]
+        for s, e in zip(starts, ends):
+            seg = d[s:e - 1]           # moves within the host run
+            hosts.append(s)
+            nm.append(int(e - 1 - s))
+            ns.append(int(np.sum(seg == 0)))
+            pl.append(int(seg.sum()))
+            mh.append(int(seg.max()) if seg.size else 0)
+        return pa.table({
+            "host": h.take(pa.array(hosts, pa.int64())),
+            "n_moves": pa.array(nm, pa.int64()),
+            "n_stays": pa.array(ns, pa.int64()),
+            "path_len": pa.array(pl, pa.int64()),
+            "max_hop": pa.array(mh, pa.int64()),
+        })
+
+    return rows.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 #: q127 minimum shared-admin count for a co-service edge (1: no host
 #: pair shares two admins on this corpus — the threshold machinery is
 #: still exercised, it just keeps every edge)
@@ -4456,6 +4684,9 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q143_triangles": spatialsql.q143_sql(COLOC_MIN),
         "q144_voronoi": spatialsql.q144_sql(VOR_SEEDS, VOR_K),
         "q145_burstiness": spatialsql.q145_sql(),
+        "q147_trip_length": spatialsql.q147_sql(),
+        "q148_k_anonymity": spatialsql.q148_sql(K_ANON),
+        "q149_tile_pyramid": spatialsql.q149_sql(),
     }
 
 

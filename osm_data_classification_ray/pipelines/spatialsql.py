@@ -1125,6 +1125,70 @@ SELECT sp.cell, CAST(sp.b1 - sp.b0 + 1 AS BIGINT) AS n_bins, sp.n_pages,
 FROM sp LEFT JOIN s ON s.cell = sp.cell"""
 
 
+def q147_sql() -> str:
+    """q147 oracle: per-host trip length via a LAG window over the
+    captures mirror (PARTITION BY host ORDER BY ts_us, url) + the
+    closed-form axial hex distance on coords unpacked from the packed
+    cell id — independent of hexgrid.hex_distance, of the adjacent-pair
+    kernel, and of the host exchange. Distances are non-negative so
+    integer ``// 2`` equals the floor the closed form needs."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT host, url, ts_us,
+         CAST((cell_r7 >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell_r7 & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM cap WHERE has_geo
+),
+sq AS (
+  SELECT host, q, r,
+         LAG(q) OVER w AS pq, LAG(r) OVER w AS pr
+  FROM g WINDOW w AS (PARTITION BY host ORDER BY ts_us, url)
+),
+mv AS (
+  SELECT host,
+         (abs(q - pq) + abs(r - pr) + abs((q - pq) + (r - pr))) // 2 AS d
+  FROM sq WHERE pq IS NOT NULL
+),
+hosts AS (SELECT DISTINCT host FROM g)
+SELECT h.host,
+       COUNT(mv.d)::BIGINT AS n_moves,
+       CAST(COALESCE(SUM(CASE WHEN mv.d = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_stays,
+       CAST(COALESCE(SUM(mv.d), 0) AS BIGINT) AS path_len,
+       CAST(COALESCE(MAX(mv.d), 0) AS BIGINT) AS max_hop
+FROM hosts h LEFT JOIN mv ON mv.host = h.host
+GROUP BY h.host"""
+
+
+def q149_sql() -> str:
+    """q149 oracle: the full tile pyramid as five plain groupings over
+    the mirror's per-res cells (each encoded independently from the
+    coordinates by the hexgrid-in-SQL chain), UNION ALL — never sees
+    the engine's single-pass parent bit math."""
+    parts = "\nUNION ALL\n".join(
+        f"SELECT CAST({res} AS BIGINT) AS res, cell_r{res} AS cell, "
+        f"COUNT(*)::BIGINT AS n_pages "
+        f"FROM cap WHERE has_geo AND is_latest GROUP BY cell_r{res}"
+        for res in (5, 6, 7, 8, 9))
+    return f"WITH {captures_ctes()}\n{parts}"
+
+
+def q148_sql(k_anon: int) -> str:
+    """q148 oracle: k-anonymity suppression list via a COUNT(*) window
+    over (cell, lang) on latest geocoded captures — never sees the
+    group-size exchange, the rank-encoded composite key, or the
+    broadcast probe."""
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT url, cell_r7 AS cell, lang,
+         COUNT(*) OVER (PARTITION BY cell_r7, lang) AS k
+  FROM cap WHERE has_geo AND is_latest
+)
+SELECT url, cell, lang, CAST(k AS BIGINT) AS k
+FROM g WHERE k < {k_anon}"""
+
+
 def q145_sql() -> str:
     """q145 oracle: per-host burstiness rebuilt as plain SQL — per
     (host, UTC day) counts, then one rollup with MIN/MAX span and the

@@ -34,6 +34,9 @@ QUERIES = [
     "triangles_query",           # q143: wedge-edge join, 3 exchanges
     "voronoi_query",             # q144: count exchange + BFS probe
     "burstiness_query",          # q145: host exchange + dense-span fold
+    "trip_length_query",         # q147: host exchange + adjacent pairs
+    "k_anonymity_query",         # q148: group exchange + broadcast probe
+    "tile_pyramid_query",        # q149: multi-res partials + one exchange
 ]
 
 

@@ -116,6 +116,12 @@ def _spatial_oracles():
         "q144_voronoi": (es.voronoi_query, es.SPATIAL_SQL["q144_voronoi"]),
         "q145_burstiness": (es.burstiness_query,
                             es.SPATIAL_SQL["q145_burstiness"]),
+        "q147_trip_length": (es.trip_length_query,
+                             es.SPATIAL_SQL["q147_trip_length"]),
+        "q148_k_anonymity": (es.k_anonymity_query,
+                             es.SPATIAL_SQL["q148_k_anonymity"]),
+        "q149_tile_pyramid": (es.tile_pyramid_query,
+                              es.SPATIAL_SQL["q149_tile_pyramid"]),
     }
 
 
