@@ -4417,6 +4417,79 @@ def admin_profile_query(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def admin_peak_day_query(sf_dir: str):
+    """q150: per-admin peak activity day — zonal temporal statistics on
+    the PIP join's output: for every winning admin polygon, the UTC day
+    with the most assigned latest pages (ties to the earliest day), its
+    count, the number of distinct active days and the total. The
+    space → zone → TIME argmax of emerging-activity dashboards (which
+    day lit each district up?), the zonal member of the space-time
+    family beside q135's per-cell trend.
+
+    Shape: one url-keyed hash join (page_admin ⋈ captures, the q91
+    plan) → (admin, day) count exchange bounded by admins × days →
+    per-admin run-length argmax with the (count desc, day asc)
+    lexsort tie-break (the q123/q125 mode kernel). Oracle:
+    spatialsql.q150_sql — the shared PIP mirror + a window rank, never
+    seeing the join order or the argmax kernel."""
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    matched = spatial.read_stage(cfg.out_root, "page_admin", ["url", "admin_id"])
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["url", "warc_ts", "has_geo", "is_latest"])
+    caps = caps.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(
+            ["has_geo", "is_latest"]),
+        batch_format="pyarrow",
+    )
+    j = matched.join(caps, join_type="inner",
+                     num_partitions=default_partitions(), on=("url",))
+    _DAY_US = 86_400_000_000
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"admin_id": t["admin_id"],
+                         "day": pa.array(ts // _DAY_US, pa.int64())})
+
+    ad = j.map_batches(to_day, batch_format="pyarrow").groupby(
+        ["admin_id", "day"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n"))
+    ad = ad.repartition(default_partitions(), keys=["admin_id"], sort=False)
+
+    def argmax(block: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "peak_day": pa.array([], pa.int64()),
+                          "peak_n": pa.array([], pa.int64()),
+                          "n_days": pa.array([], pa.int64()),
+                          "n_pages": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(block["day"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        # (admin asc, count desc, day asc): first row per admin is the peak
+        order = np.lexsort((d, -n, a))
+        a, d, n = a[order], d[order], n[order]
+        first = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[first[1:], len(a)]
+        tot = np.add.reduceat(n, first)
+        return pa.table({"admin_id": pa.array(a[first], pa.int64()),
+                         "peak_day": pa.array(d[first], pa.int64()),
+                         "peak_n": pa.array(n[first], pa.int64()),
+                         "n_days": pa.array(ends - first, pa.int64()),
+                         "n_pages": pa.array(tot, pa.int64())})
+
+    return ad.map_batches(argmax, batch_format="pyarrow", batch_size=None)
+
+
 def dedup_urls_query(sf_dir: str):
     """Standalone exact url-dedup (D1): within-batch combiner → url-keyed
     hash shuffle → keep-latest per url; returns per-host kept-page counts."""
@@ -4687,6 +4760,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q147_trip_length": spatialsql.q147_sql(),
         "q148_k_anonymity": spatialsql.q148_sql(K_ANON),
         "q149_tile_pyramid": spatialsql.q149_sql(),
+        "q150_admin_peak_day": spatialsql.q150_sql(),
     }
 
 

@@ -1161,6 +1161,36 @@ FROM hosts h LEFT JOIN mv ON mv.host = h.host
 GROUP BY h.host"""
 
 
+def q150_sql() -> str:
+    """q150 oracle: per-admin peak day via the shared PIP mirror + a
+    (n DESC, day ASC) window rank over plain (admin, day) counts —
+    never sees the engine's join order or the lexsort argmax kernel."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+ad AS (
+  SELECT b.admin_id, c.ts_us // 86400000000 AS day, COUNT(*)::BIGINT AS n
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+  GROUP BY b.admin_id, day
+),
+r AS (
+  SELECT admin_id, day, n,
+         ROW_NUMBER() OVER (PARTITION BY admin_id ORDER BY n DESC, day ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY admin_id) AS n_days,
+         SUM(n) OVER (PARTITION BY admin_id) AS n_pages
+  FROM ad
+)
+SELECT CAST(admin_id AS BIGINT) AS admin_id, day AS peak_day,
+       n AS peak_n, CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_pages AS BIGINT) AS n_pages
+FROM r WHERE rk = 1"""
+
+
 def q149_sql() -> str:
     """q149 oracle: the full tile pyramid as five plain groupings over
     the mirror's per-res cells (each encoded independently from the

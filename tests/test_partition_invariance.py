@@ -37,6 +37,7 @@ QUERIES = [
     "trip_length_query",         # q147: host exchange + adjacent pairs
     "k_anonymity_query",         # q148: group exchange + broadcast probe
     "tile_pyramid_query",        # q149: multi-res partials + one exchange
+    "admin_peak_day_query",      # q150: join + (admin, day) argmax
 ]
 
 

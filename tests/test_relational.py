@@ -122,6 +122,8 @@ def _spatial_oracles():
                              es.SPATIAL_SQL["q148_k_anonymity"]),
         "q149_tile_pyramid": (es.tile_pyramid_query,
                               es.SPATIAL_SQL["q149_tile_pyramid"]),
+        "q150_admin_peak_day": (es.admin_peak_day_query,
+                                es.SPATIAL_SQL["q150_admin_peak_day"]),
     }
 
 
