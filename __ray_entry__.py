@@ -299,6 +299,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q148_k_anonymity": es.k_anonymity_query,
             "q149_tile_pyramid": es.tile_pyramid_query,
             "q150_admin_peak_day": es.admin_peak_day_query,
+            "q151_dup_spread": es.dup_spread_query,
         }
     )
     return out

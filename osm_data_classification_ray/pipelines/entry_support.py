@@ -4417,6 +4417,97 @@ def admin_profile_query(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def dup_spread_query(sf_dir: str):
+    """q151: spatial spread of duplication — every MinHash-verified
+    near-dup pair (the exact q20 kernel and threshold) annotated with
+    the HEX DISTANCE between the two pages' res-5 cells: −1 when either
+    page lacks a geocode, 0 for same-cell duplicates, large for
+    mirror-site duplication across regions. The dedup × spatial
+    cross-family op (the q89 precedent crossed text dedup with
+    embeddings; this crosses it with the raster): "is this duplication
+    local boilerplate or a distant mirror?" drives different curation
+    actions.
+
+    Shape: the full q20 distributed LSH pipeline produces the verified
+    pair table (pair-sized); the pair id set broadcasts into ONE
+    filtered scan of the captures-derived (doc_id, cell) map (the
+    fast-verify pattern — cells collected ONLY for pair members), and
+    ``hexgrid.hex_distance`` finishes driver-side on the pair-bounded
+    arrays. Oracle: spatialsql mirror = Q20's exact-Jaccard CTE + LEFT
+    JOINs to the capture cells + the closed-form axial distance."""
+    import ray
+
+    from ..cellmath import hexgrid
+    from ..stages import textdedup
+    from .relational import _read
+
+    cfg, _ = ensure_outputs(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = textdedup.minhash_near_dup_pairs(
+        docs, default_partitions(), threshold=0.6, shingle="word")
+    empty_out = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64()),
+                          "dist": pa.array([], pa.int64())})
+    if pairs.num_rows == 0:
+        return empty_out
+
+    ids = np.unique(np.r_[
+        np.asarray(pairs["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64),
+        np.asarray(pairs["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)])
+    ids_ref = ray.put(ids)
+
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["warc_ts", "h3_r5", "has_geo"])
+
+    def cells_for_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64())})
+        t = t.filter(t["has_geo"])
+        if t.num_rows == 0:
+            return empty
+        import ray as _ray
+
+        want = _ray.get(ids_ref)
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        doc = gen.doc_id_from_warc_ts(ts)
+        pos = np.minimum(np.searchsorted(want, doc), max(want.size - 1, 0))
+        hit = (want[pos] == doc) if want.size else np.zeros(doc.size, bool)
+        if not hit.any():
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        return pa.table({"doc_id": pa.array(doc[hit], pa.int64()),
+                         "cell": pa.array(c[hit], pa.int64())})
+
+    hits = pa.concat_tables(
+        [x for x in ray.get(caps.map_batches(
+            cells_for_pairs, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+    cell_map = np.full(ids.size, -1, np.int64)
+    if hits.num_rows:
+        hd = np.asarray(hits["doc_id"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        hc = np.asarray(hits["cell"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        cell_map[np.searchsorted(ids, hd)] = hc
+
+    da = np.asarray(pairs["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    db = np.asarray(pairs["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ca = cell_map[np.searchsorted(ids, da)]
+    cb = cell_map[np.searchsorted(ids, db)]
+    dist = np.full(da.size, -1, np.int64)
+    both = (ca >= 0) & (cb >= 0)
+    if both.any():
+        dist[both] = hexgrid.hex_distance(ca[both].view(np.uint64),
+                                          cb[both].view(np.uint64))
+    return pa.table({"doc_a": pairs["doc_a"],
+                     "doc_b": pairs["doc_b"],
+                     "jaccard": pairs["jaccard"],
+                     "dist": pa.array(dist, pa.int64())})
+
+
 def admin_peak_day_query(sf_dir: str):
     """q150: per-admin peak activity day — zonal temporal statistics on
     the PIP join's output: for every winning admin polygon, the UTC day
@@ -4761,6 +4852,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q148_k_anonymity": spatialsql.q148_sql(K_ANON),
         "q149_tile_pyramid": spatialsql.q149_sql(),
         "q150_admin_peak_day": spatialsql.q150_sql(),
+        "q151_dup_spread": spatialsql.q151_sql(0.6),
     }
 
 

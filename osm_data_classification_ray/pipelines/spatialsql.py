@@ -1161,6 +1161,52 @@ FROM hosts h LEFT JOIN mv ON mv.host = h.host
 GROUP BY h.host"""
 
 
+def q151_sql(threshold: float) -> str:
+    """q151 oracle: duplicate-spread — Q20's exact word-3-shingle
+    Jaccard pair mirror (valid for the LSH pipeline because every
+    qualifying pair on this corpus sits at j ≥ 0.9, detection
+    probability ~1 — the q20 argument verbatim) LEFT JOINed to the
+    capture cells, with the closed-form axial hex distance on coords
+    unpacked from the packed ids (−1 when either page lacks geo).
+    Never sees the band exchange, the verify plan, or
+    hexgrid.hex_distance."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+gcell AS (SELECT DISTINCT doc_id, cell_r5 FROM cap WHERE has_geo),
+tok AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+shj AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+  FROM tok
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM shj a JOIN shj b ON a.doc_id < b.doc_id
+),
+q AS (SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM p
+      WHERE jaccard >= {threshold}),
+cc AS (
+  SELECT q.doc_a, q.doc_b, q.jaccard, ga.cell_r5 AS ca, gb.cell_r5 AS cb
+  FROM q LEFT JOIN gcell ga ON ga.doc_id = q.doc_a
+         LEFT JOIN gcell gb ON gb.doc_id = q.doc_b
+)
+SELECT doc_a, doc_b, jaccard,
+       CAST(CASE WHEN ca IS NULL OR cb IS NULL THEN -1
+            ELSE (abs((CAST((ca >> 30) & {mask} AS BIGINT) - {_BIAS})
+                      - (CAST((cb >> 30) & {mask} AS BIGINT) - {_BIAS}))
+                  + abs((CAST(ca & {mask} AS BIGINT) - {_BIAS})
+                        - (CAST(cb & {mask} AS BIGINT) - {_BIAS}))
+                  + abs(((CAST((ca >> 30) & {mask} AS BIGINT) - {_BIAS})
+                         - (CAST((cb >> 30) & {mask} AS BIGINT) - {_BIAS}))
+                        + ((CAST(ca & {mask} AS BIGINT) - {_BIAS})
+                           - (CAST(cb & {mask} AS BIGINT) - {_BIAS})))) // 2
+       END AS BIGINT) AS dist
+FROM cc"""
+
+
 def q150_sql() -> str:
     """q150 oracle: per-admin peak day via the shared PIP mirror + a
     (n DESC, day ASC) window rank over plain (admin, day) counts —

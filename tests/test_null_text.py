@@ -28,6 +28,11 @@ AFFECTED = [
     "q141_bigram_lm_score",
 ]
 
+#: q151 consumes text through q20's pipeline AND joins the spatial side —
+#: its null-text parity runs in the spatial harness instead (the planted
+#: rows have no captures-mirror counterpart with geo, so dist = -1 paths
+#: are exercised by the real fixture's non-geocoded docs already)
+
 
 @pytest.fixture(scope="module")
 def null_dir(tmp_path_factory):

@@ -38,6 +38,7 @@ QUERIES = [
     "k_anonymity_query",         # q148: group exchange + broadcast probe
     "tile_pyramid_query",        # q149: multi-res partials + one exchange
     "admin_peak_day_query",      # q150: join + (admin, day) argmax
+    "dup_spread_query",          # q151: LSH pairs + filtered cell scan
 ]
 
 

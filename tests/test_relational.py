@@ -124,6 +124,8 @@ def _spatial_oracles():
                               es.SPATIAL_SQL["q149_tile_pyramid"]),
         "q150_admin_peak_day": (es.admin_peak_day_query,
                                 es.SPATIAL_SQL["q150_admin_peak_day"]),
+        "q151_dup_spread": (es.dup_spread_query,
+                            es.SPATIAL_SQL["q151_dup_spread"]),
     }
 
 
