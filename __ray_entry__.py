@@ -300,6 +300,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q149_tile_pyramid": es.tile_pyramid_query,
             "q150_admin_peak_day": es.admin_peak_day_query,
             "q151_dup_spread": es.dup_spread_query,
+            "q152_change_detect": es.change_detect_query,
+            "q153_dissimilarity": es.dissimilarity_query,
+            "q154_density_peak": es.density_peak_query,
         }
     )
     return out

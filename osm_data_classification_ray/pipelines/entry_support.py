@@ -4417,6 +4417,290 @@ def admin_profile_query(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def change_detect_query(sf_dir: str):
+    """q152: spatial change detection — per occupied res-5 cell the
+    geocoded-capture counts in the FIRST vs SECOND half of the crawl
+    window (split at the midpoint of [min_ts, max_ts], a deterministic
+    data-derived epoch) plus the exact integer share-shift numerator
+    ``change_num = n2·N1 − n1·N2`` (N1/N2 = global half totals;
+    positive ⇒ the cell's share of activity grew). The two-period
+    differencing op of change detection — the discrete sibling of
+    q135's Mann-Kendall trend, answering "WHERE did activity shift?"
+    instead of "is it monotone?". Range contract: |n·N| < 2^63 holds to
+    ~10⁶ pages/cell × 10¹² total (the q99 limb note applies beyond).
+
+    Shape: one tiny global (min, max) timestamp aggregate → per-block
+    (cell, half) count partials → ONE cell-keyed exchange bounded by
+    the res-5 universe → tiny (N1, N2) aggregate → per-cell finish.
+    Oracle: spatialsql.q152_sql — conditional aggregation off the same
+    midpoint rule, never seeing the partial split."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "warc_ts", "has_geo"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["has_geo"]).select(["h3_r5", "warc_ts"]),
+        batch_format="pyarrow",
+    )
+    ts_ds = pts.map_batches(
+        lambda t: pa.table({"ts": pc.cast(t["warc_ts"], pa.int64())}),
+        batch_format="pyarrow")
+    mm = ts_ds.aggregate(Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+    lo = int(mm["lo"] or 0)
+    hi = int(mm["hi"] or 0)
+    mid = (lo + hi) // 2   # first half: ts < mid
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n1": pa.array([], pa.int64()),
+                          "n2": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        first = ts < mid
+        u, inv = np.unique(c, return_inverse=True)
+        n1 = np.zeros(u.size, np.int64)
+        n2 = np.zeros(u.size, np.int64)
+        np.add.at(n1, inv[first], 1)
+        np.add.at(n2, inv[~first], 1)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "n1": pa.array(n1, pa.int64()),
+                         "n2": pa.array(n2, pa.int64())})
+
+    parts = pts.map_batches(partials, batch_format="pyarrow")
+    agg = parts.groupby("cell", num_partitions=default_partitions()).aggregate(
+        Sum("n1", alias_name="n_first"), Sum("n2", alias_name="n_second"))
+    tot = agg.aggregate(Sum("n_first", alias_name="t1"),
+                        Sum("n_second", alias_name="t2"))
+    t1 = int(tot["t1"] or 0)
+    t2 = int(tot["t2"] or 0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n1 = np.asarray(t["n_first"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        n2 = np.asarray(t["n_second"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        return pa.table({
+            "cell": pa.array(c.view(np.uint64), pa.uint64()),
+            "n_first": pa.array(n1, pa.int64()),
+            "n_second": pa.array(n2, pa.int64()),
+            "change_num": pa.array(n2 * t1 - n1 * t2, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dissimilarity_query(sf_dir: str):
+    """q153: spatial segregation (index of dissimilarity) — for the
+    English vs non-English page populations over occupied res-5 cells,
+    the exact integer numerator ``dissim_num = Σ_i |a_i·B − b_i·A|``
+    (A/B = global group totals; the Duncan dissimilarity index is
+    D = num / (2AB)). The segregation statistic of spatial demography
+    — "how unevenly are the two populations distributed across
+    cells?" — joining the spatial-statistics algebra as its
+    two-population member. Range contract: |a·B| < 2^63 to ~10⁶
+    pages/cell × 10¹² total (the q99/q152 limb note beyond).
+
+    Shape: per-block (cell, a, b) count partials → ONE cell-keyed
+    exchange bounded by the res-5 universe → tiny (A, B) aggregate →
+    per-block |·| partials → constant driver combine; one summary row
+    (n_cells, a_total, b_total, dissim_num). Oracle:
+    spatialsql.q153_sql — plain conditional aggregation + the same
+    absolute-difference sum."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "lang", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["h3_r5", "lang"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        is_en = np.asarray(pc.equal(t["lang"], pa.scalar("en"))
+                           .to_numpy(zero_copy_only=False), dtype=bool)
+        u, inv = np.unique(c, return_inverse=True)
+        a = np.zeros(u.size, np.int64)
+        b = np.zeros(u.size, np.int64)
+        np.add.at(a, inv[is_en], 1)
+        np.add.at(b, inv[~is_en], 1)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+    tot = agg.aggregate(Count(alias_name="n"), Sum("a", alias_name="ta"),
+                        Sum("b", alias_name="tb"))
+    n_cells = int(tot["n"] or 0)
+    ta = int(tot["ta"] or 0)
+    tb = int(tot["tb"] or 0)
+
+    def block_num(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"s": pa.array([int(np.abs(a * tb - b * ta).sum())],
+                                       pa.int64())})
+
+    parts = agg.map_batches(block_num, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"))
+    return pa.table({"n_cells": pa.array([n_cells], pa.int64()),
+                     "a_total": pa.array([ta], pa.int64()),
+                     "b_total": pa.array([tb], pa.int64()),
+                     "dissim_num": pa.array([int(parts["s"] or 0)], pa.int64())})
+
+
+#: q154 density-peak search radius (hex steps); cells with no
+#: higher-count cell within it are peaks (delta = DP_K + 1)
+DP_K = 4
+
+
+def density_peak_query(sf_dir: str):
+    """q154: density-peak delta — for every occupied res-5 cell the hex
+    distance to the NEAREST cell with STRICTLY higher page count
+    (Rodriguez–Laio density-peaks clustering's δ statistic on the
+    raster), capped at DP_K: cells with no denser cell within the cap
+    are local density peaks (delta = DP_K + 1, nearest_higher = 0).
+    Ties at equal distance break to the smallest denser cell id. The
+    mode-seeking / cluster-center-detection op beside q112's region
+    labeling (which merges equals — this ranks against STRICTLY denser
+    neighbors, the decision-graph input of DP clustering).
+
+    Shape: settle exact per-cell counts with ONE cell-keyed exchange
+    (the q133 plan) → each settled cell scatters rings 1..DP_K carrying
+    (count, source id); the self row carries the destination's own
+    count → second keyed exchange → per-destination vectorized pick of
+    (min d, min source) among strictly-denser arrivals. Exchanges are
+    bounded by the res-5 universe × ring size, never pages. Oracle:
+    spatialsql.q154_sql — occupied × occupied axial self-join with
+    n_b > n_a + a (dist, cell) window rank; LEFT JOIN keeps peaks."""
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        if t.num_rows == 0:
+            return empty
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = pts.map_batches(partials, batch_format="pyarrow")
+    parts = parts.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def settle_scatter(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "n_src": pa.array([], pa.int64()),
+                          "src": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        w = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        n = np.zeros(cells.size, np.int64)
+        np.add.at(n, inv, w)   # exact totals: partials are co-located
+        out_c = [cells]
+        out_d = [np.zeros(cells.size, np.int64)]
+        out_n = [n]
+        out_s = [cells]
+        ucells = cells.view(np.uint64)
+        for d in range(1, DP_K + 1):
+            ring = hexgrid.grid_ring(ucells, d)   # (n_cells, 6d)
+            out_c.append(ring.ravel().view(np.int64))
+            out_d.append(np.full(ring.size, d, np.int64))
+            out_n.append(np.repeat(n, 6 * d))
+            out_s.append(np.repeat(cells, 6 * d))
+        return pa.table({"cell": pa.array(np.concatenate(out_c), pa.int64()),
+                         "d": pa.array(np.concatenate(out_d), pa.int64()),
+                         "n_src": pa.array(np.concatenate(out_n), pa.int64()),
+                         "src": pa.array(np.concatenate(out_s), pa.int64())})
+
+    rows = parts.map_batches(settle_scatter, batch_format="pyarrow",
+                             batch_size=None)
+    rows = rows.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def pick(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "delta": pa.array([], pa.int64()),
+                          "nearest_higher": pa.array([], pa.uint64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(block["d"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ns = np.asarray(block["n_src"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        src = np.asarray(block["src"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cells, inv = np.unique(c, return_inverse=True)
+        own = np.zeros(cells.size, np.int64)
+        here = d == 0
+        own[inv[here]] = ns[here]
+        occupied = np.zeros(cells.size, bool)
+        occupied[inv[here]] = True
+        higher = (~here) & occupied[inv] & (ns > own[inv])
+        if not occupied.any():
+            return empty
+        # (min d, min src) among strictly-denser arrivals, per destination
+        delta = np.full(cells.size, DP_K + 1, np.int64)
+        best = np.zeros(cells.size, np.int64)
+        if higher.any():
+            hi = inv[higher]
+            hd = d[higher]
+            hs = src[higher]
+            order = np.lexsort((hs, hd, hi))
+            hi, hd, hs = hi[order], hd[order], hs[order]
+            first = np.r_[True, hi[1:] != hi[:-1]]
+            delta[hi[first]] = hd[first]
+            best[hi[first]] = hs[first]
+        keep = occupied
+        return pa.table({
+            "cell": pa.array(cells[keep].view(np.uint64), pa.uint64()),
+            "n_pages": pa.array(own[keep], pa.int64()),
+            "delta": pa.array(delta[keep], pa.int64()),
+            "nearest_higher": pa.array(best[keep].view(np.uint64),
+                                       pa.uint64()),
+        })
+
+    return rows.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
 def dup_spread_query(sf_dir: str):
     """q151: spatial spread of duplication — every MinHash-verified
     near-dup pair (the exact q20 kernel and threshold) annotated with
@@ -4853,6 +5137,9 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q149_tile_pyramid": spatialsql.q149_sql(),
         "q150_admin_peak_day": spatialsql.q150_sql(),
         "q151_dup_spread": spatialsql.q151_sql(0.6),
+        "q152_change_detect": spatialsql.q152_sql(),
+        "q153_dissimilarity": spatialsql.q153_sql(),
+        "q154_density_peak": spatialsql.q154_sql(DP_K),
     }
 
 

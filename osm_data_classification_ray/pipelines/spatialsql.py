@@ -1161,6 +1161,77 @@ FROM hosts h LEFT JOIN mv ON mv.host = h.host
 GROUP BY h.host"""
 
 
+def q152_sql() -> str:
+    """q152 oracle: two-period change detection via conditional
+    aggregation off the same midpoint rule ((min+max)//2 on positive
+    timestamps — trunc == floor) — never sees the per-block partial
+    split or the cell exchange."""
+    return f"""WITH {captures_ctes()},
+mm AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM cap WHERE has_geo),
+g AS (
+  SELECT cell_r5 AS cell,
+         CAST(SUM(CASE WHEN ts_us < mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(SUM(CASE WHEN ts_us >= mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+  FROM cap CROSS JOIN mm WHERE has_geo GROUP BY cell_r5
+),
+tot AS (SELECT CAST(SUM(n_first) AS BIGINT) AS t1,
+               CAST(SUM(n_second) AS BIGINT) AS t2 FROM g)
+SELECT g.cell, g.n_first, g.n_second,
+       CAST(g.n_second * tot.t1 - g.n_first * tot.t2 AS BIGINT) AS change_num
+FROM g CROSS JOIN tot"""
+
+
+def q153_sql() -> str:
+    """q153 oracle: dissimilarity-index numerator via plain conditional
+    aggregation + one absolute-difference sum — never sees the per-block
+    partial split."""
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT cell_r5 AS cell,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n,
+               CAST(COALESCE(SUM(a), 0) AS BIGINT) AS ta,
+               CAST(COALESCE(SUM(b), 0) AS BIGINT) AS tb FROM g),
+num AS (SELECT CAST(COALESCE(SUM(abs(g.a * tot.tb - g.b * tot.ta)), 0) AS BIGINT) AS s
+        FROM g CROSS JOIN tot)
+SELECT tot.n AS n_cells, tot.ta AS a_total, tot.tb AS b_total,
+       num.s AS dissim_num
+FROM tot CROSS JOIN num"""
+
+
+def q154_sql(k: int) -> str:
+    """q154 oracle: density-peak delta via an occupied × occupied axial
+    self-join restricted to STRICTLY denser partners, closed-form hex
+    distance, and a (dist, src) window rank; LEFT JOIN keeps peaks at
+    delta = k+1 / nearest_higher = 0 — independent of grid_ring and the
+    settle/scatter decomposition."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n
+      FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5),
+u AS (SELECT cell, n,
+        CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+        CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+      FROM g),
+hi AS (
+  SELECT a.cell, b.cell AS src,
+         (abs(a.q - b.q) + abs(a.r - b.r)
+          + abs((a.q - b.q) + (a.r - b.r))) // 2 AS dist
+  FROM u a JOIN u b ON b.n > a.n
+),
+flt AS (SELECT * FROM hi WHERE dist <= {k}),
+r AS (SELECT cell, src, dist,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist, src) AS rn
+      FROM flt)
+SELECT g.cell, g.n AS n_pages,
+       CAST(COALESCE(r.dist, {k + 1}) AS BIGINT) AS delta,
+       COALESCE(r.src, CAST(0 AS UBIGINT)) AS nearest_higher
+FROM g LEFT JOIN r ON r.cell = g.cell AND r.rn = 1"""
+
+
 def q151_sql(threshold: float) -> str:
     """q151 oracle: duplicate-spread — Q20's exact word-3-shingle
     Jaccard pair mirror (valid for the LSH pipeline because every

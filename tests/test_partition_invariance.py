@@ -39,6 +39,9 @@ QUERIES = [
     "tile_pyramid_query",        # q149: multi-res partials + one exchange
     "admin_peak_day_query",      # q150: join + (admin, day) argmax
     "dup_spread_query",          # q151: LSH pairs + filtered cell scan
+    "change_detect_query",       # q152: midpoint + cell exchange
+    "dissimilarity_query",       # q153: cell exchange + |.| partials
+    "density_peak_query",        # q154: settle + ring scatter + pick
 ]
 
 

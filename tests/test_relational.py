@@ -126,6 +126,12 @@ def _spatial_oracles():
                                 es.SPATIAL_SQL["q150_admin_peak_day"]),
         "q151_dup_spread": (es.dup_spread_query,
                             es.SPATIAL_SQL["q151_dup_spread"]),
+        "q152_change_detect": (es.change_detect_query,
+                               es.SPATIAL_SQL["q152_change_detect"]),
+        "q153_dissimilarity": (es.dissimilarity_query,
+                               es.SPATIAL_SQL["q153_dissimilarity"]),
+        "q154_density_peak": (es.density_peak_query,
+                              es.SPATIAL_SQL["q154_density_peak"]),
     }
 
 
