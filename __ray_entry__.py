@@ -303,6 +303,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q152_change_detect": es.change_detect_query,
             "q153_dissimilarity": es.dissimilarity_query,
             "q154_density_peak": es.density_peak_query,
+            "q155_salient_terms": es.salient_terms_query,
         }
     )
     return out

@@ -4417,6 +4417,156 @@ def admin_profile_query(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def salient_terms_query(sf_dir: str):
+    """q155: regional salient terms — per occupied res-5 cell the top-3
+    vocabulary tokens by CONCENTRATION lift ``n_tc / n_t`` (the share of
+    the token's global mass that falls in this cell), among tokens
+    appearing ≥ 2 times in the cell; ties to the lexicographically
+    smaller token. The regional-keyword / geo-text salience op (place-
+    name and local-topic surfacing), crossing the text family with the
+    raster the way q89 crossed embeddings and q151 crossed dedup.
+
+    Exactness: n_tc and n_t are exact ints < 2^53, so the lift is ONE
+    correctly-rounded IEEE division — bit-identical in numpy and DuckDB
+    (the q101 frozen-float precedent) — and the (lift DESC, token ASC)
+    order is deterministic. Vocabulary = the q72 top-4096 (global
+    counts over ALL documents); cell side = kept geocoded pages.
+
+    Shape: the q94 vocab machinery (bounded broadcast, with counts) →
+    kept (doc_id, cell) derived from the captures checkpoint (q89) →
+    doc_id hash join → per-block (cell, tid) unique-count partials →
+    ONE cell/tid-keyed exchange bounded by cells × vocab → per-cell
+    vectorized top-3. Oracle: spatialsql.q155_sql — q72's vocab CTE +
+    plain joins + a window rank."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+    from .relational import _read
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # --- global vocabulary with counts (the q141 stage-1 fold) ---
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = docs.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("tok", "ascending")])
+        return t.take(order).slice(0, 4096)
+
+    pt = pa.concat_tables([x for x in ray.get(agg.map_batches(
+        topk_block, batch_format="pyarrow", batch_size=None).to_arrow_refs())
+        if x.num_rows])
+    empty_out = pa.table({"cell": pa.array([], pa.uint64()),
+                          "rank": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "n_tc": pa.array([], pa.int64()),
+                          "n_t": pa.array([], pa.int64())})
+    if pt.num_rows == 0:
+        return empty_out
+    order = pc.sort_indices(pt, sort_keys=[("n", "descending"),
+                                           ("tok", "ascending")])
+    pt = pt.take(order).slice(0, 4096)
+    vt_ref = ray.put((pt["tok"].combine_chunks(),
+                      np.asarray(pt["n"].to_numpy(zero_copy_only=False),
+                                 dtype=np.int64)))
+
+    # --- kept geocoded (doc_id, cell) from the captures checkpoint ---
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["warc_ts", "h3_r5", "has_geo", "is_latest"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        ts = np.asarray(t["warc_ts"].cast(pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        doc = gen.doc_id_from_warc_ts(ts)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "cell": t["h3_r5"].cast(pa.int64())})
+
+    keyed = caps.map_batches(derive, batch_format="pyarrow")
+    j = docs.join(keyed, join_type="inner",
+                  num_partitions=default_partitions(), on=("doc_id",))
+
+    def cell_tok_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "tid": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks_arr, _ = ray.get(vt_ref)
+        lists = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        flat = flat.filter(keep)
+        parent = np.asarray(parent.filter(keep).to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        idx = pc.index_in(flat, value_set=toks_arr)
+        inv = np.asarray(pc.fill_null(idx, -1).to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)[parent]
+        m = inv >= 0
+        if not m.any():
+            return empty
+        key = np.stack([cells[m], inv[m]], axis=1)
+        uk, n = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"cell": pa.array(uk[:, 0], pa.int64()),
+                         "tid": pa.array(uk[:, 1], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    ct = j.map_batches(cell_tok_partial, batch_format="pyarrow").groupby(
+        ["cell", "tid"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n_tc"))
+    ct = ct.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def top3(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty_out
+        toks_arr, n_glob = ray.get(vt_ref)
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        tid = np.asarray(block["tid"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ntc = np.asarray(block["n_tc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        m = ntc >= 2
+        if not m.any():
+            return empty_out
+        c, tid, ntc = c[m], tid[m], ntc[m]
+        nt = n_glob[tid]
+        lift = ntc.astype(np.float64) / nt.astype(np.float64)
+        toks = np.asarray(toks_arr.to_pylist(), dtype=object)[tid]
+        order = np.lexsort((toks, -lift, c))
+        c, tid, ntc, nt = c[order], tid[order], ntc[order], nt[order]
+        toks = toks[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        rank = np.arange(len(c)) - np.repeat(starts, np.diff(np.r_[starts, len(c)])) + 1
+        keep = rank <= 3
+        return pa.table({
+            "cell": pa.array(c[keep].view(np.uint64), pa.uint64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "token": pa.array(list(toks[keep]), pa.string()),
+            "n_tc": pa.array(ntc[keep], pa.int64()),
+            "n_t": pa.array(nt[keep], pa.int64()),
+        })
+
+    return ct.map_batches(top3, batch_format="pyarrow", batch_size=None)
+
+
 def change_detect_query(sf_dir: str):
     """q152: spatial change detection — per occupied res-5 cell the
     geocoded-capture counts in the FIRST vs SECOND half of the crawl
@@ -5140,6 +5290,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q152_change_detect": spatialsql.q152_sql(),
         "q153_dissimilarity": spatialsql.q153_sql(),
         "q154_density_peak": spatialsql.q154_sql(DP_K),
+        "q155_salient_terms": spatialsql.q155_sql(),
     }
 
 

@@ -1161,6 +1161,43 @@ FROM hosts h LEFT JOIN mv ON mv.host = h.host
 GROUP BY h.host"""
 
 
+def q155_sql() -> str:
+    """q155 oracle: regional salient terms via q72's vocabulary CTE
+    (top-4096 by global count, OOV excluded), a plain join of per-cell
+    token counts to the vocab counts, and a (lift DESC, token ASC)
+    window rank — the lift is one correctly-rounded IEEE division of
+    exact ints (bit-identical to the engine's numpy). Never sees the
+    broadcast, the id interning, or the top-3 lexsort kernel."""
+    return f"""WITH {captures_ctes()},
+gd AS (SELECT DISTINCT doc_id, cell_r5 AS cell
+       FROM cap WHERE has_geo AND is_latest),
+tl AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vcq AS (SELECT UNNEST(toks) AS tok FROM tl),
+cntq AS (SELECT tok, COUNT(*)::BIGINT AS n FROM vcq GROUP BY tok),
+voc AS (SELECT tok, n FROM cntq ORDER BY n DESC, tok ASC LIMIT 4096),
+dt AS (
+  SELECT gd.cell, UNNEST(tl.toks) AS tok
+  FROM tl JOIN gd ON gd.doc_id = tl.doc_id
+),
+ctq AS (SELECT cell, tok, COUNT(*)::BIGINT AS n_tc FROM dt GROUP BY cell, tok),
+jq AS (
+  SELECT ctq.cell, ctq.tok, ctq.n_tc, voc.n AS n_t
+  FROM ctq JOIN voc USING (tok) WHERE ctq.n_tc >= 2
+),
+r AS (
+  SELECT cell, tok, n_tc, n_t,
+         ROW_NUMBER() OVER (PARTITION BY cell
+           ORDER BY CAST(n_tc AS DOUBLE) / CAST(n_t AS DOUBLE) DESC, tok ASC) AS rk
+  FROM jq
+)
+SELECT cell, CAST(rk AS BIGINT) AS "rank", tok AS token, n_tc,
+       CAST(n_t AS BIGINT) AS n_t
+FROM r WHERE rk <= 3"""
+
+
 def q152_sql() -> str:
     """q152 oracle: two-period change detection via conditional
     aggregation off the same midpoint rule ((min+max)//2 on positive

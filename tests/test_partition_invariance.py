@@ -42,6 +42,7 @@ QUERIES = [
     "change_detect_query",       # q152: midpoint + cell exchange
     "dissimilarity_query",       # q153: cell exchange + |.| partials
     "density_peak_query",        # q154: settle + ring scatter + pick
+    "salient_terms_query",       # q155: vocab broadcast + cell/tid agg
 ]
 
 

@@ -132,6 +132,8 @@ def _spatial_oracles():
                                es.SPATIAL_SQL["q153_dissimilarity"]),
         "q154_density_peak": (es.density_peak_query,
                               es.SPATIAL_SQL["q154_density_peak"]),
+        "q155_salient_terms": (es.salient_terms_query,
+                               es.SPATIAL_SQL["q155_salient_terms"]),
     }
 
 
