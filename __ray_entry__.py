@@ -304,6 +304,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q153_dissimilarity": es.dissimilarity_query,
             "q154_density_peak": es.density_peak_query,
             "q155_salient_terms": es.salient_terms_query,
+            "q156_geary_c": es.geary_query,
+            "q157_line_dedup": es.line_dedup_query,
+            "q158_kcore": es.kcore_query,
+            "q159_bivariate_moran": es.bivariate_moran_query,
         }
     )
     return out

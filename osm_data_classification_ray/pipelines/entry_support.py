@@ -1326,6 +1326,473 @@ def join_counts_query(sf_dir: str):
                   int(parts["bw"] or 0), int(parts["ww"] or 0))
 
 
+def geary_query(sf_dir: str):
+    """q156: Geary's C on the res-7 hex raster — the pairwise-difference
+    global autocorrelation statistic, completing the classic global
+    family beside q99 (Moran's I, cross-product form) and q138 (join
+    counts, categorical form): C = (N−1)·Σ_ij w_ij (x_i−x_j)² /
+    (2W·Σ(x_i−x̄)²). C < 1 signals positive autocorrelation — it
+    weights LOCAL squared differences where Moran weights centered
+    cross-products, so the two disagree exactly on short-range
+    heterogeneity.
+
+    Integer-exact distributed form: the numerator needs no centering
+    (differences cancel the mean) and at center i decomposes as
+    num_i = k_i·x_i² − 2·x_i·T_i + T2_i with T_i = Σ_nb x_j,
+    T2_i = Σ_nb x_j² — so ONE ring-1 scatter carrying (x_j, x_j²)
+    settles it; the denominator reuses q99's centered algebra
+    Σ(x_i−x̄)² = Σ c_i²/N² with c_i = N·x_i − S, pure int64. One frozen
+    float at the end: geary_c_e6 = ⌊(N−1)·num·N·N·10⁶ /
+    (2W·den) + ½⌋ (left-assoc, identical IEEE op order in SQL). Range
+    contract as q99 (|c_i|² < 2^63 to ~40M occupied cells at x ~ 10³).
+
+    Shape: exactly q99's plan — one count exchange (bounded by the
+    occupied res-7 universe) → tiny (N, S) aggregate → 6-fold ring-1
+    scatter → ONE center-keyed aggregate → per-block int64 partials →
+    constant driver combine; one summary row. Oracle:
+    spatialsql.q156_sql — independent axial self-join whose numerator
+    sums literal (x_a−x_b)² per pair (never the k·x²−2xT+T2
+    decomposition)."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r7", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r7"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r7", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    ).materialize()  # bounded by the occupied res-7 cell universe
+
+    tot = agg.aggregate(Count(alias_name="n"), Sum("n_pages", alias_name="s"))
+    n_cells = int(tot["n"] or 0)
+    s_tot = int(tot["s"] or 0)
+
+    def _final(w_pairs: int, num: int, den: int) -> pa.Table:
+        if w_pairs == 0 or den == 0:
+            e6 = 0
+        else:
+            e6 = int(math.floor(
+                float(n_cells - 1) * float(num) * float(n_cells)
+                * float(n_cells) * 1000000.0
+                / (2.0 * float(w_pairs) * float(den)) + 0.5))
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "w_pairs": pa.array([w_pairs], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "den": pa.array([den], pa.int64()),
+            "geary_c_e6": pa.array([e6], pa.int64()),
+        })
+
+    if n_cells == 0:
+        return _final(0, 0, 0)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"center": z, "nb_x": z, "nb_x2": z,
+                             "nb_occ": z, "self_x": z, "occ": z})
+        cells = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        x = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        disks = hexgrid.grid_disk(cells, 1)          # (rows, 7)
+        flat_self = (disks == cells[:, None]).ravel()
+        x7 = np.repeat(x, disks.shape[1])
+        return pa.table({
+            # res-7 ids fit int63: bit-cast for the shuffle key (q97 note)
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "nb_x": pa.array(np.where(flat_self, 0, x7), pa.int64()),
+            "nb_x2": pa.array(np.where(flat_self, 0, x7 * x7), pa.int64()),
+            "nb_occ": pa.array((~flat_self).astype(np.int64), pa.int64()),
+            "self_x": pa.array(np.where(flat_self, x7, 0), pa.int64()),
+            "occ": pa.array(flat_self.astype(np.int64), pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("nb_x", alias_name="t1"),
+        Sum("nb_x2", alias_name="t2"),
+        Sum("nb_occ", alias_name="k"),
+        Sum("self_x", alias_name="x_self"),
+        Sum("occ", alias_name="occ"),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        # occupied centers only (w_ij requires both endpoints occupied);
+        # every scattered neighbor row came from an occupied source
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        t1 = np.asarray(t["t1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        t2 = np.asarray(t["t2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        xi = np.asarray(t["x_self"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cv = n_cells * xi - s_tot
+        num = k * xi * xi - 2 * xi * t1 + t2
+        return pa.table({
+            "w_pairs": pa.array([int(k.sum())], pa.int64()),
+            "num": pa.array([int(num.sum())], pa.int64()),
+            "den": pa.array([int(np.sum(cv * cv))], pa.int64()),
+        })
+
+    parts = nb.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("w_pairs", alias_name="w_pairs"), Sum("num", alias_name="num"),
+        Sum("den", alias_name="den"))
+    return _final(int(parts["w_pairs"] or 0), int(parts["num"] or 0),
+                  int(parts["den"] or 0))
+
+
+def line_dedup_query(sf_dir: str):
+    """q157: global exact line-level deduplication — the C4-style
+    corpus-wide dedup ACTION (Raffel et al. dedup repeated spans
+    globally; CCNet dedups paragraph hashes across shards): every
+    distinct non-empty line occurring on more than one page keeps ONE
+    canonical occurrence — the lexicographically smallest url — and all
+    other occurrences are marked removed. Distinct from q115 (per-HOST
+    boilerplate FLAGGING, no keeper) and q136 (WITHIN-doc repetition
+    stats): this is the cross-document keeper rule, the actual dedup
+    semantics a corpus build applies. Per page: (url, n_lines,
+    n_removed, chars_removed) — distinct non-empty line count, lines
+    removed as non-keeper occurrences, their character mass.
+
+    Shape: one vectorized line explode with per-page in-block distinct
+    (the q115 kernel), ONE line-keyed hash exchange — every occurrence
+    of a line lands in one block, where a (line, url) run-length scan
+    marks all but the run head removed (the dictionary-sorted run head
+    IS the min url; binary order matches DuckDB MIN) — then a url-keyed
+    count aggregate. At corpus scale the line strings would be replaced
+    by a 128-bit fingerprint before the exchange (the engine's standard
+    id-carrier move); at oracle scale the strings ship so DuckDB can
+    mirror the grouping with plain string equality. Oracle:
+    spatialsql.q157_sql — UNNEST + DISTINCT + MIN(url) keeper join."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_pages(cfg, ["url", "extracted_text"])
+
+    def split_lines(t: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "line": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        lines = pc.split_pattern(t["extracted_text"].combine_chunks(), "\n")
+        flat = pc.list_flatten(lines)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(t.num_rows), counts)
+        out = pa.table({"url": t["url"].combine_chunks().take(pa.array(idx)),
+                        "line": flat})
+        out = out.filter(pc.greater(pc.binary_length(out["line"]), 0))
+        # per-page distinct lines (a page's rows are contiguous here)
+        keys = pc.sort_indices(out, sort_keys=[("url", "ascending"),
+                                               ("line", "ascending")])
+        out = out.take(keys)
+        u = np.asarray(pc.dictionary_encode(out["url"].combine_chunks()).indices)
+        ln = np.asarray(pc.dictionary_encode(out["line"].combine_chunks()).indices)
+        keep = np.r_[True, (u[1:] != u[:-1]) | (ln[1:] != ln[:-1])]
+        return out.filter(pa.array(keep))
+
+    rows = ds.map_batches(split_lines, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["line"], sort=False)
+
+    def mark(block: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "one": pa.array([], pa.int64()),
+                          "rem": pa.array([], pa.int64()),
+                          "rem_chars": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("line", "ascending"),
+                                                  ("url", "ascending")])
+        block = block.take(order).combine_chunks()
+        ln = np.asarray(pc.dictionary_encode(block["line"].combine_chunks()).indices)
+        # run head = min url of the line (rows sorted (line, url), distinct
+        # per (url, line)); every later row is a removed occurrence
+        removed = np.r_[False, ln[1:] == ln[:-1]]
+        chlen = np.asarray(pc.utf8_length(block["line"]).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "url": block["url"],
+            "one": pa.array(np.ones(len(ln), np.int64), pa.int64()),
+            "rem": pa.array(removed.astype(np.int64), pa.int64()),
+            "rem_chars": pa.array(np.where(removed, chlen, 0), pa.int64()),
+        })
+
+    marked = rows.map_batches(mark, batch_format="pyarrow", batch_size=None)
+    return marked.groupby("url", num_partitions=default_partitions()).aggregate(
+        Sum("one", alias_name="n_lines"), Sum("rem", alias_name="n_removed"),
+        Sum("rem_chars", alias_name="chars_removed"))
+
+
+#: q158 k-core order and bounded round count — both FROZEN into the
+#: contract: engine and oracle run exactly KCORE_T peel rounds, so the
+#: outputs are equal by construction whether or not the peel has
+#: converged (the q132 bounded-iteration convention)
+KCORE_K = 2
+KCORE_T = 4
+
+
+def kcore_query(sf_dir: str):
+    """q158: bounded k-core peeling on the q127 co-service graph — the
+    degeneracy / core-decomposition operator of graph analytics (the
+    dense-subgraph extractor behind community seeding and spam-cluster
+    mining), joining the derived-graph family as its third plan shape:
+    ITERATIVE NODE ELIMINATION (PageRank q132 = power iteration,
+    triangles q143 = wedge-edge join, components q44 = label
+    propagation — peeling is none of these). Each round drops every
+    node whose current degree is < KCORE_K and keeps only edges with
+    both endpoints surviving; exactly KCORE_T rounds run (frozen
+    contract, converged or not). Output: the peel TRAJECTORY — one row
+    per round (round, n_nodes, n_edges) — certifying every intermediate
+    graph, not just the fixpoint.
+
+    Shape: the q127 edge pipeline supplies edges; hosts intern against
+    a sorted dictionary from the BOUNDED edge table (nodes ≤ hosts);
+    per round ONE u-keyed degree aggregate over the 2|E| direction
+    scatter, then the alive id set — bounded by the NODE universe, the
+    q132 bounded-node-state convention — broadcasts via ray.put and a
+    vectorized searchsorted membership filter prunes the edge table,
+    re-materialized so round r+1 reads the pruned graph, not the
+    lineage. Driver state is node-bounded, never edge- or
+    page-bounded. Oracle: spatialsql.q158_sql — the q127 pair mirror
+    + KCORE_T unrolled (degree CTE → HAVING ≥ k → IN-subquery edge
+    filter) rounds, never seeing ids or the scatter."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ed = colocation_query(sf_dir)
+
+    def edge_hosts(t: pa.Table) -> pa.Table:
+        return pa.table({"host": pc.unique(pa.concat_arrays(
+            [t["host_a"].combine_chunks(), t["host_b"].combine_chunks()]))})
+
+    hosts = pa.concat_tables(
+        [x for x in ray.get(ed.map_batches(
+            edge_hosts, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+
+    def _trajectory(rows: list[tuple[int, int, int]]) -> pa.Table:
+        return pa.table({
+            "round": pa.array([r for r, _, _ in rows], pa.int64()),
+            "n_nodes": pa.array([n for _, n, _ in rows], pa.int64()),
+            "n_edges": pa.array([e for _, _, e in rows], pa.int64()),
+        })
+
+    if hosts.num_rows == 0:
+        return _trajectory([(r, 0, 0) for r in range(1, KCORE_T + 1)])
+    host_arr = pc.unique(hosts["host"].combine_chunks())
+    host_arr = host_arr.take(pc.array_sort_indices(host_arr))
+    host_ref = ray.put(host_arr)
+
+    def intern(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hs = _ray.get(host_ref)
+        a = pc.index_in(t["host_a"].combine_chunks(), value_set=hs).cast(pa.int32())
+        b = pc.index_in(t["host_b"].combine_chunks(), value_set=hs).cast(pa.int32())
+        return pa.table({"a": a, "b": b})
+
+    edges = ed.map_batches(intern, batch_format="pyarrow").materialize()
+    out: list[tuple[int, int, int]] = []
+    for rnd in range(1, KCORE_T + 1):
+        def deg_partials(t: pa.Table) -> pa.Table:
+            empty = pa.table({"u": pa.array([], pa.int32()),
+                              "d": pa.array([], pa.int64())})
+            if t.num_rows == 0:
+                return empty
+            a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int32)
+            b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int32)
+            u, cnt = np.unique(np.r_[a, b], return_counts=True)
+            return pa.table({"u": pa.array(u, pa.int32()),
+                             "d": pa.array(cnt.astype(np.int64), pa.int64())})
+
+        deg = edges.map_batches(deg_partials, batch_format="pyarrow").groupby(
+            "u", num_partitions=default_partitions()).aggregate(
+            Sum("d", alias_name="deg"))
+        # alive set: bounded by the node universe (q132's per-round
+        # node-state broadcast convention)
+        alive_parts = []
+        for t in ray.get(deg.to_arrow_refs()):
+            if not t.num_rows:
+                continue
+            t = t.filter(pc.greater_equal(t["deg"], pa.scalar(KCORE_K, pa.int64())))
+            if t.num_rows:
+                alive_parts.append(np.asarray(
+                    t["u"].to_numpy(zero_copy_only=False), dtype=np.int32))
+        alive = (np.sort(np.concatenate(alive_parts)) if alive_parts
+                 else np.array([], np.int32))
+        if alive.size == 0:
+            out.extend((r, 0, 0) for r in range(rnd, KCORE_T + 1))
+            break
+        alive_ref = ray.put(alive)
+
+        def prune(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            av = _ray.get(alive_ref)
+            a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int32)
+            b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int32)
+            ia = np.searchsorted(av, a)
+            ib = np.searchsorted(av, b)
+            ok = ((ia < av.size) & (av[np.minimum(ia, av.size - 1)] == a)
+                  & (ib < av.size) & (av[np.minimum(ib, av.size - 1)] == b))
+            return t.filter(pa.array(ok))
+
+        edges = edges.map_batches(prune, batch_format="pyarrow").materialize()
+        out.append((rnd, int(alive.size), edges.count()))
+    return _trajectory(out)
+
+
+def bivariate_moran_query(sf_dir: str):
+    """q159: bivariate Moran's I (Wartenberg's cross-variable spatial
+    correlation) between the English and non-English page populations on
+    the res-7 hex raster — "does English activity in a cell co-locate
+    with NON-English activity NEXT DOOR?" — the two-variable member of
+    the autocorrelation family (q99 univariate global, q137 local, q156
+    Geary, q138 categorical; none relates TWO fields). I_ab =
+    N·Σ_ij w_ij ca_i·cb_j / (W·√Σca²·√Σcb²) with ca_i = N·a_i − Sa,
+    cb_i = N·b_i − Sb (a = en pages, b = non-en pages per occupied
+    cell) — numerator and both denominators pure int64; one frozen
+    float (√ is IEEE correctly-rounded in both engines) at the end:
+    moran_ab_e6 = ⌊N·num·10⁶ / (W·(√dena·√denb)) + ½⌋.
+
+    Shape: q99's plan with a two-channel payload — per-block (cell, a,
+    b) count partials (the q153 kernel at res 7) → ONE cell-keyed
+    exchange bounded by the occupied res-7 universe → tiny (N, Sa, Sb)
+    aggregate → 6-fold ring-1 scatter where neighbor rows carry cb_j
+    and the self row carries (ca_i, cb_i, occ) → ONE center-keyed
+    aggregate → per-block int64 partials → constant driver combine; one
+    summary row (n_cells, w_pairs, num, dena, denb, moran_ab_e6).
+    Oracle: spatialsql.q159_sql — independent axial self-join whose
+    numerator sums the LITERAL per-pair ca_i·cb_j products."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r7", "lang", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["h3_r7", "lang"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        is_en = np.asarray(pc.equal(t["lang"], pa.scalar("en"))
+                           .to_numpy(zero_copy_only=False), dtype=bool)
+        u, inv = np.unique(c, return_inverse=True)
+        a = np.zeros(u.size, np.int64)
+        b = np.zeros(u.size, np.int64)
+        np.add.at(a, inv[is_en], 1)
+        np.add.at(b, inv[~is_en], 1)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        Sum("a", alias_name="a"), Sum("b", alias_name="b")).materialize()
+
+    tot = agg.aggregate(Count(alias_name="n"), Sum("a", alias_name="sa"),
+                        Sum("b", alias_name="sb"))
+    n_cells = int(tot["n"] or 0)
+    sa = int(tot["sa"] or 0)
+    sb = int(tot["sb"] or 0)
+
+    def _final(w_pairs: int, num: int, dena: int, denb: int) -> pa.Table:
+        if w_pairs == 0 or dena == 0 or denb == 0:
+            e6 = 0
+        else:
+            e6 = int(math.floor(
+                float(n_cells) * float(num) * 1000000.0
+                / (float(w_pairs)
+                   * (math.sqrt(float(dena)) * math.sqrt(float(denb))))
+                + 0.5))
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "w_pairs": pa.array([w_pairs], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "dena": pa.array([dena], pa.int64()),
+            "denb": pa.array([denb], pa.int64()),
+            "moran_ab_e6": pa.array([e6], pa.int64()),
+        })
+
+    if n_cells == 0:
+        return _final(0, 0, 0, 0)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"center": z, "nb_cb": z, "nb_occ": z,
+                             "self_ca": z, "self_cb": z, "occ": z})
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64).view(np.uint64)
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ca = n_cells * a - sa
+        cb = n_cells * b - sb
+        disks = hexgrid.grid_disk(cells, 1)          # (rows, 7)
+        flat_self = (disks == cells[:, None]).ravel()
+        ca7 = np.repeat(ca, disks.shape[1])
+        cb7 = np.repeat(cb, disks.shape[1])
+        return pa.table({
+            # res-7 ids fit int63: bit-cast for the shuffle key (q97 note)
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "nb_cb": pa.array(np.where(flat_self, 0, cb7), pa.int64()),
+            "nb_occ": pa.array((~flat_self).astype(np.int64), pa.int64()),
+            "self_ca": pa.array(np.where(flat_self, ca7, 0), pa.int64()),
+            "self_cb": pa.array(np.where(flat_self, cb7, 0), pa.int64()),
+            "occ": pa.array(flat_self.astype(np.int64), pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("nb_cb", alias_name="lagb"),
+        Sum("nb_occ", alias_name="k"),
+        Sum("self_ca", alias_name="ca"),
+        Sum("self_cb", alias_name="cb"),
+        Sum("occ", alias_name="occ"),
+    )
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        # occupied centers only (w_ij requires both endpoints occupied)
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        lagb = np.asarray(t["lagb"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ca = np.asarray(t["ca"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cb = np.asarray(t["cb"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "w_pairs": pa.array([int(k.sum())], pa.int64()),
+            "num": pa.array([int(np.sum(ca * lagb))], pa.int64()),
+            "dena": pa.array([int(np.sum(ca * ca))], pa.int64()),
+            "denb": pa.array([int(np.sum(cb * cb))], pa.int64()),
+        })
+
+    parts = nb.map_batches(block_partials, batch_format="pyarrow").aggregate(
+        Sum("w_pairs", alias_name="w_pairs"), Sum("num", alias_name="num"),
+        Sum("dena", alias_name="dena"), Sum("denb", alias_name="denb"))
+    return _final(int(parts["w_pairs"] or 0), int(parts["num"] or 0),
+                  int(parts["dena"] or 0), int(parts["denb"] or 0))
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -5291,6 +5758,10 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q153_dissimilarity": spatialsql.q153_sql(),
         "q154_density_peak": spatialsql.q154_sql(DP_K),
         "q155_salient_terms": spatialsql.q155_sql(),
+        "q156_geary_c": spatialsql.q156_sql(),
+        "q157_line_dedup": spatialsql.q157_sql(),
+        "q158_kcore": spatialsql.q158_sql(KCORE_K, COLOC_MIN, KCORE_T),
+        "q159_bivariate_moran": spatialsql.q159_sql(),
     }
 
 

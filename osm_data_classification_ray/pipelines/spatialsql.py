@@ -745,6 +745,171 @@ SELECT tot.n AS n_cells, blk.n_black, tot.n - blk.n_black AS n_white,
 FROM tot CROSS JOIN blk CROSS JOIN agg"""
 
 
+def q156_sql() -> str:
+    """q156 oracle: Geary's C rebuilt INDEPENDENTLY — the contiguity
+    relation is the axial self-join on coordinates unpacked out of the
+    cell id (the q99 mirror), and the numerator sums the LITERAL
+    per-pair squared difference (x_a−x_b)² — never the engine's
+    k·x²−2xT+T2 scatter decomposition. Denominator via q99's centered
+    algebra (c_i = N·x_i − S, Σc² = N²·Σ(x−x̄)²). BIGINT casts on every
+    SUM; one frozen float expression at the end, identical IEEE op
+    order to the engine's: ((((N−1)·num)·N)·N·10⁶) / ((2·W)·den),
+    half-up."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7, COUNT(*)::BIGINT AS n_pages
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT n_pages,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+tot AS (SELECT COUNT(*)::BIGINT AS n, CAST(COALESCE(SUM(n_pages), 0) AS BIGINT) AS s
+        FROM u),
+pr AS (SELECT a.n_pages AS xa, b.n_pages AS xb
+       FROM u a JOIN u b
+         ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+            AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+            AND NOT (a.q = b.q AND a.r = b.r)),
+agg AS (SELECT COUNT(*)::BIGINT AS w_pairs,
+               CAST(COALESCE(SUM((xa - xb) * (xa - xb)), 0) AS BIGINT) AS num
+        FROM pr),
+den_t AS (SELECT CAST(COALESCE(SUM((tot.n * u.n_pages - tot.s)
+                                   * (tot.n * u.n_pages - tot.s)), 0) AS BIGINT) AS den
+          FROM u CROSS JOIN tot)
+SELECT tot.n AS n_cells, agg.w_pairs, agg.num, den_t.den,
+       CASE WHEN agg.w_pairs = 0 OR den_t.den = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(tot.n - 1 AS DOUBLE) * CAST(agg.num AS DOUBLE)
+                            * CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                            * 1000000.0
+                            / (2.0 * CAST(agg.w_pairs AS DOUBLE)
+                               * CAST(den_t.den AS DOUBLE))
+                            + 0.5) AS BIGINT) END AS geary_c_e6
+FROM tot CROSS JOIN agg CROSS JOIN den_t"""
+
+
+def q157_sql() -> str:
+    """q157 oracle: global exact line-dedup keeper rule rebuilt in plain
+    SQL — UNNEST the latest pages' non-empty lines, DISTINCT per
+    (url, line), the keeper of each line is MIN(url) (binary order =
+    the engine's dictionary-sorted run head), and a (url, line)
+    occurrence is removed iff its url is not the keeper. LENGTH is
+    DuckDB's character count, matching the engine's utf8_length."""
+    return f"""WITH {captures_ctes()},
+pg AS (SELECT url, ext FROM cap WHERE is_latest),
+l0 AS (SELECT url, UNNEST(string_split(ext, chr(10))) AS line FROM pg),
+ld AS (SELECT DISTINCT url, line FROM l0 WHERE line <> ''),
+kp AS (SELECT line, MIN(url) AS keeper FROM ld GROUP BY line)
+SELECT ld.url, COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN ld.url <> kp.keeper THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       CAST(SUM(CASE WHEN ld.url <> kp.keeper THEN LENGTH(ld.line) ELSE 0 END)
+            AS BIGINT) AS chars_removed
+FROM ld JOIN kp ON kp.line = ld.line
+GROUP BY ld.url"""
+
+
+def q158_sql(k: int, coloc_min: int, rounds: int) -> str:
+    """q158 oracle: bounded k-core peel rebuilt INDEPENDENTLY — the
+    q127 pair mirror supplies the edge set (host pairs sharing ≥
+    coloc_min winning admins), then exactly ``rounds`` peel rounds
+    unrolled as chained CTEs (the q132 bounded-iteration convention):
+    degree CTE over the UNION ALL direction scatter → HAVING ≥ k alive
+    set → IN-subquery edge filter. Never sees the interning, the
+    broadcast, or the searchsorted membership kernel. COUNT subqueries
+    keep zero rounds present. The per-round CTEs are MATERIALIZED —
+    each e{r}/n{r} is referenced multiple times and DuckDB's default
+    inlining would re-execute the whole parquet-scan tree exponentially
+    (exhausting file handles on the unrolled form)."""
+    ctes = [f"""e0 AS MATERIALIZED (
+  SELECT a.host AS ha, b.host AS hb
+  FROM m a JOIN m b ON a.admin_id = b.admin_id AND a.host < b.host
+  GROUP BY a.host, b.host
+  HAVING COUNT(*) >= {coloc_min}
+)"""]
+    rows = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT h, COUNT(*)::BIGINT AS deg
+  FROM (SELECT ha AS h FROM e{p} UNION ALL SELECT hb AS h FROM e{p}) u{r}
+  GROUP BY h
+),
+n{r} AS MATERIALIZED (SELECT h FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT ha, hb FROM e{p}
+  WHERE ha IN (SELECT h FROM n{r}) AND hb IN (SELECT h FROM n{r})
+)""")
+        rows.append(f"SELECT CAST({r} AS BIGINT) AS round, "
+                    f"(SELECT COUNT(*)::BIGINT FROM n{r}) AS n_nodes, "
+                    f"(SELECT COUNT(*)::BIGINT FROM e{r}) AS n_edges")
+    body = "\nUNION ALL\n".join(rows)
+    joined = ",\n".join(ctes)
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+m AS (
+  SELECT DISTINCT b.admin_id, c.host
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+),
+{joined}
+{body}"""
+
+
+def q159_sql() -> str:
+    """q159 oracle: bivariate Moran's I rebuilt INDEPENDENTLY — per-cell
+    (en, non-en) counts by plain conditional aggregation, the contiguity
+    relation via the axial self-join (the q99 mirror), and the numerator
+    sums the LITERAL per-pair ca_i·cb_j cross-products — never the
+    engine's lag-scatter decomposition. Both denominators via the
+    centered algebra (ca = N·a − Sa, cb = N·b − Sb). BIGINT casts on
+    every SUM; one frozen float at the end, identical IEEE op order to
+    the engine's: (N·num·10⁶) / (W·(√dena·√denb)), half-up."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS h3_r7,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+u AS (SELECT a, b,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+tot AS (SELECT COUNT(*)::BIGINT AS n,
+               CAST(COALESCE(SUM(a), 0) AS BIGINT) AS sa,
+               CAST(COALESCE(SUM(b), 0) AS BIGINT) AS sb
+        FROM u),
+c AS (SELECT u.q, u.r,
+             CAST(tot.n * u.a - tot.sa AS BIGINT) AS ca,
+             CAST(tot.n * u.b - tot.sb AS BIGINT) AS cb
+      FROM u CROSS JOIN tot),
+pr AS (SELECT a.ca AS cai, b.cb AS cbj
+       FROM c a JOIN c b
+         ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+            AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+            AND NOT (a.q = b.q AND a.r = b.r)),
+agg AS (SELECT COUNT(*)::BIGINT AS w_pairs,
+               CAST(COALESCE(SUM(cai * cbj), 0) AS BIGINT) AS num
+        FROM pr),
+den_t AS (SELECT CAST(COALESCE(SUM(ca * ca), 0) AS BIGINT) AS dena,
+                 CAST(COALESCE(SUM(cb * cb), 0) AS BIGINT) AS denb
+          FROM c)
+SELECT tot.n AS n_cells, agg.w_pairs, agg.num, den_t.dena, den_t.denb,
+       CASE WHEN agg.w_pairs = 0 OR den_t.dena = 0 OR den_t.denb = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(tot.n AS DOUBLE) * CAST(agg.num AS DOUBLE)
+                            * 1000000.0
+                            / (CAST(agg.w_pairs AS DOUBLE)
+                               * (SQRT(CAST(den_t.dena AS DOUBLE))
+                                  * SQRT(CAST(den_t.denb AS DOUBLE))))
+                            + 0.5) AS BIGINT) END AS moran_ab_e6
+FROM tot CROSS JOIN agg CROSS JOIN den_t"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

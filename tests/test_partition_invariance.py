@@ -43,6 +43,10 @@ QUERIES = [
     "dissimilarity_query",       # q153: cell exchange + |.| partials
     "density_peak_query",        # q154: settle + ring scatter + pick
     "salient_terms_query",       # q155: vocab broadcast + cell/tid agg
+    "geary_query",               # q156: ring-1 (x, x²) scatter + combine
+    "line_dedup_query",          # q157: line exchange + keeper run-length
+    "kcore_query",               # q158: per-round degree + bounded peel
+    "bivariate_moran_query",     # q159: two-channel ring-1 scatter
 ]
 
 
