@@ -136,7 +136,12 @@ _DRIVER_WINDOW = [
     # per-group exact order statistic (low median via one co-locating
     # exchange; not algebraic, hence a genuinely distinct aggregation
     # class from every in-window rollup) — enters.)
-    "q129_host_median", "q24_embedding_near_dup",
+    # (q24 rotated out at round-5 session 8: embedding near-dedup keeps
+    # its repo oracle test and r01–r04 green rows; the vector family
+    # stays in-window via q93 (IVF at recall 1) and q104 (sparse dot).
+    # q159 — bivariate Moran's I, the two-variable member of the
+    # autocorrelation family — enters.)
+    "q129_host_median", "q159_bivariate_moran",
     # (q29 rotated out: multimodal stays in-window via q73's richer frame
     # fan-out; q29 keeps its repo oracle test and CORRECTNESS_r02 row)
     # (q28 rotated out round 5: its Rabin-Karp window kernel stays
@@ -187,8 +192,17 @@ _DRIVER_WINDOW = [
     # q71 keeps its repo oracle test and r01–r04 green rows. q142 — the
     # Z-order range query, the geohash family's QUERY op with a
     # curve-blind oracle — enters.)
-    "q140_cdc_chunking", "q135_cell_trend", "q69_decontaminate",
-    "q70_substring_dup", "q142_range_scan", "q72_numericalize",
+    # (q69 rotated out at round-5 session 8: decontamination keeps its
+    # repo oracle test and r02–r04 green rows; the band-key machinery
+    # stays in-window via q20's full MinHash-LSH chain. q157 — global
+    # exact line dedup with the min-url keeper rule, the cross-document
+    # dedup ACTION — enters. q72 rotated out likewise: the tokenize
+    # alphabet stays exercised through q140/q141 whose oracles build on
+    # the q72 position chain; q72 keeps its repo oracle test and
+    # r01–r04 green rows. q158 — the bounded k-core peel trajectory on
+    # the co-service graph — enters.)
+    "q140_cdc_chunking", "q135_cell_trend", "q157_line_dedup",
+    "q70_substring_dup", "q142_range_scan", "q158_kcore",
     # (q74 rotated out round 5: q98 embeds q74's projection machinery —
     # its oracle wraps _q74_sql verbatim; q68 rotated out: q95 strictly
     # generalizes its hash-threshold split machinery with per-source
@@ -218,7 +232,12 @@ _DRIVER_WINDOW = [
     # groupby-rollup class keeps q11; q143 — per-node triangle counting
     # via the distributed wedge-edge join on the q127 co-service graph —
     # enters.)
-    "q03_top_revenue_orders", "q05_region_customers",
+    # (q03 rotated out at round-5 session 8: the top-k class keeps its
+    # repo oracle test, three path-equality pytest pins and r01–r04
+    # green rows, and stays bench-tracked as a headline query; q156 —
+    # Geary's C, the pairwise-difference global autocorrelation
+    # statistic — enters.)
+    "q156_geary_c", "q05_region_customers",
     "q08_anti_join", "q11_events_rollup", "q42_asof_join",
     "q139_covisit_pairs", "q58_bloom_semi_join",
     "q143_triangles",
