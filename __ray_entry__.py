@@ -327,6 +327,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q157_line_dedup": es.line_dedup_query,
             "q158_kcore": es.kcore_query,
             "q159_bivariate_moran": es.bivariate_moran_query,
+            "q160_assortativity": es.assortativity_query,
+            "q161_spatial_markov": es.spatial_markov_query,
         }
     )
     return out

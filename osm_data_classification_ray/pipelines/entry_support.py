@@ -1793,6 +1793,269 @@ def bivariate_moran_query(sf_dir: str):
                   int(parts["dena"] or 0), int(parts["denb"] or 0))
 
 
+def assortativity_query(sf_dir: str):
+    """q160: degree assortativity (Newman's r) on the q127 co-service
+    graph — "do well-connected hosts link to other well-connected
+    hosts?", the degree-mixing summary statistic beside the per-node
+    members (q132 PageRank, q143 triangles, q158 k-core). Exact scaled
+    form over the M undirected edges with endpoint degrees (du, dv):
+    r = (4M·S1 − S2²) / (2M·S3 − S2²) where S1 = Σ du·dv,
+    S2 = Σ (du+dv), S3 = Σ (du²+dv²) — all pure int64 (degrees are
+    host-bounded), one frozen float r_e6 = ⌊num·10⁶/den + ½⌋ at the
+    end. One summary row (m_edges, s1, s2, s3, assort_e6).
+
+    Shape: the q127 edge pipeline supplies edges; ONE u-keyed degree
+    aggregate over the 2|E| direction scatter; the (node, degree) map —
+    bounded by the NODE universe, the q132/q158 broadcast convention —
+    ships via ray.put and per-block searchsorted lookups emit int64
+    partial sums; constant driver combine. Oracle: spatialsql.q160_sql
+    — the q127 pair mirror + a degree CTE joined per edge, summing the
+    LITERAL per-edge products."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    ed = colocation_query(sf_dir)
+
+    def edge_hosts(t: pa.Table) -> pa.Table:
+        return pa.table({"host": pc.unique(pa.concat_arrays(
+            [t["host_a"].combine_chunks(), t["host_b"].combine_chunks()]))})
+
+    hosts = pa.concat_tables(
+        [x for x in ray.get(ed.map_batches(
+            edge_hosts, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+
+    def _final(m: int, s1: int, s2: int, s3: int) -> pa.Table:
+        num = 4 * m * s1 - s2 * s2
+        den = 2 * m * s3 - s2 * s2
+        e6 = 0 if den == 0 else int(math.floor(
+            float(num) * 1000000.0 / float(den) + 0.5))
+        return pa.table({
+            "m_edges": pa.array([m], pa.int64()),
+            "s1": pa.array([s1], pa.int64()),
+            "s2": pa.array([s2], pa.int64()),
+            "s3": pa.array([s3], pa.int64()),
+            "assort_e6": pa.array([e6], pa.int64()),
+        })
+
+    if hosts.num_rows == 0:
+        return _final(0, 0, 0, 0)
+    host_arr = pc.unique(hosts["host"].combine_chunks())
+    host_arr = host_arr.take(pc.array_sort_indices(host_arr))
+    host_ref = ray.put(host_arr)
+
+    def intern(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hs = _ray.get(host_ref)
+        a = pc.index_in(t["host_a"].combine_chunks(), value_set=hs).cast(pa.int32())
+        b = pc.index_in(t["host_b"].combine_chunks(), value_set=hs).cast(pa.int32())
+        return pa.table({"a": a, "b": b})
+
+    edges = ed.map_batches(intern, batch_format="pyarrow").materialize()
+
+    def deg_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int32()),
+                          "d": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        u, cnt = np.unique(np.r_[a, b], return_counts=True)
+        return pa.table({"u": pa.array(u, pa.int32()),
+                         "d": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    deg = edges.map_batches(deg_partials, batch_format="pyarrow").groupby(
+        "u", num_partitions=default_partitions()).aggregate(
+        Sum("d", alias_name="deg"))
+    # (node, degree) map: bounded by the node universe (q132/q158 broadcast
+    # convention)
+    ids_parts, deg_parts = [], []
+    for t in ray.get(deg.to_arrow_refs()):
+        if t.num_rows:
+            ids_parts.append(np.asarray(
+                t["u"].to_numpy(zero_copy_only=False), dtype=np.int32))
+            deg_parts.append(np.asarray(
+                t["deg"].to_numpy(zero_copy_only=False), dtype=np.int64))
+    ids = np.concatenate(ids_parts)
+    dg = np.concatenate(deg_parts)
+    order = np.argsort(ids)
+    deg_ref = ray.put((ids[order], dg[order]))
+
+    def partials(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        nid, nd = _ray.get(deg_ref)
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int32)
+        du = nd[np.searchsorted(nid, a)]   # every edge endpoint has a degree
+        dv = nd[np.searchsorted(nid, b)]
+        return pa.table({
+            "m": pa.array([t.num_rows], pa.int64()),
+            "s1": pa.array([int(np.sum(du * dv))], pa.int64()),
+            "s2": pa.array([int(np.sum(du + dv))], pa.int64()),
+            "s3": pa.array([int(np.sum(du * du + dv * dv))], pa.int64()),
+        })
+
+    parts = edges.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("m", alias_name="m"), Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"), Sum("s3", alias_name="s3"))
+    return _final(int(parts["m"] or 0), int(parts["s1"] or 0),
+                  int(parts["s2"] or 0), int(parts["s3"] or 0))
+
+
+def spatial_markov_query(sf_dir: str):
+    """q161: spatial Markov transition counts (Rey's spatial dynamics)
+    on the res-7 hex raster — "does a cell's CLASS TRANSITION between
+    the two crawl halves depend on its NEIGHBORHOOD's class?" — the
+    conditioned two-period op marrying q152's change detection with the
+    q99-family contiguity, and the only member relating TIME × SPACE ×
+    STATE. Classes are integer-exact binary (the q138 above-mean rule,
+    per epoch): s1_i = [N·n1_i > S1], s2_i = [N·n2_i > S2]; the
+    conditioning spatial-lag class is the average-neighbor test
+    λ_i = [N·L_i > k_i·S1] (L = Σ_nb n1_j, k = occupied ring-1
+    neighbors; isolated cells take λ = 0). Output: the full 2×2×2
+    transition table — 8 rows (s1, lag, s2, n_cells), zero combos
+    kept — the conditional transition matrix of emerging-hot-spot
+    analysis.
+
+    Shape: one tiny (min, max) timestamp aggregate fixes the q152
+    midpoint epoch → per-block (cell, half) count partials → ONE
+    cell-keyed exchange bounded by the occupied res-7 universe → tiny
+    (N, S1, S2) aggregate → 6-fold ring-1 scatter (self rows carry
+    (n1, n2), neighbor rows carry n1_j) → ONE center-keyed aggregate →
+    per-block 8-bin histogram partials → constant driver combine.
+    Oracle: spatialsql.q161_sql — conditional aggregation off the same
+    midpoint + axial LEFT-JOIN lag + an enumerated combo spine."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r7", "warc_ts", "has_geo"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["has_geo"]).select(["h3_r7", "warc_ts"]),
+        batch_format="pyarrow",
+    )
+    ts_ds = pts.map_batches(
+        lambda t: pa.table({"ts": pc.cast(t["warc_ts"], pa.int64())}),
+        batch_format="pyarrow")
+    mm = ts_ds.aggregate(Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+    lo = int(mm["lo"] or 0)
+    hi = int(mm["hi"] or 0)
+    mid = (lo + hi) // 2   # first half: ts < mid (the q152 epoch)
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n1": pa.array([], pa.int64()),
+                          "n2": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        first = ts < mid
+        u, inv = np.unique(c, return_inverse=True)
+        n1 = np.zeros(u.size, np.int64)
+        n2 = np.zeros(u.size, np.int64)
+        np.add.at(n1, inv[first], 1)
+        np.add.at(n2, inv[~first], 1)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "n1": pa.array(n1, pa.int64()),
+                         "n2": pa.array(n2, pa.int64())})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2")).materialize()
+
+    tot = agg.aggregate(Count(alias_name="n"), Sum("n1", alias_name="s1t"),
+                        Sum("n2", alias_name="s2t"))
+    n_cells = int(tot["n"] or 0)
+    s1t = int(tot["s1t"] or 0)
+    s2t = int(tot["s2t"] or 0)
+
+    combos = np.arange(8)
+
+    def _final(counts: np.ndarray) -> pa.Table:
+        return pa.table({
+            "s1": pa.array((combos >> 2) & 1, pa.int64()),
+            "lag": pa.array((combos >> 1) & 1, pa.int64()),
+            "s2": pa.array(combos & 1, pa.int64()),
+            "n_cells": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    if n_cells == 0:
+        return _final(np.zeros(8, np.int64))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"center": z, "nb_n1": z, "nb_occ": z,
+                             "self_n1": z, "self_n2": z, "occ": z})
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64).view(np.uint64)
+        n1 = np.asarray(t["n1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n2 = np.asarray(t["n2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        disks = hexgrid.grid_disk(cells, 1)          # (rows, 7)
+        flat_self = (disks == cells[:, None]).ravel()
+        n17 = np.repeat(n1, disks.shape[1])
+        n27 = np.repeat(n2, disks.shape[1])
+        return pa.table({
+            # res-7 ids fit int63: bit-cast for the shuffle key (q97 note)
+            "center": pa.array(disks.ravel().astype(np.int64), pa.int64()),
+            "nb_n1": pa.array(np.where(flat_self, 0, n17), pa.int64()),
+            "nb_occ": pa.array((~flat_self).astype(np.int64), pa.int64()),
+            "self_n1": pa.array(np.where(flat_self, n17, 0), pa.int64()),
+            "self_n2": pa.array(np.where(flat_self, n27, 0), pa.int64()),
+            "occ": pa.array(flat_self.astype(np.int64), pa.int64()),
+        })
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby("center", num_partitions=default_partitions()).aggregate(
+        Sum("nb_n1", alias_name="lg"),
+        Sum("nb_occ", alias_name="k"),
+        Sum("self_n1", alias_name="n1"),
+        Sum("self_n2", alias_name="n2"),
+        Sum("occ", alias_name="occ"),
+    )
+
+    def hist_partials(t: pa.Table) -> pa.Table:
+        # occupied centers only; every neighbor row came from an occupied
+        # source, so k counts occupied ring-1 neighbors by construction
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        lg = np.asarray(t["lg"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n1 = np.asarray(t["n1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n2 = np.asarray(t["n2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        s1 = (n_cells * n1 > s1t).astype(np.int64)
+        lam = (n_cells * lg > k * s1t).astype(np.int64)
+        s2 = (n_cells * n2 > s2t).astype(np.int64)
+        bins = np.bincount(s1 * 4 + lam * 2 + s2, minlength=8)
+        return pa.table({"b": pa.array(np.arange(8), pa.int64()),
+                         "c": pa.array(bins.astype(np.int64), pa.int64())})
+
+    parts = nb.map_batches(hist_partials, batch_format="pyarrow").groupby(
+        "b", num_partitions=1).aggregate(Sum("c", alias_name="c"))
+    counts = np.zeros(8, np.int64)
+    import ray
+
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows:
+            b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            c = np.asarray(t["c"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            counts[b] = c
+    return _final(counts)
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -5762,6 +6025,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q157_line_dedup": spatialsql.q157_sql(),
         "q158_kcore": spatialsql.q158_sql(KCORE_K, COLOC_MIN, KCORE_T),
         "q159_bivariate_moran": spatialsql.q159_sql(),
+        "q160_assortativity": spatialsql.q160_sql(COLOC_MIN),
+        "q161_spatial_markov": spatialsql.q161_sql(),
     }
 
 

@@ -910,6 +910,99 @@ SELECT tot.n AS n_cells, agg.w_pairs, agg.num, den_t.dena, den_t.denb,
 FROM tot CROSS JOIN agg CROSS JOIN den_t"""
 
 
+def q160_sql(coloc_min: int) -> str:
+    """q160 oracle: degree assortativity rebuilt INDEPENDENTLY — the
+    q127 pair mirror supplies the edges, a degree CTE over the UNION
+    ALL direction scatter is joined back per edge, and the scaled
+    Newman form r = (4M·S1 − S2²)/(2M·S3 − S2²) sums the LITERAL
+    per-edge products. BIGINT throughout (num/den < 2^53 at any
+    host-bounded graph this corpus yields); one frozen float at the
+    end, identical IEEE op order to the engine's (num and den are
+    exact integers on both sides, so the doubles match bitwise)."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+m AS (
+  SELECT DISTINCT b.admin_id, c.host
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+),
+e AS MATERIALIZED (
+  SELECT a.host AS ha, b.host AS hb
+  FROM m a JOIN m b ON a.admin_id = b.admin_id AND a.host < b.host
+  GROUP BY a.host, b.host
+  HAVING COUNT(*) >= {coloc_min}
+),
+und AS (SELECT ha AS h FROM e UNION ALL SELECT hb AS h FROM e),
+deg AS MATERIALIZED (SELECT h, COUNT(*)::BIGINT AS d FROM und GROUP BY h),
+s AS (SELECT COUNT(*)::BIGINT AS m_edges,
+        CAST(COALESCE(SUM(da.d * db.d), 0) AS BIGINT) AS s1,
+        CAST(COALESCE(SUM(da.d + db.d), 0) AS BIGINT) AS s2,
+        CAST(COALESCE(SUM(da.d * da.d + db.d * db.d), 0) AS BIGINT) AS s3
+      FROM e JOIN deg da ON da.h = e.ha JOIN deg db ON db.h = e.hb)
+SELECT m_edges, s1, s2, s3,
+       CASE WHEN (2 * m_edges * s3 - s2 * s2) = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(4 * m_edges * s1 - s2 * s2 AS DOUBLE)
+                            * 1000000.0
+                            / CAST(2 * m_edges * s3 - s2 * s2 AS DOUBLE)
+                            + 0.5) AS BIGINT) END AS assort_e6
+FROM s"""
+
+
+def q161_sql() -> str:
+    """q161 oracle: spatial Markov transition counts rebuilt
+    INDEPENDENTLY — per-cell two-epoch counts by conditional
+    aggregation off the q152 midpoint rule, the spatial lag via the
+    axial LEFT-JOIN self-join (isolated cells keep lag 0/k 0), the
+    three binary classes via the same integer above-mean tests, and the
+    full 2×2×2 spine enumerated with VALUES so zero combos stay
+    present. BIGINT casts throughout."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    return f"""WITH {captures_ctes()},
+mm AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM cap WHERE has_geo),
+g AS (
+  SELECT cell_r7 AS h3_r7,
+         CAST(SUM(CASE WHEN ts_us < mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN ts_us >= mm.mid THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM cap CROSS JOIN mm WHERE has_geo GROUP BY cell_r7
+),
+u AS (SELECT n1, n2,
+        CAST((h3_r7 >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(h3_r7 & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+tot AS (SELECT COUNT(*)::BIGINT AS n,
+               CAST(COALESCE(SUM(n1), 0) AS BIGINT) AS s1t,
+               CAST(COALESCE(SUM(n2), 0) AS BIGINT) AS s2t FROM u),
+nb AS (SELECT a.q, a.r, a.n1, a.n2,
+              COUNT(b.n1)::BIGINT AS k,
+              CAST(COALESCE(SUM(b.n1), 0) AS BIGINT) AS lg
+       FROM u a LEFT JOIN u b
+         ON abs(b.q - a.q) <= 1 AND abs(b.r - a.r) <= 1
+            AND abs((b.q - a.q) + (b.r - a.r)) <= 1
+            AND NOT (a.q = b.q AND a.r = b.r)
+       GROUP BY a.q, a.r, a.n1, a.n2),
+st AS (SELECT CAST(CASE WHEN tot.n * nb.n1 > tot.s1t THEN 1 ELSE 0 END AS BIGINT) AS s1,
+              CAST(CASE WHEN tot.n * nb.lg > nb.k * tot.s1t THEN 1 ELSE 0 END AS BIGINT) AS lag,
+              CAST(CASE WHEN tot.n * nb.n2 > tot.s2t THEN 1 ELSE 0 END AS BIGINT) AS s2
+       FROM nb CROSS JOIN tot),
+cnt AS (SELECT s1, lag, s2, COUNT(*)::BIGINT AS n_cells
+        FROM st GROUP BY s1, lag, s2),
+spine AS (SELECT CAST(a.x AS BIGINT) AS s1, CAST(b.x AS BIGINT) AS lag,
+                 CAST(c.x AS BIGINT) AS s2
+          FROM (VALUES (0), (1)) a(x)
+          CROSS JOIN (VALUES (0), (1)) b(x)
+          CROSS JOIN (VALUES (0), (1)) c(x))
+SELECT spine.s1, spine.lag, spine.s2,
+       CAST(COALESCE(cnt.n_cells, 0) AS BIGINT) AS n_cells
+FROM spine LEFT JOIN cnt
+  ON cnt.s1 = spine.s1 AND cnt.lag = spine.lag AND cnt.s2 = spine.s2"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

@@ -1434,6 +1434,87 @@ FROM documents WHERE COALESCE(text, '') = ''
 """
 
 
+def q162_lix_readability(sf_dir: str):
+    """q162: LIX readability index (Björnsson's läsbarhetsindex, the
+    language-agnostic readability score used in corpus quality
+    filtering alongside q27's ratio heuristics and q94/q141's LM
+    scores): LIX = words/sentences + 100·longwords/words with
+    integer-exact counts — words = space-split tokens, long = token
+    length > 6 chars, sentences = max(count of '.', 1) — and ONE
+    frozen-order float expression (two correctly-rounded divisions, one
+    multiply, one add — identical IEEE op order in SQL), so the doubles
+    match bitwise. Empty/NULL docs take the all-zero row (the q27
+    convention; DuckDB string_split('') would miscount 1 token).
+
+    Shape: embarrassingly parallel — one stateless vectorized
+    map_batches (Arrow split + list lengths, flattened long-token
+    segment sums via np.add.reduceat, '.'-count by length difference);
+    no exchange at any scale. Oracle: Q162_SQL — plain string functions
+    + list_filter, never seeing the flatten/reduceat kernels."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        filled = pc.fill_null(text, "")
+        nonempty = np.asarray(pc.greater(pc.utf8_length(filled), 0)
+                              .to_numpy(zero_copy_only=False), dtype=bool)
+        toks = pc.split_pattern(filled, " ")
+        n_words = np.asarray(pc.list_value_length(toks)
+                             .to_numpy(zero_copy_only=False), dtype=np.int64)
+        flat_len = np.asarray(pc.utf8_length(pc.list_flatten(toks))
+                              .to_numpy(zero_copy_only=False), dtype=np.int64)
+        offsets = np.zeros(len(n_words), np.int64)
+        np.cumsum(n_words[:-1], out=offsets[1:])
+        is_long = (flat_len > 6).astype(np.int64)
+        n_long = (np.add.reduceat(is_long, offsets) if flat_len.size
+                  else np.zeros(len(n_words), np.int64))
+        n_long = np.where(n_words > 0, n_long, 0)
+        dots = np.asarray(
+            pc.subtract(pc.utf8_length(filled),
+                        pc.utf8_length(pc.replace_substring(filled, ".", "")))
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        n_sent = np.maximum(dots, 1)
+        # zero out the empty-doc rows (q27 convention)
+        n_words = np.where(nonempty, n_words, 0)
+        n_sent = np.where(nonempty, n_sent, 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lix = np.where(
+                n_words > 0,
+                n_words.astype(np.float64) / n_sent.astype(np.float64)
+                + 100.0 * n_long.astype(np.float64) / n_words.astype(np.float64),
+                0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "n_longwords": pa.array(n_long, pa.int64()),
+            "lix_score": pa.array(lix, pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# LIX in plain SQL string functions: identical counts (space split,
+# length > 6 filter, '.'-count via length difference, sentence floor 1)
+# and the identical frozen float expression w/s + 100·lw/w.
+Q162_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS w,
+         len(list_filter(string_split(text, ' '), x -> LENGTH(x) > 6))::BIGINT AS lw,
+         GREATEST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')), 1)::BIGINT AS s
+  FROM documents WHERE COALESCE(text, '') <> ''
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, lw AS n_longwords,
+       CAST(w AS DOUBLE) / CAST(s AS DOUBLE)
+       + 100.0 * CAST(lw AS DOUBLE) / CAST(w AS DOUBLE) AS lix_score
+FROM m
+UNION ALL
+SELECT doc_id, 0, 0, 0, 0.0
+FROM documents WHERE COALESCE(text, '') = ''
+"""
+
+
 def q28_rolling_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2967,6 +3048,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q26_langid": (q26_langid, Q26_SQL),
     "q27_quality": (q27_quality, Q27_SQL),
     "q28_rolling_fingerprint": (q28_rolling_fingerprint, Q28_SQL),
+    "q162_lix_readability": (q162_lix_readability, Q162_SQL),
     "q140_cdc_chunking": (q140_cdc_chunking, Q140_SQL),
     "q141_bigram_lm_score": (q141_bigram_lm_score, Q141_SQL),
     "q146_embed_outlier": (q146_embed_outlier, Q146_SQL),

@@ -47,6 +47,8 @@ QUERIES = [
     "line_dedup_query",          # q157: line exchange + keeper run-length
     "kcore_query",               # q158: per-round degree + bounded peel
     "bivariate_moran_query",     # q159: two-channel ring-1 scatter
+    "assortativity_query",       # q160: degree broadcast + edge partials
+    "spatial_markov_query",      # q161: epoch split + ring-1 lag classes
 ]
 
 
