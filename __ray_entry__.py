@@ -329,6 +329,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q159_bivariate_moran": es.bivariate_moran_query,
             "q160_assortativity": es.assortativity_query,
             "q161_spatial_markov": es.spatial_markov_query,
+            "q163_weekday_profile": es.weekday_profile_query,
+            "q164_rank_size": es.rank_size_query,
         }
     )
     return out

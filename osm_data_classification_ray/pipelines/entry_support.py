@@ -2056,6 +2056,168 @@ def spatial_markov_query(sf_dir: str):
     return _final(counts)
 
 
+def weekday_profile_query(sf_dir: str):
+    """q163: per-cell weekly seasonality screening — for every occupied
+    res-5 cell the day-of-week histogram of its geocoded captures
+    (dow = epoch-day mod 7), the total, the uniformity chi-square
+    NUMERATOR x2_num = Σ_d (7·o_d − T)² (the scaled Σ(o−e)² with
+    e = T/7 — ranking cells by weekly periodicity needs only this exact
+    integer; the 49/T denominator is a per-cell constant), and the peak
+    day (max count, ties → smallest day). The periodicity-detection op
+    of temporal data mining — beside q135 (monotone trend), q145
+    (burstiness) and q152 (two-period shift), none of which see the
+    WEEKLY cycle.
+
+    Shape: per-block (cell × 7) wide count partials (np.add.at on a
+    rows×7 sheet) → ONE cell-keyed exchange bounded by the res-5
+    universe → stateless vectorized finish (argmax via lexsort-free
+    7-column max compare). Oracle: spatialsql.q163_sql — conditional
+    per-day sums off ts_us // 86400000000 % 7 (positive timestamps:
+    trunc == floor) + an UNPIVOT window-rank peak."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "warc_ts", "has_geo"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["has_geo"]).select(["h3_r5", "warc_ts"]),
+        batch_format="pyarrow",
+    )
+    day_cols = [f"d{d}" for d in range(7)]
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          **{c: pa.array([], pa.int64()) for c in day_cols}})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        dow = (ts // 86400000000) % 7
+        u, inv = np.unique(c, return_inverse=True)
+        sheet = np.zeros((u.size, 7), np.int64)
+        np.add.at(sheet, (inv, dow), 1)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         **{day_cols[d]: pa.array(sheet[:, d], pa.int64())
+                            for d in range(7)}})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        *[Sum(c, alias_name=c) for c in day_cols])
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_total": pa.array([], pa.int64()),
+                          "x2_num": pa.array([], pa.int64()),
+                          "peak_dow": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        sheet = np.stack([np.asarray(t[c].to_numpy(zero_copy_only=False),
+                                     dtype=np.int64) for c in day_cols], axis=1)
+        tot = sheet.sum(axis=1)
+        x2 = ((7 * sheet - tot[:, None]) ** 2).sum(axis=1)
+        # peak day: max count, ties to the smallest day — argmax returns
+        # the first maximal index, exactly that rule
+        peak = np.argmax(sheet, axis=1).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(cells.view(np.uint64), pa.uint64()),
+            "n_total": pa.array(tot, pa.int64()),
+            "x2_num": pa.array(x2, pa.int64()),
+            "peak_dow": pa.array(peak, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rank_size_query(sf_dir: str):
+    """q164: rank-size (Zipf) log-log slope over the occupied res-5
+    cells — the power-law / urban-scaling fit of spatial science ("is
+    web activity Zipf-distributed across places?"): rank cells by
+    (count DESC, cell ASC), take x = ln(rank), y = ln(count) quantized
+    to half-up micro-nats (the q141 scalar-libm convention — DuckDB LN
+    is bit-identical), and report the exact least-squares slope
+    numerator/denominator fold: slope = (N·Σxy − Σx·Σy)/(N·Σx² −
+    (Σx)²). The cross-moment products overflow int64 at ~10⁴ cells, so
+    the engine folds them in PYTHON ints (exact, arbitrary precision)
+    and the oracle in HUGEINT — both convert the final exact integers
+    to DOUBLE once for the frozen slope_e6 = ⌊num·10⁶/den + ½⌋. One
+    summary row (n_cells, sum_lr_e6, sum_ln_e6, slope_e6).
+
+    Shape: per-block cell-count partials → ONE cell-keyed exchange
+    bounded by the res-5 universe → driver-side collect of the settled
+    (cell, n) table (bounded by the cell universe — the q144/q132
+    convention; ~2M rows at planet scale, a 0.5 s scalar-ln pass) →
+    exact integer fold. Oracle: spatialsql.q164_sql — ROW_NUMBER rank +
+    LN + HUGEINT sums, never seeing the fold."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures", ["h3_r5", "has_geo"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        t = t.filter(t["has_geo"])
+        if t.num_rows == 0:
+            return empty
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    cells_parts, n_parts = [], []
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            cells_parts.append(np.asarray(
+                t["cell"].to_numpy(zero_copy_only=False), dtype=np.int64))
+            n_parts.append(np.asarray(
+                t["n"].to_numpy(zero_copy_only=False), dtype=np.int64))
+
+    def _final(nc: int, sx: int, sy: int, slope_e6: int) -> pa.Table:
+        return pa.table({"n_cells": pa.array([nc], pa.int64()),
+                         "sum_lr_e6": pa.array([sx], pa.int64()),
+                         "sum_ln_e6": pa.array([sy], pa.int64()),
+                         "slope_e6": pa.array([slope_e6], pa.int64())})
+
+    if not cells_parts:
+        return _final(0, 0, 0, 0)
+    cells = np.concatenate(cells_parts)
+    n = np.concatenate(n_parts)
+    # (count DESC, cell ASC) rank — ties share a y, so tie order cannot
+    # move the sums, but the rule is pinned anyway
+    order = np.lexsort((cells, -n))
+    n = n[order]
+    nc = int(n.size)
+    xs = [math.floor(math.log(r) * 1e6 + 0.5) for r in range(1, nc + 1)]
+    ys = [math.floor(math.log(int(v)) * 1e6 + 0.5) for v in n]
+    sx = sum(xs)
+    sy = sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num = nc * sxy - sx * sy      # exact Python ints — no int64 overflow
+    den = nc * sxx - sx * sx
+    slope_e6 = 0 if den == 0 else int(math.floor(
+        float(num) * 1000000.0 / float(den) + 0.5))
+    return _final(nc, sx, sy, slope_e6)
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -6027,6 +6189,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q159_bivariate_moran": spatialsql.q159_sql(),
         "q160_assortativity": spatialsql.q160_sql(COLOC_MIN),
         "q161_spatial_markov": spatialsql.q161_sql(),
+        "q163_weekday_profile": spatialsql.q163_sql(),
+        "q164_rank_size": spatialsql.q164_sql(),
     }
 
 

@@ -1003,6 +1003,67 @@ FROM spine LEFT JOIN cnt
   ON cnt.s1 = spine.s1 AND cnt.lag = spine.lag AND cnt.s2 = spine.s2"""
 
 
+def q163_sql() -> str:
+    """q163 oracle: per-cell weekday profile rebuilt with plain
+    conditional per-day sums (dow = ts_us // 86400000000 % 7 — positive
+    timestamps so trunc == floor), the literal Σ(7·o_d − T)² chi-square
+    numerator, and the peak day via an UNPIVOT window rank (count DESC,
+    day ASC) — never seeing the rows×7 sheet or np.argmax."""
+    day_sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN (ts_us // 86400000000) % 7 = {d} THEN 1 ELSE 0 END) AS BIGINT) AS d{d}"
+        for d in range(7))
+    tot = " + ".join(f"d{d}" for d in range(7))
+    x2 = " + ".join(f"(7 * d{d} - t) * (7 * d{d} - t)" for d in range(7))
+    unpivot = " UNION ALL ".join(
+        f"SELECT cell, CAST({d} AS BIGINT) AS dow, d{d} AS o FROM g"
+        for d in range(7))
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT cell_r5 AS cell,
+         {day_sums}
+  FROM cap WHERE has_geo GROUP BY cell_r5
+),
+gt AS (SELECT cell, {tot} AS t,
+              d0, d1, d2, d3, d4, d5, d6 FROM g),
+pk AS (
+  SELECT cell, dow,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY o DESC, dow ASC) AS rn
+  FROM ({unpivot}) up
+)
+SELECT gt.cell, gt.t AS n_total,
+       CAST({x2} AS BIGINT) AS x2_num,
+       pk.dow AS peak_dow
+FROM gt JOIN pk ON pk.cell = gt.cell AND pk.rn = 1"""
+
+
+def q164_sql() -> str:
+    """q164 oracle: rank-size slope rebuilt independently — ROW_NUMBER
+    rank over (count DESC, cell ASC), LN quantized to half-up
+    micro-nats (the q141 scalar-libm identity), cross moments summed in
+    HUGEINT (DuckDB SUM default — the products overflow BIGINT at ~10⁴
+    cells), and ONE exact-integer → DOUBLE conversion per operand in
+    the frozen slope expression."""
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n
+      FROM cap WHERE has_geo GROUP BY cell_r5),
+rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, cell ASC) AS r FROM g),
+q AS (SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+      FROM rk),
+s AS (SELECT COUNT(*)::BIGINT AS nc,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM q)
+SELECT COALESCE(nc, 0) AS n_cells,
+       CAST(COALESCE(sx, 0) AS BIGINT) AS sum_lr_e6,
+       CAST(COALESCE(sy, 0) AS BIGINT) AS sum_ln_e6,
+       CASE WHEN nc IS NULL OR (nc * sxx - sx * sx) = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(nc * sxy - sx * sy AS DOUBLE) * 1000000.0
+                            / CAST(nc * sxx - sx * sx AS DOUBLE)
+                            + 0.5) AS BIGINT) END AS slope_e6
+FROM s"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

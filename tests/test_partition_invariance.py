@@ -49,6 +49,8 @@ QUERIES = [
     "bivariate_moran_query",     # q159: two-channel ring-1 scatter
     "assortativity_query",       # q160: degree broadcast + edge partials
     "spatial_markov_query",      # q161: epoch split + ring-1 lag classes
+    "weekday_profile_query",     # q163: cell×7 wide partials + exchange
+    "rank_size_query",           # q164: cell exchange + exact driver fold
 ]
 
 
