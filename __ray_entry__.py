@@ -331,6 +331,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q161_spatial_markov": es.spatial_markov_query,
             "q163_weekday_profile": es.weekday_profile_query,
             "q164_rank_size": es.rank_size_query,
+            "q165_dir_variogram": es.directional_variogram_query,
         }
     )
     return out

@@ -2218,6 +2218,153 @@ def rank_size_query(sf_dir: str):
     return _final(nc, sx, sy, slope_e6)
 
 
+#: q165 directional-variogram axis set (axial unit vectors; the three
+#: lattice axes of the hex grid) and max lag — FROZEN into the contract
+VARIO_AXES = ((1, 0), (0, 1), (1, -1))
+VARIO_DIR_K = 2
+
+
+def directional_variogram_query(sf_dir: str):
+    """q165: directional (anisotropic) semivariogram numerators on the
+    res-5 hex raster — per lattice AXIS and lag h the ordered-pair
+    count and Σ(x_i − x_j)² over pairs at offset ±h·axis, the
+    anisotropy-detection op of geostatistics (is spatial continuity
+    direction-dependent?) extending q133's omnidirectional variogram
+    with the direction split (the three axial axes of the hex lattice,
+    both signs — the q133 ordered-pair convention). Output: one row per
+    (axis, lag) — 3 × VARIO_DIR_K rows, zero combos kept — with
+    (n_pairs, vario_num), both exact int64.
+
+    Shape: one cell-keyed count exchange bounded by the res-5 universe
+    → each settled cell scatters its (x, x²) to the 2·3·K directional
+    receivers (pure lattice arithmetic, no ring enumeration) plus one
+    tagged self row per (axis, lag) → ONE (cell, axis, lag)-keyed
+    exchange → per-receiver k·x² − 2·x·S + S2 fold (the q156
+    decomposition) → tiny (axis, lag) aggregate. Oracle:
+    spatialsql.q165_sql — literal per-axis offset equi-joins summing
+    (x_a − x_b)² per pair + an enumerated combo spine."""
+    from ray.data.aggregate import Sum
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["h3_r5"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cells, n = np.unique(
+            np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        empty = pa.table({"cell": z, "axis": z, "lag": z, "sx": z,
+                          "sx2": z, "arr": z, "self_x": z, "occ": z})
+        if t.num_rows == 0:
+            return empty
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64).view(np.uint64)
+        x = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        res, q, r = hexgrid._unpack(cells)
+        res0 = int(res.flat[0])
+        out = []
+        zeros = np.zeros(x.size, np.int64)
+        ones = np.ones(x.size, np.int64)
+        for ax, (dq, dr) in enumerate(VARIO_AXES):
+            for h in range(1, VARIO_DIR_K + 1):
+                # self row per (axis, lag): carries the receiver's own x
+                out.append((cells.view(np.int64), np.full(x.size, ax, np.int64),
+                            np.full(x.size, h, np.int64), zeros, zeros,
+                            zeros, x, ones))
+                for s in (1, -1):
+                    recv = hexgrid._pack(res0, q + dq * s * h, r + dr * s * h)
+                    out.append((recv.view(np.int64),
+                                np.full(x.size, ax, np.int64),
+                                np.full(x.size, h, np.int64), x, x * x,
+                                ones, zeros, zeros))
+        cols = [np.concatenate([o[i] for o in out]) for i in range(8)]
+        return pa.table({"cell": pa.array(cols[0], pa.int64()),
+                         "axis": pa.array(cols[1], pa.int64()),
+                         "lag": pa.array(cols[2], pa.int64()),
+                         "sx": pa.array(cols[3], pa.int64()),
+                         "sx2": pa.array(cols[4], pa.int64()),
+                         "arr": pa.array(cols[5], pa.int64()),
+                         "self_x": pa.array(cols[6], pa.int64()),
+                         "occ": pa.array(cols[7], pa.int64())})
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby(["cell", "axis", "lag"],
+                    num_partitions=default_partitions()).aggregate(
+        Sum("sx", alias_name="sx"), Sum("sx2", alias_name="sx2"),
+        Sum("arr", alias_name="k"), Sum("self_x", alias_name="x"),
+        Sum("occ", alias_name="occ"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        # occupied receivers only; every arrival came from an occupied source
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        ax = np.asarray(t["axis"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        lg = np.asarray(t["lag"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sx = np.asarray(t["sx"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sx2 = np.asarray(t["sx2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        x = np.asarray(t["x"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        num = k * x * x - 2 * x * sx + sx2
+        bins = ax * VARIO_DIR_K + (lg - 1)
+        nbins = 3 * VARIO_DIR_K
+        # int64-exact bin sums (bincount's weights path would go through
+        # float64)
+        p_acc = np.zeros(nbins, np.int64)
+        v_acc = np.zeros(nbins, np.int64)
+        np.add.at(p_acc, bins, k)
+        np.add.at(v_acc, bins, num)
+        return pa.table({
+            "b": pa.array(np.arange(nbins), pa.int64()),
+            "n_pairs": pa.array(p_acc, pa.int64()),
+            "vario_num": pa.array(v_acc, pa.int64()),
+        })
+
+    parts = nb.map_batches(fold, batch_format="pyarrow").groupby(
+        "b", num_partitions=1).aggregate(
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("vario_num", alias_name="vario_num"))
+    import ray
+
+    nbins = 3 * VARIO_DIR_K
+    npairs = np.zeros(nbins, np.int64)
+    vnum = np.zeros(nbins, np.int64)
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows:
+            b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            npairs[b] = np.asarray(t["n_pairs"].to_numpy(zero_copy_only=False),
+                                   dtype=np.int64)
+            vnum[b] = np.asarray(t["vario_num"].to_numpy(zero_copy_only=False),
+                                 dtype=np.int64)
+    bb = np.arange(nbins)
+    return pa.table({
+        "axis": pa.array(bb // VARIO_DIR_K, pa.int64()),
+        "lag": pa.array(bb % VARIO_DIR_K + 1, pa.int64()),
+        "n_pairs": pa.array(npairs, pa.int64()),
+        "vario_num": pa.array(vnum, pa.int64()),
+    })
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -6191,6 +6338,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q161_spatial_markov": spatialsql.q161_sql(),
         "q163_weekday_profile": spatialsql.q163_sql(),
         "q164_rank_size": spatialsql.q164_sql(),
+        "q165_dir_variogram": spatialsql.q165_sql(VARIO_AXES, VARIO_DIR_K),
     }
 
 

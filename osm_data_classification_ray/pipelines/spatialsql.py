@@ -1064,6 +1064,47 @@ SELECT COALESCE(nc, 0) AS n_cells,
 FROM s"""
 
 
+def q165_sql(axes, k: int) -> str:
+    """q165 oracle: directional variogram numerators rebuilt
+    INDEPENDENTLY — one literal offset equi-join per (axis, lag, sign)
+    summing the per-pair (x_a − x_b)² directly (never the engine's
+    k·x²−2xS+S2 receiver fold), grouped per (axis, lag), with the full
+    combo spine enumerated so empty directions stay present."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    selects = []
+    for ax, (dq, dr) in enumerate(axes):
+        for h in range(1, k + 1):
+            for s in (1, -1):
+                selects.append(
+                    f"SELECT CAST({ax} AS BIGINT) AS axis, "
+                    f"CAST({h} AS BIGINT) AS lag, a.n AS na, b.n AS nb_ "
+                    f"FROM u a JOIN u b ON b.q - a.q = {dq * s * h} "
+                    f"AND b.r - a.r = {dr * s * h}")
+    pr = "\n  UNION ALL ".join(selects)
+    spine_rows = ", ".join(f"({ax}, {h})" for ax in range(len(axes))
+                           for h in range(1, k + 1))
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n
+      FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5),
+u AS (SELECT n,
+        CAST((cell >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(cell & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+pr AS (
+  {pr}
+),
+cnt AS (SELECT axis, lag, COUNT(*)::BIGINT AS n_pairs,
+               CAST(COALESCE(SUM((na - nb_) * (na - nb_)), 0) AS BIGINT) AS vario_num
+        FROM pr GROUP BY axis, lag),
+spine AS (SELECT CAST(v.a AS BIGINT) AS axis, CAST(v.h AS BIGINT) AS lag
+          FROM (VALUES {spine_rows}) v(a, h))
+SELECT spine.axis, spine.lag,
+       CAST(COALESCE(cnt.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(cnt.vario_num, 0) AS BIGINT) AS vario_num
+FROM spine LEFT JOIN cnt ON cnt.axis = spine.axis AND cnt.lag = spine.lag"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

@@ -51,6 +51,7 @@ QUERIES = [
     "spatial_markov_query",      # q161: epoch split + ring-1 lag classes
     "weekday_profile_query",     # q163: cell×7 wide partials + exchange
     "rank_size_query",           # q164: cell exchange + exact driver fold
+    "directional_variogram_query",  # q165: directional scatter + fold
 ]
 
 
