@@ -332,6 +332,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q163_weekday_profile": es.weekday_profile_query,
             "q164_rank_size": es.rank_size_query,
             "q165_dir_variogram": es.directional_variogram_query,
+            "q166_regional_kl": es.regional_kl_query,
         }
     )
     return out

@@ -2365,6 +2365,155 @@ def directional_variogram_query(sf_dir: str):
     })
 
 
+def regional_kl_query(sf_dir: str):
+    """q166: regional token KL divergence — per occupied res-5 cell the
+    exact micro-nat numerator of KL(P_cell ‖ P_corpus) over the q72
+    top-4096 vocabulary: kl_num_e6 = Σ_t n_tc · ⌊ln((n_tc·N)/(N_c·n_t))
+    ·10⁶ + ½⌋ with N_c = the cell's vocab-token occurrences and N the
+    global vocab mass. The DOMAIN-SHIFT measurement of data curation
+    ("how far does this region's language drift from the corpus?") —
+    the aggregate information-theoretic sibling of q155's per-token
+    lift, and the distribution-divergence family's first member. All
+    outputs int64: (cell, n_tok, kl_num_e6).
+
+    Exactness: both engines convert the SAME exact int64 products to
+    double (round-nearest), divide once, and take scalar-libm ln
+    quantized half-up to micro-nats (the q141 identity), so every term
+    is bit-identical; the weighted sum is pure int64. Shape: the q155
+    plan — bounded vocab broadcast → doc_id hash join → per-block
+    (cell, tid) count partials → ONE cell/tid-keyed exchange bounded by
+    cells × vocab → cell-keyed repartition → per-block run-length
+    totals + term fold. Oracle: spatialsql.q166_sql — q72's vocab CTE +
+    plain grouping + the identical LN expression."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+    from .relational import _read
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # --- global vocabulary with counts (the q155/q141 stage-1 fold) ---
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = docs.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("tok", "ascending")])
+        return t.take(order).slice(0, 4096)
+
+    pt = pa.concat_tables([x for x in ray.get(agg.map_batches(
+        topk_block, batch_format="pyarrow", batch_size=None).to_arrow_refs())
+        if x.num_rows])
+    empty_out = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_tok": pa.array([], pa.int64()),
+                          "kl_num_e6": pa.array([], pa.int64())})
+    if pt.num_rows == 0:
+        return empty_out
+    order = pc.sort_indices(pt, sort_keys=[("n", "descending"),
+                                           ("tok", "ascending")])
+    pt = pt.take(order).slice(0, 4096)
+    n_glob = np.asarray(pt["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    n_total = int(n_glob.sum())
+    vt_ref = ray.put((pt["tok"].combine_chunks(), n_glob))
+
+    # --- kept geocoded (doc_id, cell) from the captures checkpoint ---
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["warc_ts", "h3_r5", "has_geo", "is_latest"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        ts = np.asarray(t["warc_ts"].cast(pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        doc = gen.doc_id_from_warc_ts(ts)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "cell": t["h3_r5"].cast(pa.int64())})
+
+    keyed = caps.map_batches(derive, batch_format="pyarrow")
+    j = docs.join(keyed, join_type="inner",
+                  num_partitions=default_partitions(), on=("doc_id",))
+
+    def cell_tok_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "tid": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks_arr, _ = ray.get(vt_ref)
+        lists = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        flat = flat.filter(keep)
+        parent = np.asarray(parent.filter(keep).to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        idx = pc.index_in(flat, value_set=toks_arr)
+        inv = np.asarray(pc.fill_null(idx, -1).to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)[parent]
+        m = inv >= 0
+        if not m.any():
+            return empty
+        key = np.stack([cells[m], inv[m]], axis=1)
+        uk, n = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"cell": pa.array(uk[:, 0], pa.int64()),
+                         "tid": pa.array(uk[:, 1], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    ct = j.map_batches(cell_tok_partial, batch_format="pyarrow").groupby(
+        ["cell", "tid"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n_tc"))
+    ct = ct.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty_out
+        _, ng = ray.get(vt_ref)
+        order = pc.sort_indices(block, sort_keys=[("cell", "ascending"),
+                                                  ("tid", "ascending")])
+        block = block.take(order).combine_chunks()
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        tid = np.asarray(block["tid"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ntc = np.asarray(block["n_tc"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        run_len = np.diff(np.r_[starts, len(c)])
+        nc_tot = np.repeat(np.add.reduceat(ntc, starts), run_len)
+        nt = ng[tid]
+        # scalar-libm ln per (cell, token) row — bounded by cells × vocab
+        terms = np.fromiter(
+            (int(a) * math.floor(math.log(float(int(a) * n_total)
+                                          / float(int(b) * int(g)))
+                                 * 1e6 + 0.5)
+             for a, b, g in zip(ntc, nc_tot, nt)),
+            dtype=np.int64, count=len(ntc))
+        kl = np.add.reduceat(terms, starts)
+        return pa.table({
+            "cell": pa.array(c[starts].view(np.uint64), pa.uint64()),
+            "n_tok": pa.array(nc_tot[starts], pa.int64()),
+            "kl_num_e6": pa.array(kl, pa.int64()),
+        })
+
+    return ct.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -6339,6 +6488,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q163_weekday_profile": spatialsql.q163_sql(),
         "q164_rank_size": spatialsql.q164_sql(),
         "q165_dir_variogram": spatialsql.q165_sql(VARIO_AXES, VARIO_DIR_K),
+        "q166_regional_kl": spatialsql.q166_sql(),
     }
 
 

@@ -1105,6 +1105,44 @@ SELECT spine.axis, spine.lag,
 FROM spine LEFT JOIN cnt ON cnt.axis = spine.axis AND cnt.lag = spine.lag"""
 
 
+def q166_sql() -> str:
+    """q166 oracle: regional token KL numerator via q72's vocabulary CTE
+    (the q155 mirror), plain (cell, token) grouping, per-cell totals,
+    and the IDENTICAL frozen term expression n_tc ·
+    ⌊LN(CAST(n_tc·N AS DOUBLE)/CAST(N_c·n_t AS DOUBLE))·10⁶ + ½⌋ —
+    scalar LN on identically-rounded doubles (the q141 libm identity).
+    Never sees the broadcast, the id interning, or the run-length
+    fold."""
+    return f"""WITH {captures_ctes()},
+gd AS (SELECT DISTINCT doc_id, cell_r5 AS cell
+       FROM cap WHERE has_geo AND is_latest),
+tl AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vcq AS (SELECT UNNEST(toks) AS tok FROM tl),
+cntq AS (SELECT tok, COUNT(*)::BIGINT AS n FROM vcq GROUP BY tok),
+voc AS (SELECT tok, n FROM cntq ORDER BY n DESC, tok ASC LIMIT 4096),
+nn AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM voc),
+dt AS (
+  SELECT gd.cell, UNNEST(tl.toks) AS tok
+  FROM tl JOIN gd ON gd.doc_id = tl.doc_id
+),
+ctq AS (SELECT cell, tok, COUNT(*)::BIGINT AS n_tc FROM dt GROUP BY cell, tok),
+jq AS (
+  SELECT ctq.cell, ctq.n_tc, voc.n AS n_t
+  FROM ctq JOIN voc USING (tok)
+),
+tot AS (SELECT cell, CAST(SUM(n_tc) AS BIGINT) AS n_tok FROM jq GROUP BY cell)
+SELECT tot.cell, tot.n_tok,
+       CAST(SUM(jq.n_tc *
+         CAST(FLOOR(LN(CAST(jq.n_tc * nn.total AS DOUBLE)
+                       / CAST(tot.n_tok * jq.n_t AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_num_e6
+FROM jq JOIN tot ON tot.cell = jq.cell CROSS JOIN nn
+GROUP BY tot.cell, tot.n_tok"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

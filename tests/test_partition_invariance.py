@@ -52,6 +52,7 @@ QUERIES = [
     "weekday_profile_query",     # q163: cell×7 wide partials + exchange
     "rank_size_query",           # q164: cell exchange + exact driver fold
     "directional_variogram_query",  # q165: directional scatter + fold
+    "regional_kl_query",         # q166: vocab broadcast + cell/tid fold
 ]
 
 
