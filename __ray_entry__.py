@@ -333,6 +333,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q164_rank_size": es.rank_size_query,
             "q165_dir_variogram": es.directional_variogram_query,
             "q166_regional_kl": es.regional_kl_query,
+            "q167_sfca_access": es.sfca_query,
+            "q168_host_lang_entropy": es.host_lang_entropy_query,
         }
     )
     return out

@@ -2514,6 +2514,214 @@ def regional_kl_query(sf_dir: str):
     return ct.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+#: q167 two-step floating catchment: facility count (the q144 seed rule)
+#: and catchment radius in hex steps — FROZEN into the contract
+SFCA_SEEDS = 12
+SFCA_K = 4
+
+
+def sfca_query(sf_dir: str):
+    """q167: two-step floating catchment area (2SFCA) accessibility on
+    the res-5 hex raster — the supply/demand accessibility measure of
+    health geography (Luo & Wang), completing the location-analytics
+    family beside q121 (gravity, no capacity constraint) and q144
+    (Voronoi, nearest-only): facilities are the top-SFCA_SEEDS busiest
+    cells (the q144 seed rule; capacity = page count), step 1 computes
+    each facility's supply-to-demand ratio over its ≤ SFCA_K-step
+    catchment (demand = Σ occupied-cell counts in reach, incl. itself),
+    quantized half-up to micro-units, and step 2 sums the quantized
+    ratios of every facility in reach of each cell — so step 2 is pure
+    int64. Output per occupied cell: (cell, n_pages, n_fac, access_e6).
+
+    Shape: ONE cell-count exchange (bounded by the res-5 universe) →
+    driver-side top-K facility pick from the bounded table (the q144
+    convention) → demand pass: per-block vectorized axial distance to
+    the ≤ 12 broadcast facilities, per-facility partial sums, tiny
+    combine → driver ratio quantization (12 frozen floats) → access
+    pass: shuffle-free per-block ratio sums. No second exchange at any
+    scale. Oracle: spatialsql.q167_sql — window-rank seeds + closed-form
+    axial distance cross joins + the identical ratio expression."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    ds = spatial.read_stage(cfg.out_root, "captures",
+                            ["h3_r5", "has_geo", "is_latest"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).select(["h3_r5"]),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("h3_r5", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n_pages")
+    ).materialize()  # bounded by the occupied res-5 cell universe
+
+    seed_tbl = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs())
+                                 if x.num_rows])
+    empty_out = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "n_fac": pa.array([], pa.int64()),
+                          "access_e6": pa.array([], pa.int64())})
+    if seed_tbl.num_rows == 0:
+        return empty_out
+    cells_all = np.asarray(seed_tbl["h3_r5"].to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
+    npg = np.asarray(seed_tbl["n_pages"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((cells_all.view(np.int64), -npg))
+    fac_cells = cells_all[order[:SFCA_SEEDS]]
+    fac_cap = npg[order[:SFCA_SEEDS]]
+    mask30 = np.uint64((1 << 30) - 1)
+
+    def _qr(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        q = ((c >> np.uint64(30)) & mask30).astype(np.int64) - (1 << 29)
+        r = (c & mask30).astype(np.int64) - (1 << 29)
+        return q, r
+
+    # ≤ 12 facility coordinates: small enough to ship in the task closure
+    fq, fr = _qr(fac_cells)
+
+    def _dists(cq: np.ndarray, cr: np.ndarray) -> np.ndarray:
+        # (rows, n_fac) axial hex distances — n_fac ≤ SFCA_SEEDS
+        dq = cq[:, None] - fq[None, :]
+        dr = cr[:, None] - fr[None, :]
+        return (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+
+    def demand_partials(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        n = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cq, cr = _qr(c)
+        in_reach = _dists(cq, cr) <= SFCA_K
+        dem = (in_reach * n[:, None]).sum(axis=0).astype(np.int64)
+        return pa.table({"f": pa.array(np.arange(fac_cells.size), pa.int64()),
+                         "d": pa.array(dem, pa.int64())})
+
+    dparts = agg.map_batches(demand_partials, batch_format="pyarrow").groupby(
+        "f", num_partitions=1).aggregate(Sum("d", alias_name="d"))
+    demand = np.zeros(fac_cells.size, np.int64)
+    for t in ray.get(dparts.to_arrow_refs()):
+        if t.num_rows:
+            fi = np.asarray(t["f"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            demand[fi] = np.asarray(t["d"].to_numpy(zero_copy_only=False),
+                                    dtype=np.int64)
+    # per-facility ratio, half-up micro-units (demand ≥ capacity ≥ 1: the
+    # facility itself is always in its own catchment)
+    ratio_e6 = np.array([int(math.floor(float(s) * 1000000.0 / float(d) + 0.5))
+                         for s, d in zip(fac_cap, demand)], dtype=np.int64)
+    ratio_ref = ray.put(ratio_e6)
+
+    def access(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        r_e6 = _ray.get(ratio_ref)
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        n = np.asarray(t["n_pages"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cq, cr = _qr(c)
+        in_reach = _dists(cq, cr) <= SFCA_K
+        return pa.table({
+            "cell": pa.array(c, pa.uint64()),
+            "n_pages": pa.array(n, pa.int64()),
+            "n_fac": pa.array(in_reach.sum(axis=1).astype(np.int64), pa.int64()),
+            "access_e6": pa.array((in_reach * r_e6[None, :]).sum(axis=1)
+                                  .astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(access, batch_format="pyarrow")
+
+
+def host_lang_entropy_query(sf_dir: str):
+    """q168: per-host language-mix Shannon entropy — the content-mix
+    profiling op of corpus curation ("is this host monolingual or a
+    mixed aggregator?"), the information-theoretic sibling of q126's
+    per-cell diversity on the HOST axis: for every host the exact
+    micro-nat entropy numerator ent_num_e6 = Σ_l n_l · ⌊ln(N_h/n_l)·10⁶
+    + ½⌋ over its latest pages' languages (H = ent_num/N_h micro-nats —
+    downstream thresholds stay integer-exact on the numerator). Output:
+    (host, n_pages, n_langs, ent_num_e6), all int64 beside the key.
+
+    Shape: per-block (host, lang) count partials → ONE host/lang-keyed
+    exchange bounded by hosts × languages → host-keyed repartition →
+    per-block run-length totals + scalar-libm ln term fold (the q166
+    kernel; both engines take ln of the identical int-ratio double, the
+    q141 identity). Oracle: spatialsql.q168_sql — plain (host, lang)
+    grouping + a window total + the identical LN term."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "lang", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["is_latest"]).select(["host", "lang"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        key = pa.table({"host": t["host"], "lang": t["lang"]})
+        order = pc.sort_indices(key, sort_keys=[("host", "ascending"),
+                                                ("lang", "ascending")])
+        key = key.take(order).combine_chunks()
+        h = np.asarray(pc.dictionary_encode(key["host"].combine_chunks()).indices)
+        lg = np.asarray(pc.dictionary_encode(key["lang"].combine_chunks()).indices)
+        starts = np.flatnonzero(np.r_[True, (h[1:] != h[:-1]) | (lg[1:] != lg[:-1])])
+        run_len = np.diff(np.r_[starts, len(h)])
+        head = key.take(pa.array(starts))
+        return pa.table({"host": head["host"], "lang": head["lang"],
+                         "n": pa.array(run_len.astype(np.int64), pa.int64())})
+
+    hl = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        ["host", "lang"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    hl = hl.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "n_langs": pa.array([], pa.int64()),
+                          "ent_num_e6": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("lang", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = np.asarray(pc.dictionary_encode(block["host"].combine_chunks()).indices)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        run_len = np.diff(np.r_[starts, len(h)])
+        nh = np.repeat(np.add.reduceat(n, starts), run_len)
+        # scalar-libm ln per (host, lang) row — bounded by hosts × langs
+        terms = np.fromiter(
+            (int(a) * math.floor(math.log(float(int(b)) / float(int(a)))
+                                 * 1e6 + 0.5)
+             for a, b in zip(n, nh)),
+            dtype=np.int64, count=len(n))
+        return pa.table({
+            "host": block["host"].take(pa.array(starts)),
+            "n_pages": pa.array(nh[starts], pa.int64()),
+            "n_langs": pa.array(run_len.astype(np.int64), pa.int64()),
+            "ent_num_e6": pa.array(np.add.reduceat(terms, starts), pa.int64()),
+        })
+
+    return hl.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -6489,6 +6697,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q164_rank_size": spatialsql.q164_sql(),
         "q165_dir_variogram": spatialsql.q165_sql(VARIO_AXES, VARIO_DIR_K),
         "q166_regional_kl": spatialsql.q166_sql(),
+        "q167_sfca_access": spatialsql.q167_sql(SFCA_SEEDS, SFCA_K),
+        "q168_host_lang_entropy": spatialsql.q168_sql(),
     }
 
 

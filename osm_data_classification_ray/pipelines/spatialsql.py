@@ -1143,6 +1143,76 @@ FROM jq JOIN tot ON tot.cell = jq.cell CROSS JOIN nn
 GROUP BY tot.cell, tot.n_tok"""
 
 
+def q167_sql(n_seeds: int, k: int) -> str:
+    """q167 oracle: 2SFCA accessibility rebuilt independently — the
+    q144 window-rank seed mirror, demand per facility via a closed-form
+    axial-distance cross join, the IDENTICAL half-up ratio expression
+    (exact ints → DOUBLE once), and per-cell access via a second cross
+    join summing the quantized BIGINT ratios. LEFT JOIN keeps
+    out-of-reach cells at access 0."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+g AS (
+  SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n_pages
+  FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5
+),
+gq AS (
+  SELECT cell, n_pages,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS q,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS r
+  FROM g
+),
+seeds AS (
+  SELECT cell AS fac, n_pages AS cap_n, q, r,
+         ROW_NUMBER() OVER (ORDER BY n_pages DESC, cell ASC) AS rk
+  FROM gq QUALIFY rk <= {n_seeds}
+),
+dem AS (
+  SELECT s.fac, s.cap_n,
+         CAST(SUM(o.n_pages) AS BIGINT) AS demand
+  FROM seeds s JOIN gq o
+    ON (abs(o.q - s.q) + abs(o.r - s.r)
+        + abs((o.q - s.q) + (o.r - s.r))) / 2 <= {k}
+  GROUP BY s.fac, s.cap_n
+),
+rat AS (
+  SELECT seeds.fac, seeds.q, seeds.r,
+         CAST(FLOOR(CAST(dem.cap_n AS DOUBLE) * 1000000.0
+                    / CAST(dem.demand AS DOUBLE) + 0.5) AS BIGINT) AS r_e6
+  FROM seeds JOIN dem ON dem.fac = seeds.fac
+),
+acc AS (
+  SELECT o.cell, COUNT(rat.fac)::BIGINT AS n_fac,
+         CAST(COALESCE(SUM(rat.r_e6), 0) AS BIGINT) AS access_e6
+  FROM gq o LEFT JOIN rat
+    ON (abs(o.q - rat.q) + abs(o.r - rat.r)
+        + abs((o.q - rat.q) + (o.r - rat.r))) / 2 <= {k}
+  GROUP BY o.cell
+)
+SELECT g.cell, g.n_pages, acc.n_fac, acc.access_e6
+FROM g JOIN acc ON acc.cell = g.cell"""
+
+
+def q168_sql() -> str:
+    """q168 oracle: per-host language entropy numerator via plain
+    (host, lang) grouping, a window SUM for the host total, and the
+    IDENTICAL frozen term n_l · ⌊LN(CAST(N_h AS DOUBLE)/CAST(n_l AS
+    DOUBLE))·10⁶ + ½⌋ (the q141 libm identity) — never sees the
+    dictionary run-length kernels."""
+    return f"""WITH {captures_ctes()},
+hl AS (SELECT host, lang, COUNT(*)::BIGINT AS n
+       FROM cap WHERE is_latest GROUP BY host, lang),
+w AS (SELECT host, lang, n,
+             CAST(SUM(n) OVER (PARTITION BY host) AS BIGINT) AS nh,
+             COUNT(*) OVER (PARTITION BY host) AS nl
+      FROM hl)
+SELECT host, MIN(nh) AS n_pages, CAST(MIN(nl) AS BIGINT) AS n_langs,
+       CAST(SUM(n * CAST(FLOOR(LN(CAST(nh AS DOUBLE) / CAST(n AS DOUBLE))
+                               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS ent_num_e6
+FROM w GROUP BY host"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

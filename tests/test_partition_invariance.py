@@ -53,6 +53,8 @@ QUERIES = [
     "rank_size_query",           # q164: cell exchange + exact driver fold
     "directional_variogram_query",  # q165: directional scatter + fold
     "regional_kl_query",         # q166: vocab broadcast + cell/tid fold
+    "sfca_query",                # q167: seed pick + two shuffle-free passes
+    "host_lang_entropy_query",   # q168: host/lang exchange + ln-term fold
 ]
 
 
