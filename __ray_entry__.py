@@ -335,6 +335,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q166_regional_kl": es.regional_kl_query,
             "q167_sfca_access": es.sfca_query,
             "q168_host_lang_entropy": es.host_lang_entropy_query,
+            "q169_temporal_lag1": es.temporal_lag1_query,
+            "q170_cross_k": es.cross_k_query,
         }
     )
     return out

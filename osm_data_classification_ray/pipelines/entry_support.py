@@ -2722,6 +2722,232 @@ def host_lang_entropy_query(sf_dir: str):
     return hl.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+def temporal_lag1_query(sf_dir: str):
+    """q169: per-cell temporal lag-1 autocorrelation numerators — for
+    every occupied res-5 cell the daily-series serial-correlation
+    ingredients over its geocoded captures: T = Σ n_d, Q = Σ n_d² and
+    the lag-1 cross sum L = Σ n_d·n_{d+1} (adjacent calendar days; the
+    dense-grid zeros contribute nothing to any of the three, so only
+    PRESENT days are touched). The serial-persistence member of the
+    temporal family — q135 tests monotone trend, q145 dispersion, q163
+    weekly cycle; none measures day-to-day memory. All int64:
+    (cell, n_days, n_total, q_sum, lag1_sum).
+
+    Shape: per-block (cell, day) count partials → ONE (cell, day)-keyed
+    exchange bounded by cells × days → cell-keyed repartition →
+    per-block sorted adjacency fold (day_{i+1} = day_i + 1 within the
+    cell run). Oracle: spatialsql.q169_sql — plain (cell, day) grouping
+    + a LAG window gated on day − prev = 1."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "warc_ts", "has_geo"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["has_geo"]).select(["h3_r5", "warc_ts"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "day": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        day = ts // 86400000000
+        key = np.stack([c, day], axis=1)
+        uk, n = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"cell": pa.array(uk[:, 0], pa.int64()),
+                         "day": pa.array(uk[:, 1], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    cd = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        ["cell", "day"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    cd = cd.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_days": pa.array([], pa.int64()),
+                          "n_total": pa.array([], pa.int64()),
+                          "q_sum": pa.array([], pa.int64()),
+                          "lag1_sum": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("cell", "ascending"),
+                                                  ("day", "ascending")])
+        block = block.take(order).combine_chunks()
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(block["day"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        run_len = np.diff(np.r_[starts, len(c)])
+        adj = np.r_[(c[1:] == c[:-1]) & (d[1:] == d[:-1] + 1), False]
+        lag_terms = np.where(adj, n * np.r_[n[1:], 0], 0)
+        return pa.table({
+            "cell": pa.array(c[starts].view(np.uint64), pa.uint64()),
+            "n_days": pa.array(run_len.astype(np.int64), pa.int64()),
+            "n_total": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            "q_sum": pa.array(np.add.reduceat(n * n, starts), pa.int64()),
+            "lag1_sum": pa.array(np.add.reduceat(lag_terms, starts), pa.int64()),
+        })
+
+    return cd.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+#: q170 cross-K max lag (hex steps) — FROZEN into the contract
+CROSSK_K = 3
+
+
+def cross_k_query(sf_dir: str):
+    """q170: bivariate (cross-type) K-function numerators on the res-5
+    hex raster — for each lag h = 0..CROSSK_K the ordered cross-pair
+    weight Σ a_i·b_j and the occupied cross-pair count Σ[a_i>0][b_j>0]
+    over (i, j) at EXACT hex distance h, with a = English and b =
+    non-English page counts. The bivariate point-pattern op (cross-K /
+    cross-pair-correlation: "does type A attract or repel type B at
+    range h?") — q106 counts SAME-population pairs, q159 correlates the
+    fields at ring 1; neither gives the distance-resolved cross
+    profile. Lag 0 is the within-cell co-location term. Output:
+    CROSSK_K+1 rows (lag, n_pairs, cross_weight), zero lags kept.
+
+    Shape: one cell-keyed count exchange (the q153 two-channel
+    partials) → per-lag directional scatter (lag-0 arrival at the cell
+    itself, rings via grid_ring; payload = (a, [a>0]); one tagged self
+    row per lag carries the receiver's b) → ONE (cell, lag)-keyed
+    exchange → per-receiver b·Σa and [b>0]·Σ[a>0] fold → tiny lag
+    aggregate + spine. Oracle: spatialsql.q170_sql — closed-form axial
+    distance EQUALITY joins per lag summing literal a_i·b_j."""
+    from ray.data.aggregate import Sum
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "lang", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["h3_r5", "lang"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        is_en = np.asarray(pc.equal(t["lang"], pa.scalar("en"))
+                           .to_numpy(zero_copy_only=False), dtype=bool)
+        u, inv = np.unique(c, return_inverse=True)
+        a = np.zeros(u.size, np.int64)
+        b = np.zeros(u.size, np.int64)
+        np.add.at(a, inv[is_en], 1)
+        np.add.at(b, inv[~is_en], 1)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "cell", num_partitions=default_partitions()).aggregate(
+        Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        empty = pa.table({"cell": z, "lag": z, "sa": z, "apos": z,
+                          "self_b": z, "occ": z})
+        if t.num_rows == 0:
+            return empty
+        cells = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64).view(np.uint64)
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        apos = (a > 0).astype(np.int64)
+        zeros = np.zeros(a.size, np.int64)
+        ones = np.ones(a.size, np.int64)
+        out = []
+        for h in range(0, CROSSK_K + 1):
+            # self row: the receiver's own b (and occupancy marker)
+            out.append((cells.view(np.int64), np.full(a.size, h, np.int64),
+                        zeros, zeros, b, ones))
+            if h == 0:
+                out.append((cells.view(np.int64), zeros.copy(), a, apos,
+                            zeros, zeros))
+            else:
+                ring = hexgrid.grid_ring(cells, h)   # (rows, 6h)
+                w = ring.shape[1]
+                out.append((ring.ravel().view(np.int64),
+                            np.full(ring.size, h, np.int64),
+                            np.repeat(a, w), np.repeat(apos, w),
+                            np.zeros(ring.size, np.int64),
+                            np.zeros(ring.size, np.int64)))
+        cols = [np.concatenate([o[i] for o in out]) for i in range(6)]
+        return pa.table({"cell": pa.array(cols[0], pa.int64()),
+                         "lag": pa.array(cols[1], pa.int64()),
+                         "sa": pa.array(cols[2], pa.int64()),
+                         "apos": pa.array(cols[3], pa.int64()),
+                         "self_b": pa.array(cols[4], pa.int64()),
+                         "occ": pa.array(cols[5], pa.int64())})
+
+    sc = agg.map_batches(scatter, batch_format="pyarrow")
+    nb = sc.groupby(["cell", "lag"],
+                    num_partitions=default_partitions()).aggregate(
+        Sum("sa", alias_name="sa"), Sum("apos", alias_name="apos"),
+        Sum("self_b", alias_name="b"), Sum("occ", alias_name="occ"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        # occupied receivers only; every arrival came from an occupied source
+        t = t.filter(pc.greater(t["occ"], pa.scalar(0, pa.int64())))
+        lg = np.asarray(t["lag"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sa = np.asarray(t["sa"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ap = np.asarray(t["apos"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nbins = CROSSK_K + 1
+        w_acc = np.zeros(nbins, np.int64)
+        p_acc = np.zeros(nbins, np.int64)
+        np.add.at(w_acc, lg, b * sa)
+        np.add.at(p_acc, lg, (b > 0).astype(np.int64) * ap)
+        return pa.table({"lag": pa.array(np.arange(nbins), pa.int64()),
+                         "n_pairs": pa.array(p_acc, pa.int64()),
+                         "cross_weight": pa.array(w_acc, pa.int64())})
+
+    parts = nb.map_batches(fold, batch_format="pyarrow").groupby(
+        "lag", num_partitions=1).aggregate(
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("cross_weight", alias_name="cross_weight"))
+    import ray
+
+    nbins = CROSSK_K + 1
+    npair = np.zeros(nbins, np.int64)
+    wsum = np.zeros(nbins, np.int64)
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows:
+            lg = np.asarray(t["lag"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            npair[lg] = np.asarray(t["n_pairs"].to_numpy(zero_copy_only=False),
+                                   dtype=np.int64)
+            wsum[lg] = np.asarray(t["cross_weight"]
+                                  .to_numpy(zero_copy_only=False),
+                                  dtype=np.int64)
+    return pa.table({"lag": pa.array(np.arange(nbins), pa.int64()),
+                     "n_pairs": pa.array(npair, pa.int64()),
+                     "cross_weight": pa.array(wsum, pa.int64())})
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -6699,6 +6925,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q166_regional_kl": spatialsql.q166_sql(),
         "q167_sfca_access": spatialsql.q167_sql(SFCA_SEEDS, SFCA_K),
         "q168_host_lang_entropy": spatialsql.q168_sql(),
+        "q169_temporal_lag1": spatialsql.q169_sql(),
+        "q170_cross_k": spatialsql.q170_sql(CROSSK_K),
     }
 
 

@@ -1213,6 +1213,65 @@ SELECT host, MIN(nh) AS n_pages, CAST(MIN(nl) AS BIGINT) AS n_langs,
 FROM w GROUP BY host"""
 
 
+def q169_sql() -> str:
+    """q169 oracle: per-cell lag-1 serial-correlation numerators via
+    plain (cell, day) grouping and a LAG window gated on day − prev = 1
+    — never sees the partial split or the sorted adjacency fold."""
+    return f"""WITH {captures_ctes()},
+cd AS (SELECT cell_r5 AS cell, ts_us // 86400000000 AS day,
+              COUNT(*)::BIGINT AS n
+       FROM cap WHERE has_geo GROUP BY 1, 2),
+w AS (SELECT cell, day, n,
+             LAG(day) OVER (PARTITION BY cell ORDER BY day) AS pd,
+             LAG(n) OVER (PARTITION BY cell ORDER BY day) AS pn
+      FROM cd)
+SELECT cell, COUNT(*)::BIGINT AS n_days,
+       CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(SUM(n * n) AS BIGINT) AS q_sum,
+       CAST(COALESCE(SUM(CASE WHEN day - pd = 1 THEN n * pn ELSE 0 END), 0)
+            AS BIGINT) AS lag1_sum
+FROM w GROUP BY cell"""
+
+
+def q170_sql(k: int) -> str:
+    """q170 oracle: bivariate cross-K numerators rebuilt independently —
+    per lag a closed-form axial distance EQUALITY join over the
+    conditional (a, b) cell counts, summing the literal a_i·b_j and the
+    occupied-pair indicator (never the engine's b·Σa receiver fold),
+    with a spine keeping empty lags."""
+    mask30 = (1 << 30) - 1
+    bias = 1 << 29
+    selects = []
+    for h in range(0, k + 1):
+        selects.append(
+            f"SELECT CAST({h} AS BIGINT) AS lag, a.a AS aa, b.b AS bb_ "
+            f"FROM u a JOIN u b ON (abs(b.q - a.q) + abs(b.r - a.r) "
+            f"+ abs((b.q - a.q) + (b.r - a.r))) / 2 = {h}")
+    pr = "\n  UNION ALL ".join(selects)
+    spine_rows = ", ".join(f"({h})" for h in range(0, k + 1))
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r5 AS cell,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5),
+u AS (SELECT a, b,
+        CAST((cell >> 30) & {mask30} AS BIGINT) - {bias} AS q,
+        CAST(cell & {mask30} AS BIGINT) - {bias} AS r
+      FROM g),
+pr AS (
+  {pr}
+),
+cnt AS (SELECT lag,
+               CAST(COALESCE(SUM(CASE WHEN aa > 0 AND bb_ > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(aa * bb_), 0) AS BIGINT) AS cross_weight
+        FROM pr GROUP BY lag),
+spine AS (SELECT CAST(v.h AS BIGINT) AS lag FROM (VALUES {spine_rows}) v(h))
+SELECT spine.lag,
+       CAST(COALESCE(cnt.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(cnt.cross_weight, 0) AS BIGINT) AS cross_weight
+FROM spine LEFT JOIN cnt ON cnt.lag = spine.lag"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

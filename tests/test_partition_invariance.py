@@ -55,6 +55,8 @@ QUERIES = [
     "regional_kl_query",         # q166: vocab broadcast + cell/tid fold
     "sfca_query",                # q167: seed pick + two shuffle-free passes
     "host_lang_entropy_query",   # q168: host/lang exchange + ln-term fold
+    "temporal_lag1_query",       # q169: cell/day exchange + adjacency fold
+    "cross_k_query",             # q170: per-lag ring scatter + b·Σa fold
 ]
 
 
