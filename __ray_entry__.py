@@ -337,6 +337,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q168_host_lang_entropy": es.host_lang_entropy_query,
             "q169_temporal_lag1": es.temporal_lag1_query,
             "q170_cross_k": es.cross_k_query,
+            "q171_theil": es.theil_query,
         }
     )
     return out

@@ -2948,6 +2948,105 @@ def cross_k_query(sf_dir: str):
                      "cross_weight": pa.array(wsum, pa.int64())})
 
 
+def theil_query(sf_dir: str):
+    """q171: Theil inequality decomposition over the PIP join — units
+    are (winning admin, res-7 cell) page-count groups, and for every
+    admin the exact micro-nat WITHIN numerator Σ_u x_u·⌊ln(x_u·n_a /
+    X_a)·10⁶ + ½⌋ and BETWEEN numerator X_a·⌊ln(X_a·N / (X·n_a))·10⁶ +
+    ½⌋ — the decomposable-inequality statistic of regional science
+    (global Theil T = (Σwithin + Σbetween)/X micro-nats; "is activity
+    inequality driven by differences BETWEEN districts or WITHIN
+    them?"). Completes the inequality family beside q128's Gini (not
+    decomposable) and q153's two-population dissimilarity. Output per
+    admin: (admin_id, n_units, x_sum, within_num_e6, between_num_e6),
+    all int64.
+
+    Shape: the q150 url-keyed hash join (page_admin ⋈ latest geocoded
+    captures) → (admin, cell) count exchange bounded by admins × cells
+    → tiny (N, X) aggregate → admin-keyed repartition → per-block
+    run-length (n_a, X_a) + scalar-libm ln-term fold (the q166/q168
+    kernel). Oracle: spatialsql.q171_sql — the shared PIP mirror +
+    plain groupings + the identical LN terms."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    matched = spatial.read_stage(cfg.out_root, "page_admin", ["url", "admin_id"])
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["url", "h3_r7", "has_geo", "is_latest"])
+    caps = caps.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"])).drop_columns(
+            ["has_geo", "is_latest"]),
+        batch_format="pyarrow",
+    )
+    j = matched.join(caps, join_type="inner",
+                     num_partitions=default_partitions(), on=("url",))
+
+    def to_unit(t: pa.Table) -> pa.Table:
+        return pa.table({"admin_id": pc.cast(t["admin_id"], pa.int64()),
+                         "cell": pc.cast(t["h3_r7"], pa.int64())})
+
+    u = j.map_batches(to_unit, batch_format="pyarrow").groupby(
+        ["admin_id", "cell"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="x")).materialize()  # bounded by admins × cells
+
+    tot = u.aggregate(Count(alias_name="n"), Sum("x", alias_name="xt"))
+    n_units = int(tot["n"] or 0)
+    x_tot = int(tot["xt"] or 0)
+
+    empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                      "n_units": pa.array([], pa.int64()),
+                      "x_sum": pa.array([], pa.int64()),
+                      "within_num_e6": pa.array([], pa.int64()),
+                      "between_num_e6": pa.array([], pa.int64())})
+    if n_units == 0:
+        return empty
+    ua = u.repartition(default_partitions(), keys=["admin_id"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("admin_id", "ascending"),
+                                                  ("cell", "ascending")])
+        block = block.take(order).combine_chunks()
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        x = np.asarray(block["x"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        run_len = np.diff(np.r_[starts, len(a)])
+        na = np.repeat(run_len, run_len).astype(np.int64)
+        xa = np.repeat(np.add.reduceat(x, starts), run_len)
+        # scalar-libm ln per unit — bounded by admins × cells
+        terms = np.fromiter(
+            (int(xv) * math.floor(math.log(float(int(xv) * int(nv))
+                                           / float(int(xs))) * 1e6 + 0.5)
+             for xv, nv, xs in zip(x, na, xa)),
+            dtype=np.int64, count=len(x))
+        within = np.add.reduceat(terms, starts)
+        na_h = run_len.astype(np.int64)
+        xa_h = np.add.reduceat(x, starts)
+        between = np.fromiter(
+            (int(xs) * math.floor(math.log(float(int(xs) * n_units)
+                                           / float(x_tot * int(nv)))
+                                  * 1e6 + 0.5)
+             for xs, nv in zip(xa_h, na_h)),
+            dtype=np.int64, count=len(starts))
+        return pa.table({
+            "admin_id": pa.array(a[starts], pa.int64()),
+            "n_units": pa.array(na_h, pa.int64()),
+            "x_sum": pa.array(xa_h, pa.int64()),
+            "within_num_e6": pa.array(within, pa.int64()),
+            "between_num_e6": pa.array(between, pa.int64()),
+        })
+
+    return ua.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -6927,6 +7026,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q168_host_lang_entropy": spatialsql.q168_sql(),
         "q169_temporal_lag1": spatialsql.q169_sql(),
         "q170_cross_k": spatialsql.q170_sql(CROSSK_K),
+        "q171_theil": spatialsql.q171_sql(),
     }
 
 

@@ -1272,6 +1272,45 @@ SELECT spine.lag,
 FROM spine LEFT JOIN cnt ON cnt.lag = spine.lag"""
 
 
+def q171_sql() -> str:
+    """q171 oracle: Theil within/between numerators via the shared PIP
+    mirror, plain (admin, cell) and per-admin groupings, and the
+    IDENTICAL frozen LN terms (exact int64 products → DOUBLE once,
+    scalar LN, half-up micro-nats — the q141 libm identity). Never sees
+    the run-length fold."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+u AS (
+  SELECT b.admin_id, c.cell_r7 AS cell, COUNT(*)::BIGINT AS x
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+  GROUP BY b.admin_id, c.cell_r7
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS xt FROM u),
+ga AS (SELECT admin_id, COUNT(*)::BIGINT AS na, CAST(SUM(x) AS BIGINT) AS xa
+       FROM u GROUP BY admin_id),
+w AS (
+  SELECT u.admin_id,
+         CAST(SUM(u.x * CAST(FLOOR(LN(CAST(u.x * ga.na AS DOUBLE)
+                                      / CAST(ga.xa AS DOUBLE))
+                                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS within_num
+  FROM u JOIN ga USING (admin_id) GROUP BY u.admin_id
+)
+SELECT CAST(ga.admin_id AS BIGINT) AS admin_id, ga.na AS n_units,
+       ga.xa AS x_sum, w.within_num AS within_num_e6,
+       CAST(ga.xa * CAST(FLOOR(LN(CAST(ga.xa * tot.n AS DOUBLE)
+                                  / CAST(tot.xt * ga.na AS DOUBLE))
+                               * 1000000.0 + 0.5) AS BIGINT) AS BIGINT)
+         AS between_num_e6
+FROM ga JOIN w USING (admin_id) CROSS JOIN tot"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

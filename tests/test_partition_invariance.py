@@ -57,6 +57,7 @@ QUERIES = [
     "host_lang_entropy_query",   # q168: host/lang exchange + ln-term fold
     "temporal_lag1_query",       # q169: cell/day exchange + adjacency fold
     "cross_k_query",             # q170: per-lag ring scatter + b·Σa fold
+    "theil_query",               # q171: PIP join + admin-keyed ln-term fold
 ]
 
 
