@@ -338,6 +338,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q169_temporal_lag1": es.temporal_lag1_query,
             "q170_cross_k": es.cross_k_query,
             "q171_theil": es.theil_query,
+            "q172_benford": es.benford_query,
         }
     )
     return out

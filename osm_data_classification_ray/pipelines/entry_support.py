@@ -3047,6 +3047,80 @@ def theil_query(sf_dir: str):
     return ua.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+#: q172 Benford expected first-digit mass in half-up micro-units —
+#: log10(1 + 1/d), FROZEN as contract literals (both engines consume
+#: these integers; no runtime log10 whose rounding could diverge)
+BENFORD_E6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+              45757)
+
+
+def benford_query(sf_dir: str):
+    """q172: Benford first-digit conformity test over the occupied
+    res-5 cell counts — the forensic anomaly screen of count data
+    ("does web activity per place follow Benford's law, or is the
+    distribution synthetic/manipulated?"). For each leading digit d =
+    1..9: the observed cell count o_d, the FROZEN expected micro-mass
+    benford_e6(d) = ⌊log10(1+1/d)·10⁶+½⌋ (contract literals — no
+    runtime log10 on either side), and the exact integer deviation
+    numerator dev_num = |10⁶·o_d − N·benford_e6(d)| (the scaled
+    |observed − expected| with N = total occupied cells). Nine rows,
+    zero digits kept.
+
+    Shape: one cell-keyed count exchange (bounded by the res-5
+    universe) → per-block leading-digit extraction by a 19-step integer
+    divide-down (no float log10 — exact by construction) + 9-bin
+    partials → tiny combine. Oracle: spatialsql.q172_sql — leading
+    digit via SUBSTR(CAST(n AS VARCHAR), 1, 1), a genuinely different
+    derivation, + the same frozen literals."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["h3_r5"]),
+        batch_format="pyarrow",
+    )
+    agg = pts.groupby("h3_r5", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n"))
+
+    def digit_partials(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = n.copy()
+        for _ in range(19):           # int64 has ≤ 19 decimal digits
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        bins = np.zeros(9, np.int64)
+        np.add.at(bins, d - 1, 1)
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "o": pa.array(bins, pa.int64())})
+
+    parts = agg.map_batches(digit_partials, batch_format="pyarrow").groupby(
+        "digit", num_partitions=1).aggregate(Sum("o", alias_name="o"))
+    import ray
+
+    obs = np.zeros(9, np.int64)
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows:
+            dg = np.asarray(t["digit"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            obs[dg - 1] = np.asarray(t["o"].to_numpy(zero_copy_only=False),
+                                     dtype=np.int64)
+    total = int(obs.sum())
+    exp = np.array(BENFORD_E6, np.int64)
+    dev = np.abs(1000000 * obs - total * exp)
+    return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                     "n_observed": pa.array(obs, pa.int64()),
+                     "benford_e6": pa.array(exp, pa.int64()),
+                     "dev_num": pa.array(dev, pa.int64())})
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -7027,6 +7101,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q169_temporal_lag1": spatialsql.q169_sql(),
         "q170_cross_k": spatialsql.q170_sql(CROSSK_K),
         "q171_theil": spatialsql.q171_sql(),
+        "q172_benford": spatialsql.q172_sql(BENFORD_E6),
     }
 
 

@@ -1311,6 +1311,30 @@ SELECT CAST(ga.admin_id AS BIGINT) AS admin_id, ga.na AS n_units,
 FROM ga JOIN w USING (admin_id) CROSS JOIN tot"""
 
 
+def q172_sql(benford_e6) -> str:
+    """q172 oracle: Benford conformity rebuilt independently — leading
+    digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down
+    in integers; genuinely different derivations of the same digit),
+    expected masses from the SAME frozen contract literals, deviation
+    |10⁶·o − N·e| in BIGINT. VALUES spine keeps zero digits."""
+    spine = ", ".join(f"({d}, {benford_e6[d - 1]})" for d in range(1, 10))
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n
+      FROM cap WHERE has_geo AND is_latest GROUP BY cell_r5),
+dg AS (SELECT CAST(SUBSTR(CAST(n AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       FROM g),
+oc AS (SELECT digit, COUNT(*)::BIGINT AS o FROM dg GROUP BY digit),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM g),
+spine AS (SELECT CAST(v.d AS BIGINT) AS digit, CAST(v.e AS BIGINT) AS e
+          FROM (VALUES {spine}) v(d, e))
+SELECT spine.digit,
+       CAST(COALESCE(oc.o, 0) AS BIGINT) AS n_observed,
+       spine.e AS benford_e6,
+       CAST(abs(1000000 * COALESCE(oc.o, 0) - tot.n * spine.e) AS BIGINT)
+         AS dev_num
+FROM spine LEFT JOIN oc ON oc.digit = spine.digit CROSS JOIN tot"""
+
+
 def q103_sql() -> str:
     """q103 oracle: the spatially-stratified split rebuilt end-to-end in
     SQL — occupied res-5 cells from the captures mirror, the per-cell

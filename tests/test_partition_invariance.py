@@ -58,6 +58,7 @@ QUERIES = [
     "temporal_lag1_query",       # q169: cell/day exchange + adjacency fold
     "cross_k_query",             # q170: per-lag ring scatter + b·Σa fold
     "theil_query",               # q171: PIP join + admin-keyed ln-term fold
+    "benford_query",             # q172: digit divide-down + 9-bin combine
 ]
 
 
