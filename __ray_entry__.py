@@ -339,6 +339,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q170_cross_k": es.cross_k_query,
             "q171_theil": es.theil_query,
             "q172_benford": es.benford_query,
+            "q173_sde_moments": es.sde_moments_query,
         }
     )
     return out

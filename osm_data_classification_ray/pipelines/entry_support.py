@@ -3121,6 +3121,89 @@ def benford_query(sf_dir: str):
                      "dev_num": pa.array(dev, pa.int64())})
 
 
+def sde_moments_query(sf_dir: str):
+    """q173: per-admin directional-distribution (standard-deviational-
+    ellipse) moments — for every winning admin the exact integer raw
+    moments of its latest geocoded pages' millidegree coordinates:
+    n_pages, Σx, Σy, Σx², Σx·y, Σy² (x = east/lon, y = north/lat).
+    These six integers determine the SDE exactly (center, variance and
+    covariance numerators n·Σx²−(Σx)² etc., orientation ½·atan2(2Cxy,
+    Cxx−Cyy)) — the dispersion-ELLIPSE member of the spatial-statistics
+    family: q117 gives the centroid (first moment), q125 a scalar
+    radius about the modal cell; neither carries the anisotropic second
+    moment. Millidegrees keep every sum int64-exact: |x| ≤ 1.8·10⁵ ⇒
+    x² ≤ 3.24·10¹⁰ ⇒ per-admin Σx² is safe to ~2.8·10⁸ matched pages
+    per admin (beyond that the combiner needs 128-bit limbs — a
+    documented extension, not a cap; the derived ellipse itself needs
+    only doubles).
+
+    Shape: the q171/q150 url-keyed hash join (page_admin checkpoint ⋈
+    latest geocoded captures) → per-block per-admin int64 partial sums
+    (sort + reduceat — the classic combiner, NO window, no driver
+    collect) → one tiny admin-keyed Sum aggregate bounded by the admin
+    universe. Oracle: spatialsql.q173_sql — the shared PIP mirror +
+    plain SUM-of-products grouping over the same ROUND(·*1e6)
+    floor-/1000 quantization (the q85/q139 microdegree contract;
+    np.rint ≡ SQL ROUND on the ROUND(·,6) fixture grid)."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    matched = spatial.read_stage(cfg.out_root, "page_admin",
+                                 ["url", "admin_id"])
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["url", "lat", "lon", "has_geo", "is_latest"])
+    caps = caps.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["url", "lat", "lon"]),
+        batch_format="pyarrow",
+    )
+    j = matched.join(caps, join_type="inner",
+                     num_partitions=default_partitions(), on=("url",))
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], pa.int64())
+                          for k in ("admin_id", "n_pages", "sx", "sy",
+                                    "sxx", "sxy", "syy")})
+        if t.num_rows == 0:
+            return empty
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        x = np.rint(lon * 1e6).astype(np.int64) // 1000
+        y = np.rint(lat * 1e6).astype(np.int64) // 1000
+        order = np.argsort(a, kind="stable")
+        a, x, y = a[order], x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        run_len = np.diff(np.r_[starts, len(a)])
+        return pa.table({
+            "admin_id": pa.array(a[starts], pa.int64()),
+            "n_pages": pa.array(run_len.astype(np.int64), pa.int64()),
+            "sx": pa.array(np.add.reduceat(x, starts), pa.int64()),
+            "sy": pa.array(np.add.reduceat(y, starts), pa.int64()),
+            "sxx": pa.array(np.add.reduceat(x * x, starts), pa.int64()),
+            "sxy": pa.array(np.add.reduceat(x * y, starts), pa.int64()),
+            "syy": pa.array(np.add.reduceat(y * y, starts), pa.int64()),
+        })
+
+    agg = j.map_batches(partials, batch_format="pyarrow").groupby(
+        "admin_id", num_partitions=default_partitions()).aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+        Sum("sxx", alias_name="sxx"), Sum("sxy", alias_name="sxy"),
+        Sum("syy", alias_name="syy"))
+    return agg.map_batches(
+        lambda t: pa.table({c: pc.cast(t[c], pa.int64())
+                            for c in ("admin_id", "n_pages", "sx", "sy",
+                                      "sxx", "sxy", "syy")}),
+        batch_format="pyarrow")
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -7102,6 +7185,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q170_cross_k": spatialsql.q170_sql(CROSSK_K),
         "q171_theil": spatialsql.q171_sql(),
         "q172_benford": spatialsql.q172_sql(BENFORD_E6),
+        "q173_sde_moments": spatialsql.q173_sql(),
     }
 
 

@@ -1311,6 +1311,36 @@ SELECT CAST(ga.admin_id AS BIGINT) AS admin_id, ga.na AS n_units,
 FROM ga JOIN w USING (admin_id) CROSS JOIN tot"""
 
 
+def q173_sql() -> str:
+    """q173 oracle: per-admin SDE moments via the shared PIP mirror and
+    plain SUM-of-products grouping. Quantization is the q85/q139
+    microdegree contract: ROUND(lat·1e6) → BIGINT, then floor division
+    by 1000 through DOUBLE (DuckDB integer ``//`` truncates toward
+    zero; the microdegree magnitudes are exact below 2^53). Never sees
+    the engine's partial/combine split."""
+    md = ("CAST(FLOOR(CAST(ROUND({c} * 1000000) AS BIGINT) / 1000.0) "
+          "AS BIGINT)")
+    x, y = md.format(c="c.lon"), md.format(c="c.lat")
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+pm AS (
+  SELECT b.admin_id, {x} AS x, {y} AS y
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+)
+SELECT CAST(admin_id AS BIGINT) AS admin_id, COUNT(*)::BIGINT AS n_pages,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(y * y) AS BIGINT) AS syy
+FROM pm GROUP BY admin_id"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

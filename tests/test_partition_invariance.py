@@ -59,6 +59,7 @@ QUERIES = [
     "cross_k_query",             # q170: per-lag ring scatter + b·Σa fold
     "theil_query",               # q171: PIP join + admin-keyed ln-term fold
     "benford_query",             # q172: digit divide-down + 9-bin combine
+    "sde_moments_query",         # q173: join + per-admin moment partials
 ]
 
 
