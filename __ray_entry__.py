@@ -340,6 +340,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q171_theil": es.theil_query,
             "q172_benford": es.benford_query,
             "q173_sde_moments": es.sde_moments_query,
+            "q174_token_quantiles": es.quantile_hist_query,
         }
     )
     return out

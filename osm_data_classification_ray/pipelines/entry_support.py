@@ -3204,6 +3204,91 @@ def sde_moments_query(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: q174 quantile-histogram bin width (tokens) — FROZEN into the contract:
+#: quantiles are reported as histogram bins, so the width IS the sketch's
+#: resolution guarantee (error ≤ QHIST_W tokens, independent of data order
+#: and parallelism — unlike GK/t-digest whose state depends on merge order)
+QHIST_W = 32
+#: q174 target percentiles
+QHIST_PCTS = (50, 90, 99)
+
+
+def quantile_hist_query(sf_dir: str):
+    """q174: distributed quantile estimation over the latest captures'
+    token counts via a fixed-width histogram sketch — the QUANTILE
+    member of the sketch family beside q39's HLL (distinct), CMS /
+    heavy hitters (frequency): P50/P90/P99 of n_tokens reported as the
+    smallest bin whose cumulative count reaches ⌈pct·N/100⌉. The
+    fixed-bin rule makes the sketch exactly mergeable — per-block
+    partials sum associatively, so the answer is bit-identical at any
+    parallelism (GK / t-digest are merge-order-dependent; this is the
+    deterministic alternative with error ≤ QHIST_W tokens). Output per
+    percentile: (pct, n_total, bin, bin_lo, cum_n), all int64.
+
+    Shape: pruned read → per-block bin-count partials (np.unique — the
+    map-side combiner) → one tiny bin-keyed Sum exchange bounded by
+    max_tokens/W bins → driver cumulative pick over the bounded bin
+    table (never a raw-data collect). Oracle: spatialsql.q174_sql —
+    integer-division buckets + a window cumsum + MIN(bin) ≥ rank,
+    a derivation the engine never uses (no window anywhere)."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["n_tokens", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["is_latest"]).select(["n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bin": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        nt = np.asarray(t["n_tokens"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        b, n = np.unique(nt // QHIST_W, return_counts=True)
+        return pa.table({"bin": pa.array(b, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    agg = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        "bin", num_partitions=1).aggregate(Sum("n", alias_name="n"))
+    import ray
+
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"pct": pa.array([], pa.int64()),
+                      "n_total": pa.array([], pa.int64()),
+                      "bin": pa.array([], pa.int64()),
+                      "bin_lo": pa.array([], pa.int64()),
+                      "cum_n": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    bt = pa.concat_tables(parts)
+    order = pc.sort_indices(bt, sort_keys=[("bin", "ascending")])
+    bt = bt.take(order).combine_chunks()
+    bins = np.asarray(bt["bin"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    cum = np.cumsum(np.asarray(bt["n"].to_numpy(zero_copy_only=False),
+                               dtype=np.int64))
+    total = int(cum[-1])
+    rows = []
+    for p in QHIST_PCTS:
+        rank = (p * total + 99) // 100
+        i = int(np.searchsorted(cum, rank, side="left"))
+        rows.append((p, total, int(bins[i]), int(bins[i]) * QHIST_W,
+                     int(cum[i])))
+    cols = list(zip(*rows))
+    return pa.table({"pct": pa.array(cols[0], pa.int64()),
+                     "n_total": pa.array(cols[1], pa.int64()),
+                     "bin": pa.array(cols[2], pa.int64()),
+                     "bin_lo": pa.array(cols[3], pa.int64()),
+                     "cum_n": pa.array(cols[4], pa.int64())})
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -7186,6 +7271,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q171_theil": spatialsql.q171_sql(),
         "q172_benford": spatialsql.q172_sql(BENFORD_E6),
         "q173_sde_moments": spatialsql.q173_sql(),
+        "q174_token_quantiles": spatialsql.q174_sql(QHIST_W, QHIST_PCTS),
     }
 
 

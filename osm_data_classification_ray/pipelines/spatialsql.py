@@ -1341,6 +1341,30 @@ SELECT CAST(admin_id AS BIGINT) AS admin_id, COUNT(*)::BIGINT AS n_pages,
 FROM pm GROUP BY admin_id"""
 
 
+def q174_sql(w: int, pcts) -> str:
+    """q174 oracle: histogram quantiles rebuilt with machinery the
+    engine never touches — integer-division buckets (n_tokens ≥ 0, so
+    DuckDB ``//`` truncation = floor), a window cumulative sum ordered
+    by bin, rank ⌈pct·N/100⌉ as (pct·N + 99) // 100, and MIN(bin)
+    reaching the rank. The engine does a driver searchsorted over
+    merged partials; the oracle a pure-SQL window."""
+    spine = ", ".join(f"({p})" for p in pcts)
+    return f"""WITH {captures_ctes()},
+v AS (SELECT n_tokens // {w} AS bin FROM cap WHERE is_latest),
+g AS (SELECT bin, COUNT(*)::BIGINT AS n FROM v GROUP BY bin),
+c AS (SELECT bin, n, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum
+      FROM g),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g),
+tgt AS (SELECT CAST(v.p AS BIGINT) AS pct,
+               (CAST(v.p AS BIGINT) * tot.nt + 99) // 100 AS rnk
+        FROM (VALUES {spine}) v(p) CROSS JOIN tot),
+pick AS (SELECT t.pct, MIN(c.bin) AS bin
+         FROM tgt t JOIN c ON c.cum >= t.rnk GROUP BY t.pct)
+SELECT p.pct, tot.nt AS n_total, CAST(p.bin AS BIGINT) AS bin,
+       CAST(p.bin * {w} AS BIGINT) AS bin_lo, c.cum AS cum_n
+FROM pick p JOIN c ON c.bin = p.bin CROSS JOIN tot"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

@@ -60,6 +60,7 @@ QUERIES = [
     "theil_query",               # q171: PIP join + admin-keyed ln-term fold
     "benford_query",             # q172: digit divide-down + 9-bin combine
     "sde_moments_query",         # q173: join + per-admin moment partials
+    "quantile_hist_query",       # q174: bin partials + driver cum pick
 ]
 
 
