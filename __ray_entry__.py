@@ -341,6 +341,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q172_benford": es.benford_query,
             "q173_sde_moments": es.sde_moments_query,
             "q174_token_quantiles": es.quantile_hist_query,
+            "q175_cusum_changepoint": es.cusum_changepoint_query,
         }
     )
     return out

@@ -3289,6 +3289,130 @@ def quantile_hist_query(sf_dir: str):
                      "cum_n": pa.array(cols[4], pa.int64())})
 
 
+def cusum_changepoint_query(sf_dir: str):
+    """q175: per-cell CUSUM changepoint localization — for every
+    occupied res-5 cell whose geocoded captures span ≥ 2 calendar days,
+    the structural-break statistic over its DENSE daily series (absent
+    days count as zeros): max over splits t = 0..B−2 of the integer
+    CUSUM deviation |B·S_t − (t+1)·T| (S_t = prefix count through day
+    t, T = total, B = span days), plus the argmax day (ties → earliest)
+    — "WHEN did this place's activity regime change?". The changepoint
+    member of the temporal family: q135 tests monotone trend, q169
+    day-to-day memory, q163 weekly cycle, q152 a FIXED midpoint split —
+    none localizes a data-driven break. Output: (cell, n_days_span,
+    n_total, dev_num, split_day), cell uint64, rest int64. Bound:
+    dev ≤ B·T, int64-safe to ~4·10¹⁴ captures per cell per span-day.
+
+    Shape: the q169 plan — per-block (cell, day) count partials → ONE
+    (cell, day)-keyed exchange bounded by cells × days → cell-keyed
+    repartition → per-block fold. The fold never materializes the dense
+    series: S_t is constant between present days, and |linear| is
+    convex, so per segment the max sits at an endpoint — 2(k−1)
+    candidates for k present days, evaluated via cumsum + paired
+    maximum/minimum.reduceat (max dev, then min tied split). Oracle:
+    spatialsql.q175_sql — generate_series dense rebuild + window cumsum
+    + (dev DESC, day ASC) window rank, machinery the engine never
+    touches."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "warc_ts", "has_geo"])
+    pts = pts.map_batches(
+        lambda t: t.filter(t["has_geo"]).select(["h3_r5", "warc_ts"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "day": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ts = np.asarray(pc.cast(t["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        day = ts // 86400000000
+        key = np.stack([c, day], axis=1)
+        uk, n = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"cell": pa.array(uk[:, 0], pa.int64()),
+                         "day": pa.array(uk[:, 1], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    cd = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        ["cell", "day"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    cd = cd.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_days_span": pa.array([], pa.int64()),
+                          "n_total": pa.array([], pa.int64()),
+                          "dev_num": pa.array([], pa.int64()),
+                          "split_day": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("cell", "ascending"),
+                                                  ("day", "ascending")])
+        block = block.take(order).combine_chunks()
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(block["day"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        run_len = np.diff(np.r_[starts, len(c)])
+        # per-row run metadata
+        run_id = np.repeat(np.arange(len(starts)), run_len)
+        d0 = np.repeat(d[starts], run_len)
+        tot = np.repeat(np.add.reduceat(n, starts), run_len)
+        b_span = np.repeat(d[starts + run_len - 1] - d[starts] + 1, run_len)
+        cum = np.cumsum(n)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], run_len)
+        pref = cum - base                     # S through this present day
+        # candidate splits: for each present day except the run's last,
+        # t_a = rel(day_i) and t_b = rel(day_{i+1}) - 1 (segment endpoints)
+        last_in_run = np.r_[run_id[1:] != run_id[:-1], True]
+        keep = ~last_in_run & (np.repeat(run_len, run_len) >= 1) \
+            & (b_span >= 2)
+        if not keep.any():
+            return empty
+        rel = d - d0
+        nxt_rel = np.r_[rel[1:], 0]
+        t_a = rel[keep]
+        t_b = nxt_rel[keep] - 1
+        s_k = pref[keep]
+        b_k = b_span[keep]
+        tot_k = tot[keep]
+        dev_a = np.abs(b_k * s_k - (t_a + 1) * tot_k)
+        dev_b = np.abs(b_k * s_k - (t_b + 1) * tot_k)
+        # interleave (a, b) so each run's candidates stay contiguous
+        dev2 = np.stack([dev_a, dev_b], axis=1).ravel()
+        t2 = np.stack([t_a, t_b], axis=1).ravel()
+        rid2 = np.repeat(run_id[keep], 2)
+        cstarts = np.flatnonzero(np.r_[True, rid2[1:] != rid2[:-1]])
+        maxdev = np.maximum.reduceat(dev2, cstarts)
+        tied = dev2 == np.repeat(maxdev, np.diff(np.r_[cstarts, len(rid2)]))
+        t_masked = np.where(tied, t2, np.iinfo(np.int64).max)
+        best_t = np.minimum.reduceat(t_masked, cstarts)
+        out_rid = rid2[cstarts]
+        out_starts = starts[out_rid]
+        return pa.table({
+            "cell": pa.array(c[out_starts].view(np.uint64), pa.uint64()),
+            "n_days_span": pa.array(b_span[out_starts], pa.int64()),
+            "n_total": pa.array(tot[out_starts], pa.int64()),
+            "dev_num": pa.array(maxdev, pa.int64()),
+            "split_day": pa.array(d[out_starts] + best_t, pa.int64()),
+        })
+
+    return cd.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -7272,6 +7396,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q172_benford": spatialsql.q172_sql(BENFORD_E6),
         "q173_sde_moments": spatialsql.q173_sql(),
         "q174_token_quantiles": spatialsql.q174_sql(QHIST_W, QHIST_PCTS),
+        "q175_cusum_changepoint": spatialsql.q175_sql(),
     }
 
 

@@ -1365,6 +1365,40 @@ SELECT p.pct, tot.nt AS n_total, CAST(p.bin AS BIGINT) AS bin,
 FROM pick p JOIN c ON c.bin = p.bin CROSS JOIN tot"""
 
 
+def q175_sql() -> str:
+    """q175 oracle: CUSUM changepoint rebuilt the textbook way — dense
+    daily series via generate_series + LEFT JOIN zeros, prefix sums via
+    a window cumsum, every split t = 0..B−2 enumerated, and the argmax
+    picked with a (dev DESC, day ASC) window rank. Never sees the
+    engine's segment-endpoint closed form or the reduceat fold."""
+    return f"""WITH {captures_ctes()},
+pd AS (SELECT cell_r5 AS cell, ts_us // 86400000000 AS day,
+              COUNT(*)::BIGINT AS n
+       FROM cap WHERE has_geo GROUP BY 1, 2),
+sp AS (SELECT cell, MIN(day) AS d0, MAX(day) AS d1,
+              CAST(SUM(n) AS BIGINT) AS tot
+       FROM pd GROUP BY cell HAVING MAX(day) > MIN(day)),
+dense AS (SELECT cell, d0, d1 - d0 + 1 AS b, tot,
+                 UNNEST(generate_series(d0, d1)) AS day
+          FROM sp),
+v AS (SELECT d.cell, d.d0, d.b, d.tot, d.day, COALESCE(pd.n, 0) AS n
+      FROM dense d LEFT JOIN pd ON pd.cell = d.cell AND pd.day = d.day),
+cum AS (SELECT cell, d0, b, tot, day, day - d0 AS t,
+               CAST(SUM(n) OVER (PARTITION BY cell ORDER BY day)
+                    AS BIGINT) AS s
+        FROM v),
+dev AS (SELECT cell, b, tot, day,
+               abs(b * s - (t + 1) * tot) AS dv
+        FROM cum WHERE t <= b - 2),
+pick AS (SELECT cell, b, tot, dv, day,
+                ROW_NUMBER() OVER (PARTITION BY cell
+                                   ORDER BY dv DESC, day ASC) AS rn
+         FROM dev)
+SELECT cell, CAST(b AS BIGINT) AS n_days_span, tot AS n_total,
+       CAST(dv AS BIGINT) AS dev_num, CAST(day AS BIGINT) AS split_day
+FROM pick WHERE rn = 1"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

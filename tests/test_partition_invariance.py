@@ -61,6 +61,7 @@ QUERIES = [
     "benford_query",             # q172: digit divide-down + 9-bin combine
     "sde_moments_query",         # q173: join + per-admin moment partials
     "quantile_hist_query",       # q174: bin partials + driver cum pick
+    "cusum_changepoint_query",   # q175: cell/day exchange + segment fold
 ]
 
 
