@@ -342,6 +342,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q173_sde_moments": es.sde_moments_query,
             "q174_token_quantiles": es.quantile_hist_query,
             "q175_cusum_changepoint": es.cusum_changepoint_query,
+            "q176_link_predict": es.link_predict_query,
         }
     )
     return out

@@ -3413,6 +3413,150 @@ def cusum_changepoint_query(sf_dir: str):
     return cd.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+#: q176 minimum common neighbors for a predicted link — 1 = the full
+#: Liben-Nowell–Kleinberg common-neighbors baseline (every open wedge
+#: scored; the score itself is the ranking signal)
+LINKPRED_MIN = 1
+
+
+def link_predict_query(sf_dir: str):
+    """q176: link prediction on the q124 OD-flow graph — cells are
+    nodes, undirected distinct flow transitions are edges (self-loops
+    dropped), and every unordered cell pair that is NOT an edge gets
+    the common-neighbors score |N(a) ∩ N(b)| ≥ LINKPRED_MIN ("which
+    places exchange no direct traffic yet share flow partners — the
+    missing links of the mobility network?"). The PREDICTIVE graph op:
+    q143 counts the wedges that ARE closed (triangles), this one
+    scores the wedges that are NOT — the same distributed wedge-edge
+    machinery with the opposite filter, a genuinely different action
+    (recommendation / missing-link inference, the Liben-Nowell–
+    Kleinberg baseline). (The q127 co-service graph is a single clique
+    on this corpus — zero open wedges — so the prediction runs on the
+    sparse OD graph, where the operator has work to do.)
+
+    Shape: edges from the q124 pipeline normalized to distinct
+    undirected (a < b) pairs via one pair-keyed exchange → q143's
+    wedge plan on the packed int64 cell ids (no interning needed):
+    per-apex wedge emission after one apex-keyed exchange, wedges
+    unioned with edge markers, ONE (v, w)-keyed exchange co-locating
+    each pair — runs containing an edge marker are dropped, edge-free
+    runs yield the score (the anti-join IS the count exchange; no
+    edge-set broadcast). Hub apexes make wedge emission quadratic in
+    degree — the q85 hot-square chunking is the scale cure, never a
+    cap. Oracle: spatialsql.q176_sql — the q124 LAG mirror +
+    LEAST/GREATEST edge normalization + a textbook adjacency self-join
+    + NOT EXISTS, never seeing wedges or markers."""
+    from ray.data.aggregate import Count
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    od = od_flow_query(sf_dir)
+
+    def norm_edges(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        f = np.asarray(t["cell_from"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        to = np.asarray(t["cell_to"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64).view(np.int64)
+        keep = f != to
+        f, to = f[keep], to[keep]
+        a = np.minimum(f, to)
+        b = np.maximum(f, to)
+        uk = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"a": pa.array(uk[:, 0], pa.int64()),
+                         "b": pa.array(uk[:, 1], pa.int64())})
+
+    edges = od.map_batches(norm_edges, batch_format="pyarrow").groupby(
+        ["a", "b"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="_dup")).drop_columns(["_dup"]).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"u": pa.array(np.r_[a, b], pa.int64()),
+                         "v": pa.array(np.r_[b, a], pa.int64())})
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow")
+    und = und.repartition(default_partitions(), keys=["u"], sort=False)
+
+    def wedges(block: pa.Table) -> pa.Table:
+        empty = pa.table({"v": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "is_edge": pa.array([], pa.int32())})
+        if block.num_rows == 0:
+            return empty
+        u = np.asarray(block["u"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        v = np.asarray(block["v"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        out_v, out_w = [], []
+        for s, e in zip(starts, ends):
+            nb = v[s:e]
+            if nb.size < 2:
+                continue
+            ia, ib = np.triu_indices(nb.size, k=1)
+            out_v.append(nb[ia])
+            out_w.append(nb[ib])
+        if not out_v:
+            return empty
+        vv = np.concatenate(out_v)
+        return pa.table({"v": pa.array(vv, pa.int64()),
+                         "w": pa.array(np.concatenate(out_w), pa.int64()),
+                         "is_edge": pa.array(np.zeros(vv.size, np.int32),
+                                             pa.int32())})
+
+    wg = und.map_batches(wedges, batch_format="pyarrow", batch_size=None)
+
+    def edge_markers(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["a"], "w": t["b"],
+                         "is_edge": pa.array(np.ones(t.num_rows, np.int32),
+                                             pa.int32())})
+
+    marked = edges.map_batches(edge_markers, batch_format="pyarrow")
+    allrows = wg.union(marked)
+    allrows = allrows.repartition(default_partitions(), keys=["v", "w"],
+                                  sort=False)
+
+    def score(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_a": pa.array([], pa.uint64()),
+                          "cell_b": pa.array([], pa.uint64()),
+                          "n_common": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        v = np.asarray(block["v"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        w = np.asarray(block["w"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ie = np.asarray(block["is_edge"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        order = np.lexsort((w, v))
+        v, w, ie = v[order], w[order], ie[order]
+        starts = np.flatnonzero(np.r_[True, (v[1:] != v[:-1])
+                                      | (w[1:] != w[:-1])])
+        run_len = np.diff(np.r_[starts, len(v)])
+        n_edge = np.add.reduceat(ie, starts)
+        n_common = run_len.astype(np.int64) - n_edge
+        keep = (n_edge == 0) & (n_common >= LINKPRED_MIN)
+        return pa.table({
+            "cell_a": pa.array(v[starts][keep].view(np.uint64), pa.uint64()),
+            "cell_b": pa.array(w[starts][keep].view(np.uint64), pa.uint64()),
+            "n_common": pa.array(n_common[keep], pa.int64())})
+
+    # the (v, w) exchange co-locates each pair in exactly one partition
+    # block (the q169/q128 repartition-then-fold invariant, pinned by the
+    # partition-invariance test), so per-run scores are already global
+    return allrows.map_batches(score, batch_format="pyarrow",
+                               batch_size=None)
+
+
 #: q139 minimum shared (cell, day) slots for a co-visit edge — ≥2 rules
 #: out single-chance co-presence (the co-traveler repeat rule)
 COVISIT_MIN = 2
@@ -7397,6 +7541,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q173_sde_moments": spatialsql.q173_sql(),
         "q174_token_quantiles": spatialsql.q174_sql(QHIST_W, QHIST_PCTS),
         "q175_cusum_changepoint": spatialsql.q175_sql(),
+        "q176_link_predict": spatialsql.q176_sql(LINKPRED_MIN),
     }
 
 

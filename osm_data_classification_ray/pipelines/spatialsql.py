@@ -1399,6 +1399,35 @@ SELECT cell, CAST(b AS BIGINT) AS n_days_span, tot AS n_total,
 FROM pick WHERE rn = 1"""
 
 
+def q176_sql(m: int) -> str:
+    """q176 oracle: common-neighbor link prediction rebuilt textbook —
+    the q124 LAG mirror as the flow graph, LEAST/GREATEST + DISTINCT
+    edge normalization (self-loops dropped; UBIGINT order = the
+    engine's int64 order, res nibble ≤ 9 keeps bit 63 clear), an
+    adjacency self-join on the shared neighbor with u.nb < v.nb,
+    COUNT(*) as the score, and a NOT EXISTS anti-join against the
+    edges. Never sees wedges, markers, or the (v, w) exchange."""
+    return f"""WITH {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+p AS (SELECT cell_r7 AS cell_to,
+             LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+               AS cell_from
+      FROM seq),
+odp AS (SELECT cell_from, cell_to FROM p WHERE cell_from IS NOT NULL),
+e AS (SELECT LEAST(cell_from, cell_to) AS a, GREATEST(cell_from, cell_to) AS b
+      FROM odp WHERE cell_from <> cell_to GROUP BY 1, 2),
+und AS (SELECT a AS h, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+cn AS (
+  SELECT u.nb AS x, v.nb AS y, COUNT(*)::BIGINT AS n_common
+  FROM und u JOIN und v ON v.h = u.h AND u.nb < v.nb
+  GROUP BY u.nb, v.nb
+)
+SELECT CAST(x AS UBIGINT) AS cell_a, CAST(y AS UBIGINT) AS cell_b, n_common
+FROM cn
+WHERE n_common >= {m}
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.x AND e.b = cn.y)"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

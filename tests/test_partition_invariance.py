@@ -62,6 +62,7 @@ QUERIES = [
     "sde_moments_query",         # q173: join + per-admin moment partials
     "quantile_hist_query",       # q174: bin partials + driver cum pick
     "cusum_changepoint_query",   # q175: cell/day exchange + segment fold
+    "link_predict_query",        # q176: wedge-edge exchange, non-edge runs
 ]
 
 
