@@ -562,6 +562,176 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+#: q177 collocation support floor — pairs seen fewer than 8 times carry
+#: too little evidence for a PMI estimate (the classic collocation-mining
+#: cutoff), and the floor bounds the reported set
+_Q177_MIN = 8
+
+
+def q177_pmi_collocations(sf_dir: str):
+    """q177: PMI collocation extraction — adjacent in-vocabulary token
+    pairs scored by pointwise mutual information in half-up micro-nats:
+    pmi_e6 = ⌊(ln c_ab − ln B − ln c_a − ln c_b + 2·ln U)·10⁶ + ½⌋
+    with c_ab the positional-bigram count, B the total in-vocab bigram
+    mass, c_a/c_b the corpus unigram counts and U the in-vocab unigram
+    mass — the information-theoretic collocation miner of NLP pipelines
+    (Church–Hanks). Distinct from q83 on BOTH axes: q83 counts
+    document-level co-occurrence SETS and reports integer lift
+    numerators; this one counts positional ADJACENCY and reports the
+    log-scaled statistic (the q141 libm identity — the frozen
+    left-associated ln sequence is evaluated identically in numpy and
+    DuckDB, so identical integers give identical micro-nats). Output:
+    (tok_a, tok_b, n_pair, n_a, n_b, pmi_e6) for pairs with c_ab ≥
+    _Q177_MIN.
+
+    Shape: (1) the q94/q141 two-level unigram count → top-4096
+    vocabulary collected once (model-bounded); (2) per-block adjacent
+    in-vocab pair coding (one np.unique, no Python pair loop) → ONE
+    pair-keyed count exchange bounded by min(corpus bigrams, V²) —
+    materialized once, feeding BOTH the total-mass aggregate and the
+    floored collect (bounded by pairs ≥ floor, never raw bigrams).
+    Oracle: Q177_SQL — the q72 position chain + plain pair GROUP BY +
+    the identical frozen ln expression."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("tok", "ascending")])
+        return t.take(order).slice(0, _Q72_VOCAB)
+
+    parts = agg.map_batches(topk_block, batch_format="pyarrow",
+                            batch_size=None)
+    pt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs())
+                           if x.num_rows])
+    empty = pa.table({"tok_a": pa.array([], pa.string()),
+                      "tok_b": pa.array([], pa.string()),
+                      "n_pair": pa.array([], pa.int64()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "pmi_e6": pa.array([], pa.int64())})
+    if pt.num_rows == 0:
+        return empty
+    order = pc.sort_indices(pt, sort_keys=[("n", "descending"),
+                                           ("tok", "ascending")])
+    pt = pt.take(order).slice(0, _Q72_VOCAB)
+    vocab_toks = pt["tok"].combine_chunks()
+    uni = np.asarray(pt["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    u_mass = int(uni.sum())
+    tok_ref = ray.put(vocab_toks)
+    nv = len(uni)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        flat = flat.filter(keep)
+        parent = np.asarray(parent.filter(keep)
+                            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        idx = pc.index_in(flat, value_set=ray.get(tok_ref))
+        tid = np.asarray(pc.fill_null(idx, -1)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        adj = (parent[1:] == parent[:-1]) if len(parent) else \
+            np.zeros(0, bool)
+        both = adj & (tid[:-1] >= 0) & (tid[1:] >= 0)
+        codes = tid[:-1][both] * nv + tid[1:][both]
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    pagg = ds.map_batches(pair_partial, batch_format="pyarrow").groupby(
+        "code", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n")).materialize()
+    tot = pagg.aggregate(Sum("n", alias_name="b"))
+    b_mass = int(tot["b"] or 0)
+    if b_mass == 0:
+        return empty
+    kept = pagg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n"], pa.scalar(_Q177_MIN, pa.int64()))),
+        batch_format="pyarrow")
+    mt = pa.concat_tables([x for x in ray.get(kept.to_arrow_refs())
+                           if x.num_rows])
+    if mt.num_rows == 0:
+        return empty
+    codes = np.asarray(mt["code"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    cab = np.asarray(mt["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ia, ib = codes // nv, codes % nv
+    ln_b = math.log(float(b_mass))
+    ln_u = math.log(float(u_mass))
+    pmi = np.fromiter(
+        (math.floor((math.log(float(int(c))) - ln_b
+                     - math.log(float(int(uni[a])))
+                     - math.log(float(int(uni[b]))) + 2.0 * ln_u)
+                    * 1e6 + 0.5)
+         for c, a, b in zip(cab, ia, ib)),
+        dtype=np.int64, count=len(cab))
+    return pa.table({"tok_a": vocab_toks.take(pa.array(ia, pa.int64())),
+                     "tok_b": vocab_toks.take(pa.array(ib, pa.int64())),
+                     "n_pair": pa.array(cab, pa.int64()),
+                     "n_a": pa.array(uni[ia], pa.int64()),
+                     "n_b": pa.array(uni[ib], pa.int64()),
+                     "pmi_e6": pa.array(pmi, pa.int64())})
+
+
+Q177_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vc AS (SELECT UNNEST(toks) AS tok FROM t),
+cnt AS (SELECT tok, COUNT(*)::BIGINT AS n FROM vc GROUP BY tok),
+vocab AS (
+  SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS tid
+  FROM cnt QUALIFY tid <= {4096}
+),
+ex AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) + 1),
+                          i -> struct_pack(pos := i, tok := toks[i]))) AS s
+    FROM t
+  ) u
+),
+pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN vocab va ON va.tok = a.tok JOIN vocab vb ON vb.tok = b.tok
+),
+pcnt AS (SELECT ta, tb, COUNT(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS b FROM pcnt),
+uni AS (SELECT CAST(SUM(n) AS BIGINT) AS u FROM vocab)
+SELECT p.ta AS tok_a, p.tb AS tok_b, p.c AS n_pair,
+       va.n AS n_a, vb.n AS n_b,
+       CAST(FLOOR((LN(CAST(p.c AS DOUBLE)) - LN(CAST(tot.b AS DOUBLE))
+                   - LN(CAST(va.n AS DOUBLE)) - LN(CAST(vb.n AS DOUBLE))
+                   + 2.0 * LN(CAST(uni.u AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_e6
+FROM pcnt p
+JOIN vocab va ON va.tok = p.ta JOIN vocab vb ON vb.tok = p.tb
+CROSS JOIN tot CROSS JOIN uni
+WHERE p.c >= {_Q177_MIN}
+"""
+
+
 _Q95_STREAM = 995
 
 
@@ -3051,6 +3221,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q162_lix_readability": (q162_lix_readability, Q162_SQL),
     "q140_cdc_chunking": (q140_cdc_chunking, Q140_SQL),
     "q141_bigram_lm_score": (q141_bigram_lm_score, Q141_SQL),
+    "q177_pmi_collocations": (q177_pmi_collocations, Q177_SQL),
     "q146_embed_outlier": (q146_embed_outlier, Q146_SQL),
     "q29_media_features": (q29_media_features, _q29_sql()),
     "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),
