@@ -343,6 +343,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q174_token_quantiles": es.quantile_hist_query,
             "q175_cusum_changepoint": es.cusum_changepoint_query,
             "q176_link_predict": es.link_predict_query,
+            # q177 registers via TEXT_QUERIES
+            "q178_admin_morphometry": es.admin_morphometry_query,
         }
     )
     return out

@@ -4306,6 +4306,134 @@ def admin_boundary_query(sf_dir: str):
     return merged.map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
+def admin_morphometry_query(sf_dir: str):
+    """q178: per-admin raster morphometrics — for every level-1 admin's
+    res-5 rasterization: area_cells, the internal adjacency count (same-
+    admin neighbor pairs), the perimeter EDGE count 6·area − Σ neighbors
+    (every hex edge not shared with a same-admin cell — the landscape-
+    ecology edge-density numerator, an exact integer), and Patton's
+    shape index in half-up micro-units, P/(6·√area) (= 1 for a single
+    hex, grows with boundary complexity; ÷, √, × are correctly-rounded
+    IEEE ops, so identical integers give identical doubles — the q101
+    frozen-float contract). The SHAPE-metrics member of the raster
+    family: q134 classifies boundary CELLS (erosion), q117 centroids,
+    q110 pairwise overlap — none measures edge-based compactness.
+
+    Shape: the q134 owner/neighbor scatter — each kept cell emits
+    itself + its 6 grid_ring neighbors under its admin → ONE cell-keyed
+    exchange → per (cell, admin) run: owned cells contribute (1 cell,
+    n_nb neighbor arrivals) → bounded per-block admin partials → single-
+    partition final fold. Oracle: spatialsql.q178_sql — the q87 kept-
+    lattice mirror + the 6 literal axial offsets, summing matches per
+    admin directly (never classifying cells)."""
+    import ray.data as rd
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    polys = gen.gen_admin_polygons()
+    ds = rd.from_arrow(polys).repartition(16)
+
+    def level1_cells(t: pa.Table) -> pa.Table:
+        r = _raster_cells_block(t)
+        return r.filter(pc.equal(r["level"], pa.scalar(1, pa.int64())))
+
+    cells = ds.map_batches(level1_cells, batch_format="pyarrow")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        if not len(c):
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "admin_id": pa.array([], pa.int64()),
+                             "owner": pa.array([], pa.int8())})
+        nb = hexgrid.grid_ring(c.view(np.uint64), 1).view(np.int64)
+        return pa.table({
+            "cell": pa.array(np.concatenate([c, nb.ravel()]), pa.int64()),
+            "admin_id": pa.array(np.concatenate([a, np.repeat(a, 6)]),
+                                 pa.int64()),
+            "owner": pa.array(np.concatenate(
+                [np.ones(len(c), np.int8), np.zeros(6 * len(c), np.int8)]),
+                pa.int8())})
+
+    rows = cells.map_batches(scatter, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "area": pa.array([], pa.int64()),
+                          "nbsum": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        a = np.asarray(block["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ow = np.asarray(block["owner"].to_numpy(zero_copy_only=False),
+                        dtype=np.int8)
+        order = np.lexsort((c, a))
+        c, a, ow = c[order], a[order], ow[order]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1])
+                                      | (c[1:] != c[:-1])])
+        run_len = np.diff(np.r_[starts, len(c)])
+        ridx = np.repeat(np.arange(starts.size), run_len)
+        owned = np.zeros(starts.size, bool)
+        np.logical_or.at(owned, ridx, ow == 1)
+        n_nb = np.zeros(starts.size, np.int64)
+        np.add.at(n_nb, ridx, (ow == 0).astype(np.int64))
+        adm = a[starts][owned]
+        nbs = n_nb[owned]
+        admins, inv = np.unique(adm, return_inverse=True)
+        area = np.zeros(admins.size, np.int64)
+        nbsum = np.zeros(admins.size, np.int64)
+        np.add.at(area, inv, 1)
+        np.add.at(nbsum, inv, nbs)
+        return pa.table({"admin_id": pa.array(admins, pa.int64()),
+                         "area": pa.array(area, pa.int64()),
+                         "nbsum": pa.array(nbsum, pa.int64())})
+
+    local = rows.map_batches(fold, batch_format="pyarrow", batch_size=None)
+    merged = local.repartition(1)
+
+    def final(t: pa.Table) -> pa.Table:
+        import math
+
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "area_cells": pa.array([], pa.int64()),
+                          "n_internal_adj": pa.array([], pa.int64()),
+                          "perimeter_edges": pa.array([], pa.int64()),
+                          "shape_e6": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        a = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ar = np.asarray(t["area"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        nbs = np.asarray(t["nbsum"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        admins, inv = np.unique(a, return_inverse=True)
+        area = np.zeros(admins.size, np.int64)
+        nbsum = np.zeros(admins.size, np.int64)
+        np.add.at(area, inv, ar)
+        np.add.at(nbsum, inv, nbs)
+        perim = 6 * area - nbsum
+        shape = np.fromiter(
+            (math.floor(float(int(p)) / (6.0 * math.sqrt(float(int(n))))
+                        * 1e6 + 0.5)
+             for p, n in zip(perim, area)),
+            dtype=np.int64, count=len(area))
+        return pa.table({"admin_id": pa.array(admins, pa.int64()),
+                         "area_cells": pa.array(area, pa.int64()),
+                         "n_internal_adj": pa.array(nbsum // 2, pa.int64()),
+                         "perimeter_edges": pa.array(perim, pa.int64()),
+                         "shape_e6": pa.array(shape, pa.int64())})
+
+    return merged.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
 #: q119 distance-transform cap (hex steps); cells farther than this from
 #: every target cell collapse to DIST_K + 1 (the "far" bucket)
 DIST_K = 4
@@ -7542,6 +7670,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q174_token_quantiles": spatialsql.q174_sql(QHIST_W, QHIST_PCTS),
         "q175_cusum_changepoint": spatialsql.q175_sql(),
         "q176_link_predict": spatialsql.q176_sql(LINKPRED_MIN),
+        "q178_admin_morphometry": spatialsql.q178_sql(),
     }
 
 

@@ -2444,6 +2444,33 @@ SELECT CAST(admin_id AS BIGINT) AS admin_id,
 FROM nb GROUP BY admin_id"""
 
 
+def q178_sql() -> str:
+    """q178 oracle: raster morphometrics — the kept level-1 lattice from
+    the candidate mirror, same-admin neighbor matches summed per admin
+    directly over the 6 literal axial offsets (never classifying cells,
+    never seeing the scatter), perimeter = 6·area − matches, and the
+    identical frozen shape expression (÷, √, × correctly rounded)."""
+    return f"""WITH {_buffer_ctes(0)},
+dirs(dq, dr) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)),
+m AS (
+  SELECT k.admin_id,
+         COUNT(DISTINCT (k.q, k.r))::BIGINT AS area,
+         SUM(CASE WHEN k2.q IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nbsum
+  FROM kept k CROSS JOIN dirs d
+  LEFT JOIN kept k2 ON k2.admin_id = k.admin_id
+                   AND k2.q = k.q + d.dq AND k2.r = k.r + d.dr
+  GROUP BY k.admin_id
+)
+SELECT CAST(admin_id AS BIGINT) AS admin_id,
+       area AS area_cells,
+       CAST(nbsum // 2 AS BIGINT) AS n_internal_adj,
+       CAST(6 * area - nbsum AS BIGINT) AS perimeter_edges,
+       CAST(FLOOR(CAST(6 * area - nbsum AS DOUBLE)
+                  / (6.0 * SQRT(CAST(area AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS shape_e6
+FROM m"""
+
+
 def q131_sql(k: int) -> str:
     """q131 oracle: obstructed cost distance — depot = cells of the
     smallest level-1 admin in the kept rasterization, obstacles = other

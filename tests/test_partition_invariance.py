@@ -63,6 +63,7 @@ QUERIES = [
     "quantile_hist_query",       # q174: bin partials + driver cum pick
     "cusum_changepoint_query",   # q175: cell/day exchange + segment fold
     "link_predict_query",        # q176: wedge-edge exchange, non-edge runs
+    "admin_morphometry_query",   # q178: owner/neighbor scatter + edge sums
 ]
 
 
