@@ -732,6 +732,225 @@ WHERE p.c >= {_Q177_MIN}
 """
 
 
+def q179_phrase_search(sf_dir: str):
+    """q179: exact phrase search — mine the corpus's hottest in-vocab
+    word TRIGRAM (count desc, vocab-rank triple asc) and return every
+    document containing it contiguously, with its occurrence count —
+    the exact-match retrieval op (grep-at-scale / hot-phrase mining):
+    q104 ranks by similarity, q70 finds duplicated windows; neither
+    answers "which docs contain THIS phrase, verbatim?". Output:
+    (doc_id, phrase_a, phrase_b, phrase_c, n_hits), n_hits ≥ 1.
+
+    Shape: (1) the q94/q141 two-level vocabulary; (2) per-block
+    adjacent-triple coding on the tid alphabet (codes < 4096³ ≪ 2⁶³,
+    one np.unique) → ONE code-keyed count exchange bounded by distinct
+    trigrams → per-block top-1 partials of the GLOBAL counts → driver
+    pick (count desc, tid-triple asc — the same rule the oracle ranks
+    by); (3) the probe is a true positional-postings intersect: the
+    scan emits ONLY postings of the three phrase terms (doc, pos,
+    slot) → one doc-keyed exchange bounded by the phrase terms'
+    corpus frequency (never all positions) → per-doc sorted searchsorted
+    intersect counts positions p with (p,0),(p+1,1),(p+2,2) present.
+    Oracle: Q179_SQL — the q72 position chain, a three-way positional
+    self-join, a window-free ORDER BY/LIMIT pick, and a re-join for
+    hits; never sees codes, partials, or postings."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("tok", "ascending")])
+        return t.take(order).slice(0, _Q72_VOCAB)
+
+    parts = agg.map_batches(topk_block, batch_format="pyarrow",
+                            batch_size=None)
+    pt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs())
+                           if x.num_rows])
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "phrase_a": pa.array([], pa.string()),
+                      "phrase_b": pa.array([], pa.string()),
+                      "phrase_c": pa.array([], pa.string()),
+                      "n_hits": pa.array([], pa.int64())})
+    if pt.num_rows == 0:
+        return empty
+    order = pc.sort_indices(pt, sort_keys=[("n", "descending"),
+                                           ("tok", "ascending")])
+    pt = pt.take(order).slice(0, _Q72_VOCAB)
+    vocab_toks = pt["tok"].combine_chunks()
+    tok_ref = ray.put(vocab_toks)
+    nv = len(vocab_toks)
+
+    def _tids(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        lists = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        flat = flat.filter(keep)
+        parent = np.asarray(parent.filter(keep)
+                            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        idx = pc.index_in(flat, value_set=ray.get(tok_ref))
+        tid = np.asarray(pc.fill_null(idx, -1)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        return tid, parent
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        tid, parent = _tids(t)
+        if len(tid) < 3:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        same = (parent[2:] == parent[:-2]) & (parent[1:-1] == parent[:-2])
+        ok = same & (tid[:-2] >= 0) & (tid[1:-1] >= 0) & (tid[2:] >= 0)
+        codes = (tid[:-2][ok] * nv + tid[1:-1][ok]) * nv + tid[2:][ok]
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    tagg = ds.map_batches(tri_partial, batch_format="pyarrow").groupby(
+        "code", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def top1_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        code = np.asarray(t["code"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        i = int(np.lexsort((code, -n))[0])
+        return t.slice(i, 1)
+
+    tops = pa.concat_tables(
+        [x for x in ray.get(tagg.map_batches(
+            top1_block, batch_format="pyarrow",
+            batch_size=None).to_arrow_refs()) if x.num_rows])
+    if tops.num_rows == 0:
+        return empty
+    code = np.asarray(tops["code"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    n = np.asarray(tops["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    best = int(code[np.lexsort((code, -n))[0]])
+    tri = (best // (nv * nv), (best // nv) % nv, best % nv)
+    phrase = [vocab_toks[i].as_py() for i in tri]
+    tri_ref = ray.put(np.array(tri, np.int64))
+
+    def postings(t: pa.Table) -> pa.Table:
+        tid, parent = _tids(t)
+        tri_ids = ray.get(tri_ref)
+        doc = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        # position index within each doc
+        if len(parent):
+            newdoc = np.r_[True, parent[1:] != parent[:-1]]
+            gstart = np.flatnonzero(newdoc)
+            pos = np.arange(len(parent)) - np.repeat(
+                gstart, np.diff(np.r_[gstart, len(parent)]))
+        else:
+            pos = np.zeros(0, np.int64)
+        out_d, out_p, out_s = [], [], []
+        for slot in range(3):
+            m = tid == tri_ids[slot]
+            out_d.append(doc[parent[m]])
+            out_p.append(pos[m] - slot)   # align to phrase-start position
+            out_s.append(np.full(int(m.sum()), slot, np.int64))
+        return pa.table({"doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                         "p0": pa.array(np.concatenate(out_p), pa.int64()),
+                         "slot": pa.array(np.concatenate(out_s), pa.int64())})
+
+    post = ds.map_batches(postings, batch_format="pyarrow")
+    post = post.repartition(default_partitions(), keys=["doc_id"],
+                            sort=False)
+
+    def intersect(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        d = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        p0 = np.asarray(block["p0"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        sl = np.asarray(block["slot"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        # a phrase start = a (doc, p0) present in ALL three slots; each
+        # (doc, p0, slot) is unique, so count == 3 ⇔ full intersect
+        key = np.stack([d, p0], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        hit = cnt == 3
+        if not hit.any():
+            return empty
+        docs, nh = np.unique(uk[hit][:, 0], return_counts=True)
+        k = len(docs)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "phrase_a": pa.array([phrase[0]] * k, pa.string()),
+                         "phrase_b": pa.array([phrase[1]] * k, pa.string()),
+                         "phrase_c": pa.array([phrase[2]] * k, pa.string()),
+                         "n_hits": pa.array(nh.astype(np.int64), pa.int64())})
+
+    return post.map_batches(intersect, batch_format="pyarrow",
+                            batch_size=None)
+
+
+Q179_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vc AS (SELECT UNNEST(toks) AS tok FROM t),
+cnt AS (SELECT tok, COUNT(*)::BIGINT AS n FROM vc GROUP BY tok),
+vocab AS (
+  SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS tid
+  FROM cnt QUALIFY tid <= {4096}
+),
+ex AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) + 1),
+                          i -> struct_pack(pos := i, tok := toks[i]))) AS s
+    FROM t
+  ) u
+),
+ids AS (
+  SELECT ex.doc_id, ex.pos, v.tid, ex.tok
+  FROM ex JOIN vocab v USING (tok)
+),
+tri AS (
+  SELECT a.tid AS ta, b.tid AS tb, c.tid AS tc, COUNT(*)::BIGINT AS c
+  FROM ids a
+  JOIN ids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN ids c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  GROUP BY 1, 2, 3
+),
+top AS (SELECT ta, tb, tc FROM tri ORDER BY c DESC, ta, tb, tc LIMIT 1),
+hits AS (
+  SELECT a.doc_id, COUNT(*)::BIGINT AS n_hits
+  FROM ids a
+  JOIN ids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN ids c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN top t ON a.tid = t.ta AND b.tid = t.tb AND c.tid = t.tc
+  GROUP BY 1
+)
+SELECT h.doc_id,
+       va.tok AS phrase_a, vb.tok AS phrase_b, vcb.tok AS phrase_c,
+       h.n_hits
+FROM hits h CROSS JOIN top t
+JOIN vocab va ON va.tid = t.ta
+JOIN vocab vb ON vb.tid = t.tb
+JOIN vocab vcb ON vcb.tid = t.tc
+"""
+
+
 _Q95_STREAM = 995
 
 
@@ -3222,6 +3441,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q140_cdc_chunking": (q140_cdc_chunking, Q140_SQL),
     "q141_bigram_lm_score": (q141_bigram_lm_score, Q141_SQL),
     "q177_pmi_collocations": (q177_pmi_collocations, Q177_SQL),
+    "q179_phrase_search": (q179_phrase_search, Q179_SQL),
     "q146_embed_outlier": (q146_embed_outlier, Q146_SQL),
     "q29_media_features": (q29_media_features, _q29_sql()),
     "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),

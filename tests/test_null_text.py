@@ -25,7 +25,7 @@ AFFECTED = [
     "q84_window_dup_ratio", "q94_lm_quality_score", "q96_pii_scrub",
     "q100_fuzzy_edit_pairs", "q102_incremental_dedup",
     "q104_sparse_dot_topk", "q107_novelty_score", "q140_cdc_chunking",
-    "q141_bigram_lm_score", "q177_pmi_collocations",
+    "q141_bigram_lm_score", "q177_pmi_collocations", "q179_phrase_search",
 ]
 
 #: q151 consumes text through q20's pipeline AND joins the spatial side —
