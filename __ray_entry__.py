@@ -345,6 +345,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q176_link_predict": es.link_predict_query,
             # q177 registers via TEXT_QUERIES
             "q178_admin_morphometry": es.admin_morphometry_query,
+            # q179 registers via TEXT_QUERIES
+            "q180_harmonic_centrality": es.harmonic_centrality_query,
         }
     )
     return out

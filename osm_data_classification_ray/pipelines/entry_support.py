@@ -3413,6 +3413,38 @@ def cusum_changepoint_query(sf_dir: str):
     return cd.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
+def _od_undirected_edges(sf_dir: str):
+    """Undirected distinct edge set of the q124 OD-flow graph (self-loops
+    dropped, a < b as int64 — identical to UBIGINT order, the res nibble
+    keeps bit 63 clear): the shared derived-graph input of q176/q180.
+    One pair-keyed dedup exchange, materialized (bounded by the distinct
+    cell-pair universe, never raw captures)."""
+    from ray.data.aggregate import Count
+
+    od = od_flow_query(sf_dir)
+
+    def norm_edges(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        f = np.asarray(t["cell_from"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        to = np.asarray(t["cell_to"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64).view(np.int64)
+        keep = f != to
+        f, to = f[keep], to[keep]
+        a = np.minimum(f, to)
+        b = np.maximum(f, to)
+        uk = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"a": pa.array(uk[:, 0], pa.int64()),
+                         "b": pa.array(uk[:, 1], pa.int64())})
+
+    return od.map_batches(norm_edges, batch_format="pyarrow").groupby(
+        ["a", "b"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="_dup")).drop_columns(["_dup"]).materialize()
+
+
 #: q176 minimum common neighbors for a predicted link — 1 = the full
 #: Liben-Nowell–Kleinberg common-neighbors baseline (every open wedge
 #: scored; the score itself is the ranking signal)
@@ -3446,33 +3478,10 @@ def link_predict_query(sf_dir: str):
     cap. Oracle: spatialsql.q176_sql — the q124 LAG mirror +
     LEAST/GREATEST edge normalization + a textbook adjacency self-join
     + NOT EXISTS, never seeing wedges or markers."""
-    from ray.data.aggregate import Count
-
     from ..runtime import use_hash_shuffle
 
     use_hash_shuffle()
-    od = od_flow_query(sf_dir)
-
-    def norm_edges(t: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        f = np.asarray(t["cell_from"].to_numpy(zero_copy_only=False),
-                       dtype=np.uint64).view(np.int64)
-        to = np.asarray(t["cell_to"].to_numpy(zero_copy_only=False),
-                        dtype=np.uint64).view(np.int64)
-        keep = f != to
-        f, to = f[keep], to[keep]
-        a = np.minimum(f, to)
-        b = np.maximum(f, to)
-        uk = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table({"a": pa.array(uk[:, 0], pa.int64()),
-                         "b": pa.array(uk[:, 1], pa.int64())})
-
-    edges = od.map_batches(norm_edges, batch_format="pyarrow").groupby(
-        ["a", "b"], num_partitions=default_partitions()).aggregate(
-        Count(alias_name="_dup")).drop_columns(["_dup"]).materialize()
+    edges = _od_undirected_edges(sf_dir)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -4432,6 +4441,142 @@ def admin_morphometry_query(sf_dir: str):
                          "shape_e6": pa.array(shape, pa.int64())})
 
     return merged.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+#: q180 BFS horizon (graph hops) and the frozen per-distance harmonic
+#: weights ⌊10⁶/d⌋ — contract literals (no runtime division whose
+#: rounding could diverge between engines)
+HARM_K = 4
+HARM_W_E6 = (1000000, 500000, 333333, 250000)
+#: q180 seed count (the q144 convention: a bounded data-derived seed set)
+HARM_SEEDS = 12
+
+
+def harmonic_centrality_query(sf_dir: str):
+    """q180: seed-bounded harmonic closeness centrality on the OD-flow
+    graph — for the HARM_SEEDS highest-degree cells (ties → smallest
+    id), the truncated harmonic centrality Σ_{0<d(v)≤K} ⌊10⁶/d(v)⌋
+    over graph-BFS distances (frozen integer weights HARM_W_E6), plus
+    degree and the reached-node count. The DISTANCE-based centrality
+    member of the graph family: q132 ranks by flow mass (eigenvector-
+    style), q143/q158/q160 by local structure; none measures
+    reachability. Truncation at K hops is what makes the statistic
+    scale-computable (full closeness is all-pairs); the seed bound is
+    the q144/q131 convention — centrality of everything is an all-pairs
+    op, centrality of a bounded seed set is a K-round BFS.
+
+    Shape: the shared q176 edge pipeline (one dedup exchange) → node
+    interning against a driver-collected sorted dictionary (bounded by
+    the derived graph's node set — the q143 convention) → degree
+    partials + top-HARM_SEEDS pick → K rounds of frontier expansion:
+    the frontier broadcasts via ray.put (seeds × nodes bounded — the
+    q158 alive-set convention), edges STREAM through a membership map
+    emitting next-hop candidates, per-round driver dedup against
+    visited. Oracle: spatialsql.q180_sql — a depth-capped recursive-CTE
+    BFS (the q131 machinery) over the q176 edge mirror + a VALUES
+    weight table; SQL set recursion vs the numpy frontier loop."""
+    import ray
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    edges = _od_undirected_edges(sf_dir)
+
+    empty = pa.table({"cell": pa.array([], pa.uint64()),
+                      "degree": pa.array([], pa.int64()),
+                      "n_reached": pa.array([], pa.int64()),
+                      "harm_e6": pa.array([], pa.int64())})
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"node": pa.array(np.unique(np.r_[a, b]), pa.int64())})
+
+    nparts = [x for x in ray.get(edges.map_batches(
+        node_partial, batch_format="pyarrow").to_arrow_refs()) if x.num_rows]
+    if not nparts:
+        return empty
+    nodes = np.unique(np.concatenate(
+        [np.asarray(x["node"].to_numpy(zero_copy_only=False), dtype=np.int64)
+         for x in nparts]))
+    n_nodes = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def intern(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"ia": pa.array(np.searchsorted(nd, a), pa.int64()),
+                         "ib": pa.array(np.searchsorted(nd, b), pa.int64())})
+
+    ie = edges.map_batches(intern, batch_format="pyarrow").materialize()
+
+    # degree per node (bounded) + seed pick
+    deg = np.zeros(n_nodes, np.int64)
+    for t in ray.get(ie.map_batches(
+            lambda t: pa.table({"nid": pa.array(
+                np.bincount(np.r_[
+                    np.asarray(t["ia"].to_numpy(zero_copy_only=False),
+                               dtype=np.int64),
+                    np.asarray(t["ib"].to_numpy(zero_copy_only=False),
+                               dtype=np.int64)],
+                    minlength=n_nodes).astype(np.int64), pa.int64())}),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows:
+            deg += np.asarray(t["nid"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+    order = np.lexsort((np.arange(n_nodes), -deg))
+    seeds = order[:HARM_SEEDS]
+    n_seeds = len(seeds)
+
+    # K rounds of frontier expansion; dist[s, v] = hop count, -1 unseen
+    dist = np.full((n_seeds, n_nodes), -1, np.int64)
+    dist[np.arange(n_seeds), seeds] = 0
+    frontier = np.stack([np.arange(n_seeds), seeds], axis=1)
+    for d in range(1, HARM_K + 1):
+        if frontier.size == 0:
+            break
+        # membership mask per seed over the bounded node set
+        fmask = np.zeros((n_seeds, n_nodes), bool)
+        fmask[frontier[:, 0], frontier[:, 1]] = True
+        fref = ray.put(fmask)
+
+        def expand(t: pa.Table) -> pa.Table:
+            fm = ray.get(fref)
+            a = np.asarray(t["ia"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(t["ib"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            src = np.r_[a, b]
+            dst = np.r_[b, a]
+            hit = fm[:, src]                      # (seeds, 2E)
+            s_idx, e_idx = np.nonzero(hit)
+            key = np.unique(s_idx * fm.shape[1] + dst[e_idx])
+            return pa.table({"key": pa.array(key, pa.int64())})
+
+        ks = [x for x in ray.get(ie.map_batches(
+            expand, batch_format="pyarrow").to_arrow_refs()) if x.num_rows]
+        if not ks:
+            break
+        keys = np.unique(np.concatenate(
+            [np.asarray(x["key"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64) for x in ks]))
+        s_new, v_new = keys // n_nodes, keys % n_nodes
+        fresh = dist[s_new, v_new] == -1
+        s_new, v_new = s_new[fresh], v_new[fresh]
+        dist[s_new, v_new] = d
+        frontier = np.stack([s_new, v_new], axis=1)
+
+    w = np.array(HARM_W_E6, np.int64)
+    reached = dist >= 1
+    harm = np.where(reached, w[np.clip(dist - 1, 0, HARM_K - 1)], 0).sum(
+        axis=1)
+    return pa.table({
+        "cell": pa.array(nodes[seeds].view(np.uint64), pa.uint64()),
+        "degree": pa.array(deg[seeds], pa.int64()),
+        "n_reached": pa.array(reached.sum(axis=1).astype(np.int64),
+                              pa.int64()),
+        "harm_e6": pa.array(harm, pa.int64())})
 
 
 #: q119 distance-transform cap (hex steps); cells farther than this from
@@ -7671,6 +7816,8 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q175_cusum_changepoint": spatialsql.q175_sql(),
         "q176_link_predict": spatialsql.q176_sql(LINKPRED_MIN),
         "q178_admin_morphometry": spatialsql.q178_sql(),
+        "q180_harmonic_centrality": spatialsql.q180_sql(
+            HARM_K, HARM_W_E6, HARM_SEEDS),
     }
 
 

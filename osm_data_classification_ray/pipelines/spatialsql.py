@@ -1428,6 +1428,46 @@ WHERE n_common >= {m}
   AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.x AND e.b = cn.y)"""
 
 
+def q180_sql(k: int, w_e6, n_seeds: int) -> str:
+    """q180 oracle: seed-bounded harmonic centrality rebuilt with SQL
+    set recursion — the q176 edge mirror (q124 LAG chain + LEAST/
+    GREATEST dedup), seeds by a plain ORDER BY/LIMIT, a depth-capped
+    recursive-CTE BFS (the q131 machinery) with MIN(d) per (seed,
+    node), and the SAME frozen weight literals in a VALUES table.
+    Never sees the interning, the frontier masks, or the numpy loop."""
+    wt = ", ".join(f"({d + 1}, {w})" for d, w in enumerate(w_e6))
+    return f"""WITH RECURSIVE {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+p AS (SELECT cell_r7 AS cell_to,
+             LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+               AS cell_from
+      FROM seq),
+odp AS (SELECT cell_from, cell_to FROM p WHERE cell_from IS NOT NULL),
+e AS (SELECT LEAST(cell_from, cell_to) AS a, GREATEST(cell_from, cell_to) AS b
+      FROM odp WHERE cell_from <> cell_to GROUP BY 1, 2),
+und AS (SELECT a AS h, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT h, COUNT(*)::BIGINT AS degree FROM und GROUP BY h),
+seeds AS (SELECT h, degree FROM deg ORDER BY degree DESC, h ASC
+          LIMIT {n_seeds}),
+bfs(seed, node, d) AS (
+  SELECT h, h, 0 FROM seeds
+  UNION
+  SELECT b.seed, u.nb, b.d + 1
+  FROM bfs b JOIN und u ON u.h = b.node
+  WHERE b.d < {k}
+),
+dmin AS (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+wt(d, w) AS (VALUES {wt}),
+agg AS (SELECT m.seed, COUNT(*)::BIGINT AS n_reached,
+               CAST(SUM(wt.w) AS BIGINT) AS harm_e6
+        FROM dmin m JOIN wt ON wt.d = m.d
+        WHERE m.d >= 1 GROUP BY m.seed)
+SELECT CAST(s.h AS UBIGINT) AS cell, s.degree,
+       COALESCE(a.n_reached, 0)::BIGINT AS n_reached,
+       COALESCE(a.harm_e6, 0)::BIGINT AS harm_e6
+FROM seeds s LEFT JOIN agg a ON a.seed = s.h"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

@@ -64,6 +64,7 @@ QUERIES = [
     "cusum_changepoint_query",   # q175: cell/day exchange + segment fold
     "link_predict_query",        # q176: wedge-edge exchange, non-edge runs
     "admin_morphometry_query",   # q178: owner/neighbor scatter + edge sums
+    "harmonic_centrality_query",  # q180: edge dedup + K BFS rounds
 ]
 
 
