@@ -58,7 +58,22 @@ _DRIVER_WINDOW = [
     # LISA cluster quadrants, the per-cell decomposition completing the
     # local-statistics family beside q99 (global) and q101 (Gi*) —
     # enters.)
-    "q137_lisa", "q37_dedup_urls", "q103_spatial_split",
+    # (round-5 session-9 rotation: q173–q180 enter — eight NEW operator
+    # families (SDE moments, quantile sketch, CUSUM changepoint, link
+    # prediction, PMI collocations, raster morphometrics, phrase search,
+    # harmonic centrality), each rehearsed PASS at sf0.001 AND sf0.01.
+    # Out: q37 (D1 exact dedup stays via q157's cross-doc keeper rule;
+    # r01–r04 green rows kept), q63 (cell-index family keeps q92 S2 +
+    # q142 Z-order; r01–r04 rows), q39 (sketch family keeps the NEW
+    # q174 quantile histogram; r02–r04 rows), q70 (window-dup family
+    # keeps q140 CDC on the same kernel chain; r01–r04 rows), q05
+    # (broadcast-dim join: r02–r04 rows + path-equality pytest pins),
+    # q58 (J5 semi/anti keeps q08; r02–r04 rows), q156 (autocorrelation
+    # keeps q99/q101/q137/q159; rehearsal PASS + repo oracle), q143
+    # (graph family keeps q158 kcore, and q176 certifies the same
+    # wedge-edge exchange with the richer anti filter; rehearsal PASS +
+    # repo oracle).)
+    "q137_lisa", "q173_sde_moments", "q103_spatial_split",
     # (q59 rotated out late round 5: sequence chunk/pack machinery stays
     # in-window via q71 (chunking) and q72 (numericalize); q59 keeps its
     # repo oracle test and CORRECTNESS_r01-r04 green rows. q106 — the
@@ -84,7 +99,7 @@ _DRIVER_WINDOW = [
     # itself is pytest-pinned. q101 — Getis-Ord Gi* hot spots, the third
     # of the local-statistics trio, hash-green via the frozen-float
     # contract — enters, raising the window to 48/50 oracle-backed.)
-    "q63_page_cells_hex", "q85_radius_pairs",
+    "q174_token_quantiles", "q85_radius_pairs",
     "q87_rasterize_admin", "q89_cell_prototypes",
     # round-4 rotation: q90 (spatial anti-join coverage gap) and q91
     # (per-admin profile: join-after-PIP rollup + exact two-level distinct)
@@ -168,7 +183,7 @@ _DRIVER_WINDOW = [
     # sibling. q130 — the skyline / Pareto-frontier operator
     # (distributive local-skyline merge, a new multi-criteria filter
     # family) — enters.)
-    "q39_hll_distinct", "q130_cell_skyline",
+    "q175_cusum_changepoint", "q130_cell_skyline",
     "q94_lm_quality_score", "q96_pii_scrub", "q95_temperature_mix",
     # (q98 rotated out at round-5 close: embedding near-dedup stays
     # in-window via q24 (the LSH member over the same vectors) and q98
@@ -202,7 +217,7 @@ _DRIVER_WINDOW = [
     # r01–r04 green rows. q158 — the bounded k-core peel trajectory on
     # the co-service graph — enters.)
     "q140_cdc_chunking", "q135_cell_trend", "q157_line_dedup",
-    "q70_substring_dup", "q142_range_scan", "q158_kcore",
+    "q176_link_predict", "q142_range_scan", "q158_kcore",
     # (q74 rotated out round 5: q98 embeds q74's projection machinery —
     # its oracle wraps _q74_sql verbatim; q68 rotated out: q95 strictly
     # generalizes its hash-threshold split machinery with per-source
@@ -237,10 +252,10 @@ _DRIVER_WINDOW = [
     # green rows, and stays bench-tracked as a headline query; q156 —
     # Geary's C, the pairwise-difference global autocorrelation
     # statistic — enters.)
-    "q156_geary_c", "q05_region_customers",
+    "q177_pmi_collocations", "q178_admin_morphometry",
     "q08_anti_join", "q11_events_rollup", "q42_asof_join",
-    "q139_covisit_pairs", "q58_bloom_semi_join",
-    "q143_triangles",
+    "q139_covisit_pairs", "q179_phrase_search",
+    "q180_harmonic_centrality",
 ]
 
 
