@@ -362,6 +362,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q178_admin_morphometry": es.admin_morphometry_query,
             # q179 registers via TEXT_QUERIES
             "q180_harmonic_centrality": es.harmonic_centrality_query,
+            "q181_downscale": es.downscale_query,
         }
     )
     return out

@@ -4579,6 +4579,86 @@ def harmonic_centrality_query(sf_dir: str):
         "harm_e6": pa.array(harm, pa.int64())})
 
 
+def downscale_query(sf_dir: str):
+    """q181: dasymetric raster downscale — every occupied res-5 cell's
+    page count pushed DOWN to its res-6 children, equal integer split
+    with the remainder going to the lexicographically smallest children
+    (mass-conserving: Σ children = parent, the areal-interpolation
+    invariant). The inverse direction of q149's pyramid (which only
+    aggregates UP); child enumeration is the exact inverse of the
+    shared-halving parent rule: the 9 lattice candidates (2q+a, 2r+b),
+    a,b ∈ {-1,0,1}, filtered by cell_to_parent(child) == parent (the
+    center child always survives, so every parent has ≥ 1 child).
+    Output: (parent_cell, child_cell, n_child) over ALL surviving
+    children, zeros included — the downscaled surface.
+
+    Shape: ONE cell-keyed count exchange bounded by the res-5 universe
+    → a stateless vectorized child-emission map (bit-level pack/unpack
+    + the library's own cube-round parent test; no Python loop, no
+    further exchange). Oracle: spatialsql.q181_sql — the SQL mirror
+    enumerates the same 9 candidates and re-derives the parent test
+    through the independent _cube_round_ctes chain, ranks children
+    with a window (the engine uses offset order), and replays the
+    split arithmetic."""
+    from ray.data.aggregate import Count
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r5", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["h3_r5"]),
+        batch_format="pyarrow",
+    )
+    agg = pts.groupby("h3_r5", num_partitions=default_partitions()).aggregate(
+        Count(alias_name="n"))
+
+    mask30 = np.uint64((1 << 30) - 1)
+    bias = np.int64(1 << 29)
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"parent_cell": pa.array([], pa.uint64()),
+                          "child_cell": pa.array([], pa.uint64()),
+                          "n_child": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cell = np.asarray(t["h3_r5"].to_numpy(zero_copy_only=False),
+                          dtype=np.uint64)
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        q = ((cell >> np.uint64(30)) & mask30).astype(np.int64) - bias
+        r = (cell & mask30).astype(np.int64) - bias
+        # 9 candidates per parent, offsets in lex (a, b) order so kept
+        # children are already sorted by (cq, cr) within each parent
+        offs = np.array([(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)],
+                        np.int64)
+        cq = (2 * q)[:, None] + offs[:, 0][None, :]
+        cr = (2 * r)[:, None] + offs[:, 1][None, :]
+        child = (np.uint64(6 << 60)
+                 + ((cq + bias).astype(np.uint64) << np.uint64(30))
+                 + (cr + bias).astype(np.uint64))
+        par = hexgrid.cell_to_parent(child.ravel()).reshape(child.shape)
+        keep = par == cell[:, None]
+        k = keep.sum(axis=1).astype(np.int64)
+        pidx = np.repeat(np.arange(len(cell)), k)
+        kids = child[keep]
+        # rank within parent (kept order is (cq, cr)-sorted)
+        starts = np.r_[0, np.cumsum(k)[:-1]]
+        rank = np.arange(len(kids)) - np.repeat(starts, k)
+        base = n[pidx] // k[pidx]
+        extra = (rank < (n[pidx] % k[pidx])).astype(np.int64)
+        return pa.table({
+            "parent_cell": pa.array(cell[pidx], pa.uint64()),
+            "child_cell": pa.array(kids, pa.uint64()),
+            "n_child": pa.array(base + extra, pa.int64())})
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
 #: q119 distance-transform cap (hex steps); cells farther than this from
 #: every target cell collapse to DIST_K + 1 (the "far" bucket)
 DIST_K = 4
@@ -7818,6 +7898,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q178_admin_morphometry": spatialsql.q178_sql(),
         "q180_harmonic_centrality": spatialsql.q180_sql(
             HARM_K, HARM_W_E6, HARM_SEEDS),
+        "q181_downscale": spatialsql.q181_sql(),
     }
 
 

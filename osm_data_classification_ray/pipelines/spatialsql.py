@@ -1468,6 +1468,40 @@ SELECT CAST(s.h AS UBIGINT) AS cell, s.degree,
 FROM seeds s LEFT JOIN agg a ON a.seed = s.h"""
 
 
+def q181_sql() -> str:
+    """q181 oracle: dasymetric downscale — per-cell counts from the
+    captures mirror, the SAME 9 lattice candidates per parent, the
+    parent test re-derived through the independent _cube_round_ctes
+    chain (never the engine's cell_to_parent), children ranked with a
+    window (the engine relies on offset order), and the identical
+    split arithmetic (DuckDB ``//`` truncation = floor on these
+    non-negatives)."""
+    mask = (1 << 30) - 1
+    offs = ", ".join(f"({a}, {b})" for a in (-1, 0, 1) for b in (-1, 0, 1))
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r5 AS cell, COUNT(*)::BIGINT AS n
+      FROM cap WHERE has_geo AND is_latest GROUP BY 1),
+pu AS (SELECT cell, n,
+         CAST((cell >> 30) & {mask} AS BIGINT) - {_BIAS} AS pq,
+         CAST(cell & {mask} AS BIGINT) - {_BIAS} AS pr
+       FROM g),
+cand AS (SELECT pu.cell, pu.n, pu.pq, pu.pr,
+                pu.pq * 2 + d.a AS cq, pu.pr * 2 + d.b AS cr
+         FROM pu CROSS JOIN (VALUES {offs}) d(a, b)),
+{_cube_round_ctes('pt', 'cand', 'cell, n, pq, pr, cq, cr',
+                  'cq / 2.0', 'cr / 2.0')},
+kids AS (SELECT cell, n, cq, cr FROM ptf WHERE q = pq AND r = pr),
+ranked AS (SELECT cell, n, {_pack(6, 'cq', 'cr')} AS child,
+                  ROW_NUMBER() OVER (PARTITION BY cell
+                                     ORDER BY cq, cr) AS i,
+                  COUNT(*) OVER (PARTITION BY cell) AS k
+           FROM kids)
+SELECT cell AS parent_cell, child AS child_cell,
+       CAST(n // k + CASE WHEN i <= n % k THEN 1 ELSE 0 END AS BIGINT)
+         AS n_child
+FROM ranked"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

@@ -65,6 +65,7 @@ QUERIES = [
     "link_predict_query",        # q176: wedge-edge exchange, non-edge runs
     "admin_morphometry_query",   # q178: owner/neighbor scatter + edge sums
     "harmonic_centrality_query",  # q180: edge dedup + K BFS rounds
+    "downscale_query",           # q181: cell-count exchange + child split
 ]
 
 
