@@ -87,7 +87,11 @@ def _commit(tmp: str, final: str, root: str, stage: str, fp: str) -> None:
         os.replace(tmp, final)
         return
     except OSError:
-        for _ in range(50):
+        # 60 s: the winner's gap between its rename and _SUCCESS covers a
+        # full manifest + per-file lineage scan, which under CPU saturation
+        # (concurrent suite + rehearsal sharing one box) measurably exceeds
+        # the old 5 s window
+        for _ in range(600):
             if is_complete(root, stage, fp):
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
