@@ -4659,6 +4659,105 @@ def downscale_query(sf_dir: str):
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+#: q182 distance-bin edges (hex steps): [1], [2, 3], [4, ∞) — frozen
+ROSE_BIN_LO = (1, 2, 4)
+#: q182 sector unit directions in axial form, FROZEN order (the house
+#: ``dirs`` convention) — ties resolve to the smallest index
+ROSE_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+
+
+def flow_rose_query(sf_dir: str):
+    """q182: flow direction rose — the circular/directional-statistics
+    op of movement analytics: every directed OD transition (self-loops
+    dropped) classified into one of 6 hex sectors (argmax of the cube
+    dot product with the frozen unit directions, ties → smallest
+    index — an exact integer rule, no atan2) × 3 hex-distance bins
+    {1, 2–3, ≥4}, counting distinct OD pairs and total moves. The
+    18-row spine keeps empty combos. Direction DISTRIBUTION is what
+    neither q124 (raw matrix) nor q165 (value anisotropy) reports —
+    "does traffic flow east?" is a rose, not a variogram.
+
+    Shape: rides the q124 pipeline's bounded output — unpack both cell
+    coords, 6 integer dot products + vectorized argmax, closed-form
+    axial distance, per-block 18-bin partials → ONE tiny keyed Sum →
+    spine fold. Oracle: spatialsql.q182_sql — the q124 LAG mirror +
+    GREATEST/CASE argmax + the same closed-form distance, never seeing
+    the partial split."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    od = od_flow_query(sf_dir)
+    mask30 = np.uint64((1 << 30) - 1)
+    bias = np.int64(1 << 29)
+    dirs = np.array(ROSE_DIRS, np.int64)                 # (6, 2)
+    du = np.stack([dirs[:, 0], dirs[:, 1],
+                   -dirs[:, 0] - dirs[:, 1]], axis=1)    # cube form (6, 3)
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sector": pa.array([], pa.int64()),
+                          "dist_bin": pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "n_moves": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        f = np.asarray(t["cell_from"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        to = np.asarray(t["cell_to"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64)
+        nm = np.asarray(t["n_moves"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        fq = ((f >> np.uint64(30)) & mask30).astype(np.int64) - bias
+        fr = (f & mask30).astype(np.int64) - bias
+        tq = ((to >> np.uint64(30)) & mask30).astype(np.int64) - bias
+        tr = (to & mask30).astype(np.int64) - bias
+        dq, dr = tq - fq, tr - fr
+        keep = (dq != 0) | (dr != 0)
+        dq, dr, nm = dq[keep], dr[keep], nm[keep]
+        if not len(dq):
+            return empty
+        ds = -dq - dr
+        vec = np.stack([dq, dr, ds], axis=1)             # (n, 3)
+        dots = vec @ du.T                                # (n, 6)
+        sector = np.argmax(dots, axis=1).astype(np.int64)  # first max wins
+        dist = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+        dist_bin = np.where(dist >= ROSE_BIN_LO[2], 2,
+                            np.where(dist >= ROSE_BIN_LO[1], 1, 0))
+        code = sector * 3 + dist_bin
+        npair = np.bincount(code, minlength=18).astype(np.int64)
+        nmove = np.zeros(18, np.int64)
+        np.add.at(nmove, code, nm)   # int64-exact (bincount weights=float)
+        idx = np.arange(18, dtype=np.int64)
+        return pa.table({"sector": pa.array(idx // 3, pa.int64()),
+                         "dist_bin": pa.array(idx % 3, pa.int64()),
+                         "n_pairs": pa.array(npair, pa.int64()),
+                         "n_moves": pa.array(nmove, pa.int64())})
+
+    agg = od.map_batches(partials, batch_format="pyarrow").groupby(
+        ["sector", "dist_bin"], num_partitions=1).aggregate(
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("n_moves", alias_name="n_moves"))
+    npair = np.zeros(18, np.int64)
+    nmove = np.zeros(18, np.int64)
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            s = np.asarray(t["sector"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(t["dist_bin"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            npair[s * 3 + b] = np.asarray(
+                t["n_pairs"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            nmove[s * 3 + b] = np.asarray(
+                t["n_moves"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    idx = np.arange(18, dtype=np.int64)
+    return pa.table({"sector": pa.array(idx // 3, pa.int64()),
+                     "dist_bin": pa.array(idx % 3, pa.int64()),
+                     "n_pairs": pa.array(npair, pa.int64()),
+                     "n_moves": pa.array(nmove, pa.int64())})
+
+
 #: q119 distance-transform cap (hex steps); cells farther than this from
 #: every target cell collapse to DIST_K + 1 (the "far" bucket)
 DIST_K = 4
@@ -7899,6 +7998,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q180_harmonic_centrality": spatialsql.q180_sql(
             HARM_K, HARM_W_E6, HARM_SEEDS),
         "q181_downscale": spatialsql.q181_sql(),
+        "q182_flow_rose": spatialsql.q182_sql(ROSE_DIRS, ROSE_BIN_LO),
     }
 
 

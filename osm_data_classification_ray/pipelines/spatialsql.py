@@ -1502,6 +1502,64 @@ SELECT cell AS parent_cell, child AS child_cell,
 FROM ranked"""
 
 
+def q182_sql(dirs, bin_lo) -> str:
+    """q182 oracle: flow rose rebuilt with SQL machinery — the q124 LAG
+    mirror, coordinate unpack, six literal dot-product columns, a
+    GREATEST + first-match CASE argmax (= the engine's first-max-wins
+    np.argmax under the same frozen direction order), the closed-form
+    axial distance, and a VALUES spine keeping empty combos."""
+    mask = (1 << 30) - 1
+    dots = []
+    for k, (uq, ur) in enumerate(dirs):
+        us = -uq - ur
+        dots.append(f"(dq * {uq} + dr * {ur} + (-dq - dr) * {us}) AS d{k}")
+    great = "GREATEST(" + ", ".join(f"d{k}" for k in range(len(dirs))) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{k} = m THEN {k}" for k in range(len(dirs))) + " END"
+    spine = ", ".join(f"({s}, {b})" for s in range(len(dirs))
+                      for b in range(3))
+    return f"""WITH {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+p AS (SELECT cell_r7 AS cell_to,
+             LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+               AS cell_from
+      FROM seq),
+odp AS (SELECT cell_from, cell_to, COUNT(*)::BIGINT AS n_moves
+        FROM p WHERE cell_from IS NOT NULL GROUP BY 1, 2),
+vec AS (
+  SELECT n_moves,
+         CAST((cell_to >> 30) & {mask} AS BIGINT)
+           - CAST((cell_from >> 30) & {mask} AS BIGINT) AS dq,
+         CAST(cell_to & {mask} AS BIGINT)
+           - CAST(cell_from & {mask} AS BIGINT) AS dr
+  FROM odp WHERE cell_from <> cell_to
+),
+dd AS (SELECT n_moves, dq, dr, {', '.join(dots)} FROM vec),
+cls AS (
+  SELECT n_moves,
+         {case.replace('= m', f'= {great}')} AS sector,
+         (abs(dq) + abs(dr) + abs(dq + dr)) // 2 AS dist
+  FROM dd
+),
+b AS (
+  SELECT sector,
+         CASE WHEN dist >= {bin_lo[2]} THEN 2
+              WHEN dist >= {bin_lo[1]} THEN 1 ELSE 0 END AS dist_bin,
+         n_moves
+  FROM cls
+),
+agg AS (SELECT sector, dist_bin, COUNT(*)::BIGINT AS n_pairs,
+               CAST(SUM(n_moves) AS BIGINT) AS n_moves
+        FROM b GROUP BY 1, 2),
+spine AS (SELECT CAST(v.s AS BIGINT) AS sector, CAST(v.b AS BIGINT)
+            AS dist_bin FROM (VALUES {spine}) v(s, b))
+SELECT spine.sector, spine.dist_bin,
+       CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(agg.n_moves, 0) AS BIGINT) AS n_moves
+FROM spine LEFT JOIN agg ON agg.sector = spine.sector
+                        AND agg.dist_bin = spine.dist_bin"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

@@ -66,6 +66,7 @@ QUERIES = [
     "admin_morphometry_query",   # q178: owner/neighbor scatter + edge sums
     "harmonic_centrality_query",  # q180: edge dedup + K BFS rounds
     "downscale_query",           # q181: cell-count exchange + child split
+    "flow_rose_query",           # q182: OD unpack + 18-bin partials
 ]
 
 
