@@ -161,3 +161,73 @@ def test_q114_range_flatten_vs_bruteforce(queries, index_rows):
             if k == q:
                 want.append((qi, v))
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_s, lon=lon_s)
+def test_q181_child_enumeration_law(lat, lon):
+    """q181's inverse-parent rule: the res-6 cell of any point is among
+    the ≤9 lattice candidates (2q+a, 2r+b) of its res-5 parent that pass
+    the cell_to_parent test — i.e. the 9-candidate enumeration is a
+    COMPLETE child cover (and the center child always survives)."""
+    a = np.array([lat])
+    o = np.array([lon])
+    parent = hg.encode(a, o, 5)[0]
+    child = hg.encode(a, o, 6)[0]
+    mask = np.uint64((1 << 30) - 1)
+    bias = np.int64(1 << 29)
+    q = np.int64((parent >> np.uint64(30)) & mask) - bias
+    r = np.int64(parent & mask) - bias
+    cands = []
+    for da in (-1, 0, 1):
+        for db in (-1, 0, 1):
+            cq, cr = 2 * q + da, 2 * r + db
+            cands.append(np.uint64(6 << 60)
+                         + (np.uint64(cq + bias) << np.uint64(30))
+                         + np.uint64(cr + bias))
+    cands = np.array(cands, np.uint64)
+    kept = cands[hg.cell_to_parent(cands) == parent]
+    center = np.uint64(6 << 60) + (np.uint64(2 * q + bias) << np.uint64(30)) \
+        + np.uint64(2 * r + bias)
+    assert center in kept          # center child always survives
+    assert child in kept           # enumeration is a complete cover
+    assert hg.cell_to_parent(np.array([child], np.uint64))[0] == parent
+
+
+@settings(max_examples=300, deadline=None)
+@given(days=st.lists(st.tuples(st.integers(min_value=0, max_value=40),
+                               st.integers(min_value=1, max_value=9)),
+                     min_size=2, max_size=12, unique_by=lambda t: t[0]))
+def test_q175_segment_endpoint_law(days):
+    """q175's closed form: because S_t is constant between present days
+    and |linear| is convex, the max CUSUM deviation over ALL splits
+    t = 0..B-2 (dense series, zeros filled) equals the max over segment
+    ENDPOINTS only — and the earliest-argmax tie rule survives the
+    restriction (the argmax of a |linear| segment is at an endpoint,
+    and the earliest global argmax is an endpoint of its segment)."""
+    days = sorted(days)
+    if len({d for d, _ in days}) < 2:
+        return
+    d = np.array([x for x, _ in days], np.int64)
+    n = np.array([c for _, c in days], np.int64)
+    d0, d1 = int(d[0]), int(d[-1])
+    b = d1 - d0 + 1
+    dense = np.zeros(b, np.int64)
+    dense[d - d0] = n
+    s = np.cumsum(dense)
+    tot = int(s[-1])
+    t_all = np.arange(b - 1)
+    dev_all = np.abs(b * s[:-1][t_all] - (t_all + 1) * tot)
+    best_dev = int(dev_all.max())
+    best_t = int(t_all[dev_all == best_dev].min())
+    # segment-endpoint evaluation (the engine's kernel shape)
+    rel = d - d0
+    pref = np.cumsum(n)
+    cand = []
+    for i in range(len(d) - 1):
+        for t in (int(rel[i]), int(rel[i + 1]) - 1):
+            cand.append((int(abs(b * pref[i] - (t + 1) * tot)), t))
+    got_dev = max(c[0] for c in cand)
+    got_t = min(t for dev, t in cand if dev == got_dev)
+    assert got_dev == best_dev
+    assert got_t == best_t
