@@ -364,6 +364,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q180_harmonic_centrality": es.harmonic_centrality_query,
             "q181_downscale": es.downscale_query,
             "q182_flow_rose": es.flow_rose_query,
+            "q183_staypoints": es.staypoint_query,
         }
     )
     return out

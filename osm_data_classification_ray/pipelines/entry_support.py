@@ -4758,6 +4758,99 @@ def flow_rose_query(sf_dir: str):
                      "n_moves": pa.array(nmove, pa.int64())})
 
 
+def staypoint_query(sf_dir: str):
+    """q183: staypoint extraction / per-cell dwell statistics — the
+    duration op of mobility analytics: a STAY is a maximal run of one
+    host's consecutive geocoded captures (time-ordered, the q124
+    (warc_ts, url) rule) in the SAME res-7 cell; per cell the output is
+    (n_stays, n_multi ≥ 2-capture stays, total_dwell_us = Σ(last −
+    first) within stays, max_dwell_us). q124 counts the TRANSITIONS
+    between cells, q147 path length, q125 dispersion — none measures
+    TIME SPENT in place (the staypoint/dwell product of trajectory
+    mining). Single-capture stays dwell 0 by definition.
+
+    Shape: ONE host-keyed exchange co-locating complete host groups
+    (the q124 invariant) → per-block Arrow multi-key sort + run
+    boundaries where host or cell changes (gaps-and-islands,
+    vectorized: host equality via Arrow slice-equality, no Python
+    loop) → per-stay rows folded into per-block per-cell partials →
+    one small cell-keyed Sum/Max exchange bounded by the cell
+    universe. Oracle: spatialsql.q183_sql — the textbook window
+    machinery (LAG change flags → windowed stay-id cumsum → two
+    GROUP BYs) the engine never uses."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "url", "warc_ts", "h3_r7", "has_geo"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_geo"])
+        return t.select(["host", "url", "warc_ts", "h3_r7"])
+
+    rows = pts.map_batches(narrow, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def stays(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_stays": pa.array([], pa.int64()),
+                          "n_multi": pa.array([], pa.int64()),
+                          "dwell": pa.array([], pa.int64()),
+                          "dmax": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("warc_ts", "ascending"),
+                                                  ("url", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = block["host"].combine_chunks()
+        same_host = np.r_[False, np.asarray(
+            pc.equal(h.slice(1), h.slice(0, len(h) - 1))
+            .to_numpy(zero_copy_only=False), dtype=bool)]
+        c = np.asarray(block["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ts = np.asarray(pc.cast(block["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        new_stay = ~(same_host & np.r_[False, c[1:] == c[:-1]])
+        starts = np.flatnonzero(new_stay)
+        run_len = np.diff(np.r_[starts, len(c)])
+        ends = starts + run_len - 1
+        cell = c[starts]
+        dur = ts[ends] - ts[starts]
+        multi = (run_len >= 2).astype(np.int64)
+        o = np.argsort(cell, kind="stable")
+        cell, dur, multi = cell[o], dur[o], multi[o]
+        cs = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        n_stays = np.diff(np.r_[cs, len(cell)]).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(cell[cs], pa.int64()),
+            "n_stays": pa.array(n_stays, pa.int64()),
+            "n_multi": pa.array(np.add.reduceat(multi, cs), pa.int64()),
+            "dwell": pa.array(np.add.reduceat(dur, cs), pa.int64()),
+            "dmax": pa.array(np.maximum.reduceat(dur, cs), pa.int64()),
+        })
+
+    local = rows.map_batches(stays, batch_format="pyarrow", batch_size=None)
+    agg = local.groupby("cell", num_partitions=default_partitions()).aggregate(
+        Sum("n_stays", alias_name="n_stays"),
+        Sum("n_multi", alias_name="n_multi"),
+        Sum("dwell", alias_name="total_dwell_us"),
+        Max("dmax", alias_name="max_dwell_us"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell": pc.cast(t["cell"], pa.int64()).cast(pa.uint64()),
+            "n_stays": pc.cast(t["n_stays"], pa.int64()),
+            "n_multi": pc.cast(t["n_multi"], pa.int64()),
+            "total_dwell_us": pc.cast(t["total_dwell_us"], pa.int64()),
+            "max_dwell_us": pc.cast(t["max_dwell_us"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 #: q119 distance-transform cap (hex steps); cells farther than this from
 #: every target cell collapse to DIST_K + 1 (the "far" bucket)
 DIST_K = 4
@@ -7999,6 +8092,7 @@ def _spatial_engine_sql() -> dict[str, str]:
             HARM_K, HARM_W_E6, HARM_SEEDS),
         "q181_downscale": spatialsql.q181_sql(),
         "q182_flow_rose": spatialsql.q182_sql(ROSE_DIRS, ROSE_BIN_LO),
+        "q183_staypoints": spatialsql.q183_sql(),
     }
 
 

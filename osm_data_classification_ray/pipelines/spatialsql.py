@@ -1560,6 +1560,33 @@ FROM spine LEFT JOIN agg ON agg.sector = spine.sector
                         AND agg.dist_bin = spine.dist_bin"""
 
 
+def q183_sql() -> str:
+    """q183 oracle: staypoints via the textbook gaps-and-islands window
+    machinery — LAG change flag, windowed stay-id cumsum, a per-stay
+    GROUP BY (MIN/MAX ts span; cell constant per stay), then the
+    per-cell rollup. The engine never uses a window; the mirror never
+    sees the host exchange or the run-length fold."""
+    return f"""WITH {captures_ctes()},
+s AS (SELECT host, url, ts_us, cell_r7 FROM cap WHERE has_geo),
+w AS (SELECT host, ts_us, url, cell_r7,
+             CASE WHEN LAG(cell_r7) OVER
+                    (PARTITION BY host ORDER BY ts_us, url) = cell_r7
+                  THEN 0 ELSE 1 END AS flag
+      FROM s),
+sid AS (SELECT host, ts_us, cell_r7,
+               SUM(flag) OVER (PARTITION BY host ORDER BY ts_us, url)
+                 AS sid
+        FROM w),
+st AS (SELECT host, sid, MIN(cell_r7) AS cell, COUNT(*)::BIGINT AS n,
+              CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur
+       FROM sid GROUP BY host, sid)
+SELECT CAST(cell AS UBIGINT) AS cell, COUNT(*)::BIGINT AS n_stays,
+       SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_multi,
+       CAST(SUM(dur) AS BIGINT) AS total_dwell_us,
+       CAST(MAX(dur) AS BIGINT) AS max_dwell_us
+FROM st GROUP BY cell"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

@@ -67,6 +67,7 @@ QUERIES = [
     "harmonic_centrality_query",  # q180: edge dedup + K BFS rounds
     "downscale_query",           # q181: cell-count exchange + child split
     "flow_rose_query",           # q182: OD unpack + 18-bin partials
+    "staypoint_query",           # q183: host exchange + stay-run fold
 ]
 
 
