@@ -951,6 +951,106 @@ JOIN vocab vcb ON vcb.tid = t.tc
 """
 
 
+def q184_canonical_dedup(sf_dir: str):
+    """q184: quality-aware canonical dedup — for every near-dup group
+    (q20 MinHash-LSH pairs → connected components, the q44 machinery)
+    pick the KEEPER by the C4-style keep-best rule: longest text
+    (character length), ties → smallest doc_id. The third dedup POLICY
+    beside q37 (keep-latest) and q157 (min-url keeper): production
+    dedup keeps the most complete member, not an arbitrary one.
+    Output per group: (group_rep, keeper_doc_id, n_members,
+    keeper_len).
+
+    Shape: the shared q20/q44 pipeline (banded LSH exchange + verify +
+    components) → member lengths via a membership-filtered scan (the
+    collect is bounded by GROUP MEMBERS, never the corpus; lengths via
+    pc.utf8_length — character semantics, = DuckDB length()) → driver
+    per-group argmax over the bounded member table. Oracle: Q184_SQL —
+    the Q44 recursive-CTE closure + a (len DESC, doc_id ASC) window
+    rank, machinery the engine never uses."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = textdedup.minhash_near_dup_pairs(ds, default_partitions(),
+                                             threshold=0.6, shingle="word")
+    groups = textdedup.connected_groups(pairs)
+    empty = pa.table({"group_rep": pa.array([], pa.int64()),
+                      "keeper_doc_id": pa.array([], pa.int64()),
+                      "n_members": pa.array([], pa.int64()),
+                      "keeper_len": pa.array([], pa.int64())})
+    if groups.num_rows == 0:
+        return empty
+    gdoc = np.asarray(groups["doc_id"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    grep = np.asarray(groups["group_rep"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    order = np.argsort(gdoc)
+    gdoc, grep = gdoc[order], grep[order]
+    mem_ref = ray.put(gdoc)
+
+    def member_lens(t: pa.Table) -> pa.Table:
+        mem = ray.get(mem_ref)
+        d = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        pos = np.searchsorted(mem, d)
+        pos_c = np.minimum(pos, len(mem) - 1)
+        hit = mem[pos_c] == d
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "len": pa.array([], pa.int64())})
+        sub = t.filter(pa.array(hit))
+        ln = pc.utf8_length(pc.coalesce(sub["text"],
+                                        pa.scalar("", pa.string())))
+        return pa.table({"doc_id": sub["doc_id"],
+                         "len": pc.cast(ln, pa.int64())})
+
+    parts = [x for x in ray.get(ds.map_batches(
+        member_lens, batch_format="pyarrow").to_arrow_refs()) if x.num_rows]
+    if not parts:
+        return empty
+    mt = pa.concat_tables(parts)
+    md = np.asarray(mt["doc_id"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    ml = np.asarray(mt["len"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    # align lengths onto the sorted member table
+    lens = np.zeros(len(gdoc), np.int64)
+    lens[np.searchsorted(gdoc, md)] = ml
+    # per-group argmax: sort by (group, -len, doc) and take run heads
+    o = np.lexsort((gdoc, -lens, grep))
+    g_s, d_s, l_s = grep[o], gdoc[o], lens[o]
+    heads = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+    n_members = np.diff(np.r_[heads, len(g_s)]).astype(np.int64)
+    return pa.table({"group_rep": pa.array(g_s[heads], pa.int64()),
+                     "keeper_doc_id": pa.array(d_s[heads], pa.int64()),
+                     "n_members": pa.array(n_members, pa.int64()),
+                     "keeper_len": pa.array(l_s[heads], pa.int64())})
+
+
+def _q184_sql() -> str:
+    """q184 oracle: the Q44 recursive-closure CTEs + a keep-best window
+    rank (defined lazily — Q44_SQL appears later in this module)."""
+    return Q44_SQL.rsplit("SELECT", 1)[0].rstrip() + """,
+g AS (
+  SELECT u AS doc_id, MIN(v) AS group_rep FROM reach GROUP BY u
+),
+ranked AS (
+  SELECT g.group_rep, g.doc_id,
+         length(COALESCE(d.text, '')) AS L,
+         COUNT(*) OVER (PARTITION BY g.group_rep) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY g.group_rep
+                            ORDER BY length(COALESCE(d.text, '')) DESC,
+                                     g.doc_id ASC) AS rn
+  FROM g JOIN documents d ON d.doc_id = g.doc_id
+)
+SELECT CAST(group_rep AS BIGINT) AS group_rep,
+       CAST(doc_id AS BIGINT) AS keeper_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(L AS BIGINT) AS keeper_len
+FROM ranked WHERE rn = 1
+"""
+
+
 _Q95_STREAM = 995
 
 
@@ -3442,6 +3542,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q141_bigram_lm_score": (q141_bigram_lm_score, Q141_SQL),
     "q177_pmi_collocations": (q177_pmi_collocations, Q177_SQL),
     "q179_phrase_search": (q179_phrase_search, Q179_SQL),
+    "q184_canonical_dedup": (q184_canonical_dedup, _q184_sql()),
     "q146_embed_outlier": (q146_embed_outlier, Q146_SQL),
     "q29_media_features": (q29_media_features, _q29_sql()),
     "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),
