@@ -365,6 +365,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q181_downscale": es.downscale_query,
             "q182_flow_rose": es.flow_rose_query,
             "q183_staypoints": es.staypoint_query,
+            "q185_path_motifs": es.path_motif_query,
         }
     )
     return out

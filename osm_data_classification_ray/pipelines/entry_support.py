@@ -4851,6 +4851,109 @@ def staypoint_query(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+#: q185 motif report size — frozen
+MOTIF_TOPK = 10
+
+
+def path_motif_query(sf_dir: str):
+    """q185: frequent path-motif mining — the top-MOTIF_TOPK movement
+    TRIGRAMS (count desc, then lexicographic cell triple) over all
+    hosts' time-ordered geocoded captures: consecutive capture triples
+    (c1, c2, c3) with c1≠c2 and c2≠c3 (stays excluded — movement
+    motifs, e.g. the A→B→A ping-pong vs A→B→C transit shapes). The
+    sequential-PATTERN member of the mobility family: q124 counts
+    1-step transitions, q147 path totals, q183 dwell — none mines
+    recurring multi-step shapes. Output: (c1, c2, c3, n_trips).
+
+    Shape: the q124 host-keyed exchange + per-block multi-key sort →
+    vectorized adjacent-triple emission (host run boundaries via Arrow
+    slice-equality) → per-block triple partials → ONE triple-keyed Sum
+    exchange bounded by the observed motif universe → per-block top-K
+    partials of the GLOBAL counts → driver merge (the q179 pick
+    pattern). Oracle: spatialsql.q185_sql — double-LAG windows + plain
+    GROUP BY + ORDER BY/LIMIT, machinery the engine never uses."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "url", "warc_ts", "h3_r7", "has_geo"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_geo"])
+        return t.select(["host", "url", "warc_ts", "h3_r7"])
+
+    rows = pts.map_batches(narrow, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host"], sort=False)
+
+    def triples(block: pa.Table) -> pa.Table:
+        empty = pa.table({"c1": pa.array([], pa.int64()),
+                          "c2": pa.array([], pa.int64()),
+                          "c3": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if block.num_rows < 3:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("warc_ts", "ascending"),
+                                                  ("url", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = block["host"].combine_chunks()
+        same = np.asarray(pc.equal(h.slice(1), h.slice(0, len(h) - 1))
+                          .to_numpy(zero_copy_only=False), dtype=bool)
+        c = np.asarray(block["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        ok = same[:-1] & same[1:]                    # one host spans all 3
+        c1, c2, c3 = c[:-2][ok], c[1:-1][ok], c[2:][ok]
+        move = (c1 != c2) & (c2 != c3)
+        c1, c2, c3 = c1[move], c2[move], c3[move]
+        if not len(c1):
+            return empty
+        uk, n = np.unique(np.stack([c1, c2, c3], axis=1), axis=0,
+                          return_counts=True)
+        return pa.table({"c1": pa.array(uk[:, 0], pa.int64()),
+                         "c2": pa.array(uk[:, 1], pa.int64()),
+                         "c3": pa.array(uk[:, 2], pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    agg = rows.map_batches(triples, batch_format="pyarrow",
+                           batch_size=None).groupby(
+        ["c1", "c2", "c3"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(t, sort_keys=[
+            ("n", "descending"), ("c1", "ascending"),
+            ("c2", "ascending"), ("c3", "ascending")])
+        return t.take(order).slice(0, MOTIF_TOPK)
+
+    parts = [x for x in ray.get(agg.map_batches(
+        topk_block, batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()) if x.num_rows]
+    empty = pa.table({"c1": pa.array([], pa.uint64()),
+                      "c2": pa.array([], pa.uint64()),
+                      "c3": pa.array([], pa.uint64()),
+                      "n_trips": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    mt = pa.concat_tables(parts)
+    order = pc.sort_indices(mt, sort_keys=[
+        ("n", "descending"), ("c1", "ascending"),
+        ("c2", "ascending"), ("c3", "ascending")])
+    mt = mt.take(order).slice(0, MOTIF_TOPK).combine_chunks()
+    as_u = lambda col: pa.array(   # noqa: E731
+        np.asarray(mt[col].to_numpy(zero_copy_only=False),
+                   dtype=np.int64).view(np.uint64), pa.uint64())
+    return pa.table({"c1": as_u("c1"), "c2": as_u("c2"), "c3": as_u("c3"),
+                     "n_trips": pa.array(
+                         np.asarray(mt["n"].to_numpy(zero_copy_only=False),
+                                    dtype=np.int64), pa.int64())})
+
+
 #: q119 distance-transform cap (hex steps); cells farther than this from
 #: every target cell collapse to DIST_K + 1 (the "far" bucket)
 DIST_K = 4
@@ -8093,6 +8196,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q181_downscale": spatialsql.q181_sql(),
         "q182_flow_rose": spatialsql.q182_sql(ROSE_DIRS, ROSE_BIN_LO),
         "q183_staypoints": spatialsql.q183_sql(),
+        "q185_path_motifs": spatialsql.q185_sql(MOTIF_TOPK),
     }
 
 

@@ -1587,6 +1587,27 @@ SELECT CAST(cell AS UBIGINT) AS cell, COUNT(*)::BIGINT AS n_stays,
 FROM st GROUP BY cell"""
 
 
+def q185_sql(k: int) -> str:
+    """q185 oracle: path motifs via double-LAG windows over the
+    captures mirror (PARTITION BY host ORDER BY ts_us, url), the same
+    movement filter, a plain GROUP BY, and ORDER BY/LIMIT — never the
+    host exchange, triple partials, or the block top-K merge."""
+    return f"""WITH {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+w AS (SELECT cell_r7 AS c3,
+             LAG(cell_r7) OVER
+               (PARTITION BY host ORDER BY ts_us, url) AS c2,
+             LAG(cell_r7, 2) OVER
+               (PARTITION BY host ORDER BY ts_us, url) AS c1
+      FROM seq),
+m AS (SELECT c1, c2, c3, COUNT(*)::BIGINT AS n_trips
+      FROM w
+      WHERE c1 IS NOT NULL AND c1 <> c2 AND c2 <> c3
+      GROUP BY 1, 2, 3)
+SELECT c1, c2, c3, n_trips
+FROM m ORDER BY n_trips DESC, c1, c2, c3 LIMIT {k}"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

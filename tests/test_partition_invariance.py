@@ -68,6 +68,7 @@ QUERIES = [
     "downscale_query",           # q181: cell-count exchange + child split
     "flow_rose_query",           # q182: OD unpack + 18-bin partials
     "staypoint_query",           # q183: host exchange + stay-run fold
+    "path_motif_query",          # q185: triple exchange + top-K merge
 ]
 
 
