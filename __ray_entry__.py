@@ -366,6 +366,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q182_flow_rose": es.flow_rose_query,
             "q183_staypoints": es.staypoint_query,
             "q185_path_motifs": es.path_motif_query,
+            "q186_speed_profile": es.speed_profile_query,
         }
     )
     return out

@@ -4954,6 +4954,109 @@ def path_motif_query(sf_dir: str):
                                     dtype=np.int64), pa.int64())})
 
 
+#: q186 speed-bin thresholds in hex steps per day — frozen; the compare is
+#: the exact integer cross-multiplication dist·86400e6 vs dt_us·T
+SPEED_BINS_PER_DAY = (1, 8)
+
+
+def speed_profile_query(sf_dir: str):
+    """q186: trajectory speed profile — every movement (consecutive
+    captures of one host in DIFFERENT res-7 cells, q124 time order)
+    classified into 3 speed bins by exact integer cross-multiplication
+    (dist_steps·86400·10⁶ ≤ dt_us·T ⇔ speed ≤ T steps/day — no
+    division, no float): slow ≤ 1, medium ≤ 8, fast > 8. Per bin:
+    n_moves, total hex-step distance, total elapsed µs. The KINEMATIC
+    member of the mobility family — q124 counts transitions, q182
+    their directions, q183 time in place; none relates distance to
+    elapsed time. 3-row spine keeps empty bins.
+
+    Shape: the q124 host-keyed exchange + per-block multi-key sort +
+    adjacent pairs (Arrow slice-equality host runs) → closed-form
+    axial distance on unpacked coords → 3-bin integer partials → ONE
+    tiny keyed Sum. Oracle: spatialsql.q186_sql — LAG windows + the
+    same closed-form distance + CASE cross-multiplication compares +
+    a VALUES spine."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["host", "url", "warc_ts", "h3_r7", "has_geo"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(t["has_geo"])
+        return t.select(["host", "url", "warc_ts", "h3_r7"])
+
+    rows = pts.map_batches(narrow, batch_format="pyarrow")
+    rows = rows.repartition(default_partitions(), keys=["host"], sort=False)
+    mask30 = np.uint64((1 << 30) - 1)
+    bias = np.int64(1 << 29)
+    t1, t2 = SPEED_BINS_PER_DAY
+    day_us = 86_400_000_000
+
+    def partials(block: pa.Table) -> pa.Table:
+        empty = pa.table({"speed_bin": pa.array([], pa.int64()),
+                          "n_moves": pa.array([], pa.int64()),
+                          "total_steps": pa.array([], pa.int64()),
+                          "total_dt_us": pa.array([], pa.int64())})
+        if block.num_rows < 2:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("host", "ascending"),
+                                                  ("warc_ts", "ascending"),
+                                                  ("url", "ascending")])
+        block = block.take(order).combine_chunks()
+        h = block["host"].combine_chunks()
+        same = np.asarray(pc.equal(h.slice(1), h.slice(0, len(h) - 1))
+                          .to_numpy(zero_copy_only=False), dtype=bool)
+        c = np.asarray(block["h3_r7"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        ts = np.asarray(pc.cast(block["warc_ts"], pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        q = ((c >> np.uint64(30)) & mask30).astype(np.int64) - bias
+        r = (c & mask30).astype(np.int64) - bias
+        move = same & (c[1:] != c[:-1])
+        dq = (q[1:] - q[:-1])[move]
+        dr = (r[1:] - r[:-1])[move]
+        dt = (ts[1:] - ts[:-1])[move]
+        if not len(dq):
+            return empty
+        dist = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+        s_num = dist * day_us
+        b = np.where(s_num <= dt * t1, 0, np.where(s_num <= dt * t2, 1, 2))
+        n = np.bincount(b, minlength=3).astype(np.int64)
+        sd = np.zeros(3, np.int64)
+        st = np.zeros(3, np.int64)
+        np.add.at(sd, b, dist)
+        np.add.at(st, b, dt)
+        return pa.table({"speed_bin": pa.array(np.arange(3), pa.int64()),
+                         "n_moves": pa.array(n, pa.int64()),
+                         "total_steps": pa.array(sd, pa.int64()),
+                         "total_dt_us": pa.array(st, pa.int64())})
+
+    agg = rows.map_batches(partials, batch_format="pyarrow",
+                           batch_size=None).groupby(
+        "speed_bin", num_partitions=1).aggregate(
+        Sum("n_moves", alias_name="n_moves"),
+        Sum("total_steps", alias_name="total_steps"),
+        Sum("total_dt_us", alias_name="total_dt_us"))
+    out = np.zeros((3, 3), np.int64)
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            b = np.asarray(t["speed_bin"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            for j, col in enumerate(("n_moves", "total_steps",
+                                     "total_dt_us")):
+                out[b, j] = np.asarray(
+                    t[col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    return pa.table({"speed_bin": pa.array(np.arange(3), pa.int64()),
+                     "n_moves": pa.array(out[:, 0], pa.int64()),
+                     "total_steps": pa.array(out[:, 1], pa.int64()),
+                     "total_dt_us": pa.array(out[:, 2], pa.int64())})
+
+
 #: q119 distance-transform cap (hex steps); cells farther than this from
 #: every target cell collapse to DIST_K + 1 (the "far" bucket)
 DIST_K = 4
@@ -8197,6 +8300,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q182_flow_rose": spatialsql.q182_sql(ROSE_DIRS, ROSE_BIN_LO),
         "q183_staypoints": spatialsql.q183_sql(),
         "q185_path_motifs": spatialsql.q185_sql(MOTIF_TOPK),
+        "q186_speed_profile": spatialsql.q186_sql(*SPEED_BINS_PER_DAY),
     }
 
 

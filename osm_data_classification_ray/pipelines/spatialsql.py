@@ -1608,6 +1608,49 @@ SELECT c1, c2, c3, n_trips
 FROM m ORDER BY n_trips DESC, c1, c2, c3 LIMIT {k}"""
 
 
+def q186_sql(t1: int, t2: int) -> str:
+    """q186 oracle: speed profile via LAG windows over the captures
+    mirror, the closed-form axial distance on unpacked coords, the
+    identical integer cross-multiplication bin compares, and a VALUES
+    spine. Never sees the host exchange or the 3-bin partials."""
+    mask = (1 << 30) - 1
+    day = 86_400_000_000
+    return f"""WITH {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+w AS (SELECT host, ts_us, cell_r7,
+             LAG(cell_r7) OVER
+               (PARTITION BY host ORDER BY ts_us, url) AS pc,
+             LAG(ts_us) OVER
+               (PARTITION BY host ORDER BY ts_us, url) AS pt
+      FROM seq),
+mv AS (
+  SELECT CAST((cell_r7 >> 30) & {mask} AS BIGINT)
+           - CAST((pc >> 30) & {mask} AS BIGINT) AS dq,
+         CAST(cell_r7 & {mask} AS BIGINT)
+           - CAST(pc & {mask} AS BIGINT) AS dr,
+         ts_us - pt AS dt
+  FROM w WHERE pc IS NOT NULL AND pc <> cell_r7
+),
+d AS (SELECT (abs(dq) + abs(dr) + abs(dq + dr)) // 2 AS dist, dt FROM mv),
+b AS (
+  SELECT CASE WHEN dist * {day} <= dt * {t1} THEN 0
+              WHEN dist * {day} <= dt * {t2} THEN 1 ELSE 2 END AS speed_bin,
+         dist, dt
+  FROM d
+),
+agg AS (SELECT speed_bin, COUNT(*)::BIGINT AS n_moves,
+               CAST(SUM(dist) AS BIGINT) AS total_steps,
+               CAST(SUM(dt) AS BIGINT) AS total_dt_us
+        FROM b GROUP BY 1),
+spine AS (SELECT CAST(v.b AS BIGINT) AS speed_bin
+          FROM (VALUES (0), (1), (2)) v(b))
+SELECT spine.speed_bin,
+       CAST(COALESCE(agg.n_moves, 0) AS BIGINT) AS n_moves,
+       CAST(COALESCE(agg.total_steps, 0) AS BIGINT) AS total_steps,
+       CAST(COALESCE(agg.total_dt_us, 0) AS BIGINT) AS total_dt_us
+FROM spine LEFT JOIN agg ON agg.speed_bin = spine.speed_bin"""
+
+
 def q172_sql(benford_e6) -> str:
     """q172 oracle: Benford conformity rebuilt independently — leading
     digit via SUBSTR(CAST(n AS VARCHAR), 1, 1) (the engine divides down

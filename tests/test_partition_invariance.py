@@ -69,6 +69,7 @@ QUERIES = [
     "flow_rose_query",           # q182: OD unpack + 18-bin partials
     "staypoint_query",           # q183: host exchange + stay-run fold
     "path_motif_query",          # q185: triple exchange + top-K merge
+    "speed_profile_query",       # q186: host exchange + 3-bin partials
 ]
 
 
