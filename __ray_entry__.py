@@ -367,6 +367,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q183_staypoints": es.staypoint_query,
             "q185_path_motifs": es.path_motif_query,
             "q186_speed_profile": es.speed_profile_query,
+            "q187_clq_counts": es.clq_query,
         }
     )
     return out

@@ -425,17 +425,20 @@ RADIUS_MICRODEG = 200_000
 
 
 def _radius_pages(sf_dir: str, with_ts: bool = False,
-                  with_tokens: bool = False):
-    """Shared q85/q106/q108/q109/q111 input: latest geocoded pages keyed
-    by a unique int64 doc_id for the ghost exchange (urls never ship
-    through it). ``with_ts`` carries the capture timestamp (µs int64) for
-    spatiotemporal consumers (q109); ``with_tokens`` carries n_tokens for
-    value-weighted consumers (q111) — extra columns ride the one
-    materialize, never the exchange."""
+                  with_tokens: bool = False, with_lang: bool = False):
+    """Shared q85/q106/q108/q109/q111/q187 input: latest geocoded pages
+    keyed by a unique int64 doc_id for the ghost exchange (urls never
+    ship through it). ``with_ts`` carries the capture timestamp (µs
+    int64) for spatiotemporal consumers (q109); ``with_tokens`` carries
+    n_tokens for value-weighted consumers (q111); ``with_lang`` carries
+    the en-class bit for categorical consumers (q187) — extra columns
+    ride the one materialize, never the exchange."""
     cfg, _ = ensure_outputs(sf_dir)
     cols = ["url", "lat", "lon", "warc_ts", "has_geo", "is_latest"]
     if with_tokens:
         cols.append("n_tokens")
+    if with_lang:
+        cols.append("lang")
     pages = spatial.read_stage(cfg.out_root, "captures", cols)
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -452,6 +455,10 @@ def _radius_pages(sf_dir: str, with_ts: bool = False,
             out["ts_us"] = pa.array(ts_us, pa.int64())
         if with_tokens:
             out["n_tokens"] = t["n_tokens"]
+        if with_lang:
+            out["en"] = pc.cast(
+                pc.equal(t["lang"], pa.scalar("en", pa.string())),
+                pa.int64())
         return pa.table(out)
 
     return pages.map_batches(keyed, batch_format="pyarrow")
@@ -557,6 +564,110 @@ def nn_distance_query(sf_dir: str):
                       default_partitions())
     return out.map_batches(
         lambda t: t.select(["url", "min_d2"]), batch_format="pyarrow")
+
+
+def clq_query(sf_dir: str):
+    """q187: colocation-quotient counts — the categorical nearest-
+    neighbor interaction table of point-pattern analysis: for every
+    latest geocoded page with a neighbor inside the q85 band, find its
+    NEAREST neighbor (min squared microdegree distance, ties → smallest
+    doc_id) and tally the 2×2 class table (self en × neighbor en) —
+    the CLQ numerators ("do English pages neighbor English pages more
+    than chance?"). Neither q108 (distance only, no identity) nor q170
+    (lag-binned counts, no nearest) expresses nearest-neighbor TYPE
+    affinity. Output: 4 rows (self_en, nn_en, n), zero combos kept.
+
+    Shape: the shared ghost-exchange core (radius_pair_ids — int64 ids
+    only) → symmetric expand carrying the OTHER id → doc-keyed
+    exchange → per-doc lexsort argmin (d2, then id) → the en-class bit
+    attached onto BOTH sides via the sparse-safe _attach_url lookup
+    exchanges (the q109 value-column generalization) → tiny 4-bin
+    aggregate. Oracle: spatialsql.q187_sql — the brute-force band
+    self-join + a (d2, id) window rank + conditional counts, with
+    doc ids re-derived through the SQL timestamp inversion."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages import radius
+    from ..stages.radius import _attach_url
+
+    pages, idpairs = radius.radius_pair_ids(
+        _radius_pages(sf_dir, with_lang=True), RADIUS_MICRODEG,
+        default_partitions(), hot_threshold=100_000)
+
+    def sym(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        d2 = np.asarray(t["d2"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        return pa.table({"doc_id": pa.array(np.r_[ia, ib], pa.int64()),
+                         "nn_id": pa.array(np.r_[ib, ia], pa.int64()),
+                         "d2": pa.array(np.r_[d2, d2], pa.int64())})
+
+    both = idpairs.map_batches(sym, batch_format="pyarrow")
+    both = both.repartition(default_partitions(), keys=["doc_id"],
+                            sort=False)
+
+    def per_doc_nn(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "nn_id": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        doc = np.asarray(block["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        nn = np.asarray(block["nn_id"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        d2 = np.asarray(block["d2"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        order = np.lexsort((nn, d2, doc))
+        doc, nn = doc[order], nn[order]
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        return pa.table({"doc_id": pa.array(doc[starts], pa.int64()),
+                         "nn_id": pa.array(nn[starts], pa.int64())})
+
+    nn = both.map_batches(per_doc_nn, batch_format="pyarrow",
+                          batch_size=None)
+    classes = pages.map_batches(
+        lambda t: t.select(["doc_id", "en"]), batch_format="pyarrow")
+    s1 = _attach_url(nn, classes, "doc_id", "self_en",
+                     [("doc_id", pa.int64()), ("nn_id", pa.int64())],
+                     default_partitions(), val_col="en",
+                     val_type=pa.int64())
+    s2 = _attach_url(s1, classes, "nn_id", "nn_en",
+                     [("doc_id", pa.int64()), ("nn_id", pa.int64()),
+                      ("self_en", pa.int64())],
+                     default_partitions(), val_col="en",
+                     val_type=pa.int64())
+
+    def bins(t: pa.Table) -> pa.Table:
+        se = np.asarray(t["self_en"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ne = np.asarray(t["nn_en"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        n = np.bincount(se * 2 + ne, minlength=4).astype(np.int64)
+        idx = np.arange(4, dtype=np.int64)
+        return pa.table({"self_en": pa.array(idx // 2, pa.int64()),
+                         "nn_en": pa.array(idx % 2, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    agg = s2.map_batches(bins, batch_format="pyarrow").groupby(
+        ["self_en", "nn_en"], num_partitions=1).aggregate(
+        Sum("n", alias_name="n"))
+    out = np.zeros(4, np.int64)
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            se = np.asarray(t["self_en"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            ne = np.asarray(t["nn_en"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            out[se * 2 + ne] = np.asarray(
+                t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    idx = np.arange(4, dtype=np.int64)
+    return pa.table({"self_en": pa.array(idx // 2, pa.int64()),
+                     "nn_en": pa.array(idx % 2, pa.int64()),
+                     "n": pa.array(out, pa.int64())})
 
 
 #: q112 density threshold: cells with >= this many latest geocoded pages
@@ -8301,6 +8412,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q183_staypoints": spatialsql.q183_sql(),
         "q185_path_motifs": spatialsql.q185_sql(MOTIF_TOPK),
         "q186_speed_profile": spatialsql.q186_sql(*SPEED_BINS_PER_DAY),
+        "q187_clq_counts": spatialsql.q187_sql(RADIUS_MICRODEG),
     }
 
 

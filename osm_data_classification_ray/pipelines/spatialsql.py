@@ -447,6 +447,52 @@ sym AS (
 SELECT url, MIN(d2)::BIGINT AS min_d2 FROM sym GROUP BY url"""
 
 
+def q187_sql(radius: int) -> str:
+    """q187 oracle: CLQ nearest-neighbor class table via the brute-force
+    q85 band self-join, a (d2, nn_id) window rank, and conditional
+    counts — doc ids re-derived through the SQL timestamp inversion
+    (ts_us = EPOCH + doc_id·977 s), VALUES spine keeps zero combos.
+    Never sees the ghost exchange, the argmin fold, or the lookup
+    exchanges."""
+    return f"""WITH {captures_ctes()},
+pts AS (SELECT (ts_us - 1704067200000000) // 977000000 AS did,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+               CAST(ROUND(lat * 1000000.0) AS BIGINT) AS ilat,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS ilon
+        FROM cap WHERE has_geo AND is_latest),
+pr AS (
+  SELECT a.did AS da, a.en AS ea, b.did AS db, b.en AS eb,
+         (a.ilat - b.ilat) * (a.ilat - b.ilat)
+       + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS d2
+  FROM pts a JOIN pts b
+    ON a.did < b.did
+   AND ABS(a.ilat - b.ilat) <= {radius} AND ABS(a.ilon - b.ilon) <= {radius}
+  WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
+      + (a.ilon - b.ilon) * (a.ilon - b.ilon)
+      <= CAST({radius} AS BIGINT) * {radius}
+),
+sym AS (
+  SELECT da AS did, ea AS en, db AS nn, eb AS nen, d2 FROM pr
+  UNION ALL
+  SELECT db, eb, da, ea, d2 FROM pr
+),
+best AS (
+  SELECT did, en, nn, nen,
+         ROW_NUMBER() OVER (PARTITION BY did ORDER BY d2 ASC, nn ASC)
+           AS rn
+  FROM sym
+),
+agg AS (SELECT en AS self_en, nen AS nn_en, COUNT(*)::BIGINT AS n
+        FROM best WHERE rn = 1 GROUP BY 1, 2),
+spine AS (SELECT CAST(v.s AS BIGINT) AS self_en, CAST(v.t AS BIGINT)
+            AS nn_en
+          FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) v(s, t))
+SELECT spine.self_en, spine.nn_en,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n
+FROM spine LEFT JOIN agg ON agg.self_en = spine.self_en
+                        AND agg.nn_en = spine.nn_en"""
+
+
 def q112_sql(minpts: int) -> str:
     """q112 oracle: region labeling rebuilt independently — occupied/core
     res-5 cells from the captures mirror, adjacency as the q97 axial

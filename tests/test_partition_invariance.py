@@ -70,6 +70,7 @@ QUERIES = [
     "staypoint_query",           # q183: host exchange + stay-run fold
     "path_motif_query",          # q185: triple exchange + top-K merge
     "speed_profile_query",       # q186: host exchange + 3-bin partials
+    "clq_query",                 # q187: ghost exchange + argmin + lookups
 ]
 
 
