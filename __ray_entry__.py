@@ -368,6 +368,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q185_path_motifs": es.path_motif_query,
             "q186_speed_profile": es.speed_profile_query,
             "q187_clq_counts": es.clq_query,
+            "q188_fractal_dim": es.fractal_dim_query,
         }
     )
     return out

@@ -670,6 +670,80 @@ def clq_query(sf_dir: str):
                      "n": pa.array(out, pa.int64())})
 
 
+#: q188 ln 2 in half-up micro-nats — FROZEN contract literal (the box-size
+#: axis is exact multiples of it; no runtime log whose rounding could
+#: diverge)
+LN2_E6 = 693147
+
+
+def fractal_dim_query(sf_dir: str):
+    """q188: box-counting fractal dimension of the page point set — the
+    occupied-cell counts N_r at every resolution 5..9 (box size halves
+    per level) regressed on the log-log line: dimension D = −slope of
+    y_r = ⌊ln N_r·10⁶+½⌋ against x_r = (9−r)·LN2_E6. The classic
+    measure of how "space-filling" web activity is (D→2 uniform sheet,
+    D→0 isolated points) — the SCALING-LAW member of the spatial-
+    statistics family: q164 fits Zipf's rank-size law, this fits the
+    box-counting law across the q149 pyramid. One row: (n_res,
+    n_r5..n_r9, slope_num, slope_den, dim_e6); moments are exact int64
+    (5 points, bounded magnitudes), the final ratio one frozen float.
+
+    Shape: rides the q149 single-pass pyramid (parent bit math, one
+    keyed exchange) → per-block per-res occupied-cell partials → tiny
+    5-row Sum → driver closed-form moments. Oracle: spatialsql.q188_sql
+    — five independent hexgrid-in-SQL groupings + COUNT per res +
+    identical LN/moment expressions."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    pyr = tile_pyramid_query(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["res"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        u, c = np.unique(r, return_counts=True)
+        return pa.table({"res": pa.array(u, pa.int64()),
+                         "n_cells": pa.array(c.astype(np.int64),
+                                             pa.int64())})
+
+    agg = pyr.map_batches(partials, batch_format="pyarrow").groupby(
+        "res", num_partitions=1).aggregate(Sum("n_cells",
+                                               alias_name="n_cells"))
+    counts = np.zeros(5, np.int64)
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            rr = np.asarray(t["res"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            counts[rr - 5] = np.asarray(
+                t["n_cells"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+    empty = pa.table({k: pa.array([], pa.int64())
+                      for k in ("n_res", "n_r5", "n_r6", "n_r7", "n_r8",
+                                "n_r9", "slope_num", "slope_den",
+                                "dim_e6")})
+    if (counts <= 0).any():
+        return empty
+    x = np.array([(9 - r) * LN2_E6 for r in range(5, 10)], np.int64)
+    y = np.fromiter((math.floor(math.log(float(int(n))) * 1e6 + 0.5)
+                     for n in counts), dtype=np.int64, count=5)
+    n = 5
+    num = int(n * int((x * y).sum()) - int(x.sum()) * int(y.sum()))
+    den = int(n * int((x * x).sum()) - int(x.sum()) ** 2)
+    dim = math.floor(float(-num) * 1000000.0 / float(den) + 0.5)
+    return pa.table({
+        "n_res": pa.array([n], pa.int64()),
+        "n_r5": pa.array([int(counts[0])], pa.int64()),
+        "n_r6": pa.array([int(counts[1])], pa.int64()),
+        "n_r7": pa.array([int(counts[2])], pa.int64()),
+        "n_r8": pa.array([int(counts[3])], pa.int64()),
+        "n_r9": pa.array([int(counts[4])], pa.int64()),
+        "slope_num": pa.array([num], pa.int64()),
+        "slope_den": pa.array([den], pa.int64()),
+        "dim_e6": pa.array([int(dim)], pa.int64())})
+
+
 #: q112 density threshold: cells with >= this many latest geocoded pages
 #: participate in region labeling (1 = every occupied cell — classic
 #: raster connected-component labeling; higher = DBSCAN-style core cells)
@@ -8413,6 +8487,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q185_path_motifs": spatialsql.q185_sql(MOTIF_TOPK),
         "q186_speed_profile": spatialsql.q186_sql(*SPEED_BINS_PER_DAY),
         "q187_clq_counts": spatialsql.q187_sql(RADIUS_MICRODEG),
+        "q188_fractal_dim": spatialsql.q188_sql(LN2_E6),
     }
 
 

@@ -493,6 +493,45 @@ FROM spine LEFT JOIN agg ON agg.self_en = spine.self_en
                         AND agg.nn_en = spine.nn_en"""
 
 
+def q188_sql(ln2_e6: int) -> str:
+    """q188 oracle: box-counting dimension from five INDEPENDENT
+    hexgrid-in-SQL per-res distinct-cell counts (never the engine's
+    parent bit math), the identical micro-nat LN, exact BIGINT moments,
+    and the same frozen final ratio expression."""
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS res, "
+        f"(SELECT COUNT(DISTINCT cell_r{r})::BIGINT FROM cap "
+        f"WHERE has_geo AND is_latest) AS n"
+        for r in (5, 6, 7, 8, 9))
+    return f"""WITH {captures_ctes()},
+rows_ AS ({rows}),
+xy AS (SELECT res, n, CAST((9 - res) * {ln2_e6} AS BIGINT) AS x,
+              CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) AS y
+       FROM rows_),
+m AS (SELECT COUNT(*)::BIGINT AS k,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             MAX(CASE WHEN res = 5 THEN n END) AS n5,
+             MAX(CASE WHEN res = 6 THEN n END) AS n6,
+             MAX(CASE WHEN res = 7 THEN n END) AS n7,
+             MAX(CASE WHEN res = 8 THEN n END) AS n8,
+             MAX(CASE WHEN res = 9 THEN n END) AS n9
+      FROM xy)
+SELECT k AS n_res,
+       CAST(n5 AS BIGINT) AS n_r5, CAST(n6 AS BIGINT) AS n_r6,
+       CAST(n7 AS BIGINT) AS n_r7, CAST(n8 AS BIGINT) AS n_r8,
+       CAST(n9 AS BIGINT) AS n_r9,
+       CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(FLOOR(CAST(-(k * sxy - sx * sy) AS DOUBLE) * 1000000.0
+                  / CAST(k * sxx - sx * sx AS DOUBLE) + 0.5) AS BIGINT)
+         AS dim_e6
+FROM m"""
+
+
 def q112_sql(minpts: int) -> str:
     """q112 oracle: region labeling rebuilt independently — occupied/core
     res-5 cells from the captures mirror, adjacency as the q97 axial

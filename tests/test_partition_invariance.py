@@ -71,6 +71,7 @@ QUERIES = [
     "path_motif_query",          # q185: triple exchange + top-K merge
     "speed_profile_query",       # q186: host exchange + 3-bin partials
     "clq_query",                 # q187: ghost exchange + argmin + lookups
+    "fractal_dim_query",         # q188: pyramid ride + 5-row moments
 ]
 
 
