@@ -369,6 +369,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q186_speed_profile": es.speed_profile_query,
             "q187_clq_counts": es.clq_query,
             "q188_fractal_dim": es.fractal_dim_query,
+            "q189_distance_decay": es.distance_decay_query,
         }
     )
     return out

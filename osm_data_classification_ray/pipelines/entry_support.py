@@ -744,6 +744,70 @@ def fractal_dim_query(sf_dir: str):
         "dim_e6": pa.array([int(dim)], pa.int64())})
 
 
+def distance_decay_query(sf_dir: str):
+    """q189: distance-decay (gravity-model) calibration — the
+    spatial-interaction fit of regional science: regress y =
+    ⌊ln(n_moves)·10⁶+½⌋ (micro-nats) against x = hex-step distance
+    over the OD flow matrix (movements only, d ≥ 1); slope_e6 < 0 is
+    the decay coefficient β in F ∝ e^(−β·d) ("how fast does traffic
+    fall with distance?"). The CALIBRATION member beside q121 (which
+    APPLIES a fixed linear kernel) and q164 (the rank-size law on
+    counts, not interaction). One summary row: (n_pairs, sum_d,
+    sum_ln_e6, slope_e6) — the q164 output convention: exact Python-
+    int cross moments (they overflow int64 at scale), one frozen
+    float ratio.
+
+    Shape: rides the q124 pipeline's bounded output → driver-side
+    collect of the settled OD matrix (bounded by the cell-pair
+    universe — the q164/q144 convention, never raw captures) → exact
+    integer fold. Oracle: spatialsql.q189_sql — the q124 LAG mirror +
+    closed-form axial distance + identical LN + HUGEINT sums."""
+    import math
+
+    import ray
+
+    od = od_flow_query(sf_dir)
+    parts = [x for x in ray.get(od.to_arrow_refs()) if x.num_rows]
+    empty = pa.table({k: pa.array([], pa.int64())
+                      for k in ("n_pairs", "sum_d", "sum_ln_e6",
+                                "slope_e6")})
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    mask30 = np.uint64((1 << 30) - 1)
+    f = np.asarray(t["cell_from"].to_numpy(zero_copy_only=False),
+                   dtype=np.uint64)
+    to = np.asarray(t["cell_to"].to_numpy(zero_copy_only=False),
+                    dtype=np.uint64)
+    nm = np.asarray(t["n_moves"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    dq = ((to >> np.uint64(30)) & mask30).astype(np.int64) \
+        - ((f >> np.uint64(30)) & mask30).astype(np.int64)
+    dr = (to & mask30).astype(np.int64) - (f & mask30).astype(np.int64)
+    d = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+    keep = d >= 1
+    d, nm = d[keep], nm[keep]
+    if not len(d):
+        return empty
+    y = np.fromiter((math.floor(math.log(float(int(n))) * 1e6 + 0.5)
+                     for n in nm), dtype=np.int64, count=len(nm))
+    k = len(d)
+    sx = int(d.sum())
+    sy = sum(int(v) for v in y)
+    sxy = sum(int(a) * int(b) for a, b in zip(d, y))
+    sxx = sum(int(a) * int(a) for a in d)
+    den = k * sxx - sx * sx
+    if den == 0:
+        slope = 0
+    else:
+        slope = math.floor(float(k * sxy - sx * sy) * 1000000.0
+                           / float(den) + 0.5)
+    return pa.table({"n_pairs": pa.array([k], pa.int64()),
+                     "sum_d": pa.array([sx], pa.int64()),
+                     "sum_ln_e6": pa.array([sy], pa.int64()),
+                     "slope_e6": pa.array([int(slope)], pa.int64())})
+
+
 #: q112 density threshold: cells with >= this many latest geocoded pages
 #: participate in region labeling (1 = every occupied cell — classic
 #: raster connected-component labeling; higher = DBSCAN-style core cells)
@@ -8488,6 +8552,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q186_speed_profile": spatialsql.q186_sql(*SPEED_BINS_PER_DAY),
         "q187_clq_counts": spatialsql.q187_sql(RADIUS_MICRODEG),
         "q188_fractal_dim": spatialsql.q188_sql(LN2_E6),
+        "q189_distance_decay": spatialsql.q189_sql(),
     }
 
 

@@ -532,6 +532,48 @@ SELECT k AS n_res,
 FROM m"""
 
 
+def q189_sql() -> str:
+    """q189 oracle: distance-decay slope via the q124 LAG mirror, the
+    closed-form axial distance, the identical micro-nat LN, HUGEINT
+    cross moments, and the same frozen final ratio (CASE-guarded zero
+    denominator). Never sees the engine's driver fold."""
+    mask = (1 << 30) - 1
+    return f"""WITH {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+p AS (SELECT cell_r7 AS cell_to,
+             LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+               AS cell_from
+      FROM seq),
+odp AS (SELECT cell_from, cell_to, COUNT(*)::BIGINT AS n_moves
+        FROM p WHERE cell_from IS NOT NULL GROUP BY 1, 2),
+v AS (
+  SELECT n_moves,
+         (abs(CAST((cell_to >> 30) & {mask} AS BIGINT)
+              - CAST((cell_from >> 30) & {mask} AS BIGINT))
+        + abs(CAST(cell_to & {mask} AS BIGINT)
+              - CAST(cell_from & {mask} AS BIGINT))
+        + abs(CAST((cell_to >> 30) & {mask} AS BIGINT)
+              - CAST((cell_from >> 30) & {mask} AS BIGINT)
+              + CAST(cell_to & {mask} AS BIGINT)
+              - CAST(cell_from & {mask} AS BIGINT))) // 2 AS d
+  FROM odp
+),
+xy AS (SELECT CAST(d AS HUGEINT) AS x,
+              CAST(CAST(FLOOR(LN(CAST(n_moves AS DOUBLE)) * 1000000.0
+                              + 0.5) AS BIGINT) AS HUGEINT) AS y
+       FROM v WHERE d >= 1),
+m AS (SELECT COUNT(*)::HUGEINT AS k, SUM(x * y) AS sxy, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x * x) AS sxx
+      FROM xy)
+SELECT CAST(k AS BIGINT) AS n_pairs, CAST(sx AS BIGINT) AS sum_d,
+       CAST(sy AS BIGINT) AS sum_ln_e6,
+       CASE WHEN k IS NULL OR (k * sxx - sx * sx) = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(k * sxy - sx * sy AS DOUBLE) * 1000000.0
+                            / CAST(k * sxx - sx * sx AS DOUBLE)
+                            + 0.5) AS BIGINT) END AS slope_e6
+FROM m"""
+
+
 def q112_sql(minpts: int) -> str:
     """q112 oracle: region labeling rebuilt independently — occupied/core
     res-5 cells from the captures mirror, adjacency as the q97 axial

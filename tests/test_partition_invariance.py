@@ -72,6 +72,7 @@ QUERIES = [
     "speed_profile_query",       # q186: host exchange + 3-bin partials
     "clq_query",                 # q187: ghost exchange + argmin + lookups
     "fractal_dim_query",         # q188: pyramid ride + 5-row moments
+    "distance_decay_query",      # q189: OD collect + exact fold
 ]
 
 
