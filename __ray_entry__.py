@@ -370,6 +370,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q187_clq_counts": es.clq_query,
             "q188_fractal_dim": es.fractal_dim_query,
             "q189_distance_decay": es.distance_decay_query,
+            "q190_spatial_modularity": es.modularity_query,
         }
     )
     return out

@@ -808,6 +808,118 @@ def distance_decay_query(sf_dir: str):
                      "slope_e6": pa.array([int(slope)], pa.int64())})
 
 
+def modularity_query(sf_dir: str):
+    """q190: modularity evaluation of the SPATIAL partition on the
+    OD-flow graph — communities are the res-5 parents of the res-7
+    nodes, and per community the exact Newman-modularity ingredients:
+    n_nodes, within-community edge count e_c, degree mass d_c, and the
+    scaled term numerator 4·m·e_c − d_c² (global Q = Σ terms / 4m²;
+    positive Σ ⇒ mobility is spatially assortative — flows stay inside
+    coarse regions more than a random wiring would). The partition-
+    QUALITY statistic of graph analytics: q132/q143/q158/q160/q180
+    score nodes or edges; none scores a PARTITION. Int64 bound:
+    4·m·e_c needs m·e_c < 2⁶¹ — edge counts of a thresholded derived
+    graph, documented headroom far past any earthly OD matrix.
+
+    Shape: the shared q176 edge pipeline → per-block partials with
+    communities from pure parent bit math (cell_to_parent, no
+    exchange) → ONE community-keyed Sum exchange (bounded by the res-5
+    universe) + a (comm, node) distinct exchange for n_nodes + a tiny
+    edge-count aggregate. Oracle: spatialsql.q190_sql — communities
+    re-derived from the mirror's own INDEPENDENT cell_r5 column (the
+    parent-chain law makes r5 a function of r7; the mirror computes
+    both from coordinates, never the engine's halving) + conditional
+    aggregation."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..cellmath import hexgrid
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    edges = _od_undirected_edges(sf_dir)
+    m_edges = edges.count()
+    empty = pa.table({"comm": pa.array([], pa.uint64()),
+                      "n_nodes": pa.array([], pa.int64()),
+                      "deg_sum": pa.array([], pa.int64()),
+                      "e_within": pa.array([], pa.int64()),
+                      "q_term_num": pa.array([], pa.int64())})
+    if m_edges == 0:
+        return empty
+
+    def partials(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        ca = hexgrid.cell_to_parent(a, 5).view(np.int64)
+        cb = hexgrid.cell_to_parent(b, 5).view(np.int64)
+        comm = np.r_[ca, cb]
+        deg = np.ones(len(comm), np.int64)
+        within = np.r_[(ca == cb).astype(np.int64),
+                       np.zeros(len(cb), np.int64)]
+        order = np.argsort(comm, kind="stable")
+        comm, deg, within = comm[order], deg[order], within[order]
+        starts = np.flatnonzero(np.r_[True, comm[1:] != comm[:-1]])
+        return pa.table({
+            "comm": pa.array(comm[starts], pa.int64()),
+            "deg": pa.array(np.add.reduceat(deg, starts), pa.int64()),
+            "e_within": pa.array(np.add.reduceat(within, starts),
+                                 pa.int64())})
+
+    agg = edges.map_batches(partials, batch_format="pyarrow").groupby(
+        "comm", num_partitions=default_partitions()).aggregate(
+        Sum("deg", alias_name="deg_sum"),
+        Sum("e_within", alias_name="e_within"))
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        nodes = np.unique(np.r_[a, b])
+        comm = hexgrid.cell_to_parent(nodes, 5).view(np.int64)
+        return pa.table({"comm": pa.array(comm, pa.int64()),
+                         "node": pa.array(nodes.view(np.int64),
+                                          pa.int64())})
+
+    nn = edges.map_batches(node_partial, batch_format="pyarrow").groupby(
+        ["comm", "node"], num_partitions=default_partitions()).aggregate(
+        Count(alias_name="_d")).drop_columns(["_d"])
+    ncount = nn.map_batches(
+        lambda t: pa.table({"comm": t["comm"],
+                            "one": pa.array(np.ones(t.num_rows, np.int64),
+                                            pa.int64())}),
+        batch_format="pyarrow").groupby(
+        "comm", num_partitions=default_partitions()).aggregate(
+        Sum("one", alias_name="n_nodes"))
+
+    at = pa.concat_tables([x for x in ray.get(agg.to_arrow_refs())
+                           if x.num_rows])
+    nt = pa.concat_tables([x for x in ray.get(ncount.to_arrow_refs())
+                           if x.num_rows])
+    ac = np.asarray(at["comm"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    deg = np.asarray(at["deg_sum"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    ew = np.asarray(at["e_within"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    order = np.argsort(ac)
+    ac, deg, ew = ac[order], deg[order], ew[order]
+    nc = np.asarray(nt["comm"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    nv = np.asarray(nt["n_nodes"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    n_nodes = np.zeros(len(ac), np.int64)
+    n_nodes[np.searchsorted(ac, nc)] = nv
+    q_term = 4 * m_edges * ew - deg * deg
+    return pa.table({"comm": pa.array(ac.view(np.uint64), pa.uint64()),
+                     "n_nodes": pa.array(n_nodes, pa.int64()),
+                     "deg_sum": pa.array(deg, pa.int64()),
+                     "e_within": pa.array(ew, pa.int64()),
+                     "q_term_num": pa.array(q_term, pa.int64())})
+
+
 #: q112 density threshold: cells with >= this many latest geocoded pages
 #: participate in region labeling (1 = every occupied cell — classic
 #: raster connected-component labeling; higher = DBSCAN-style core cells)
@@ -8553,6 +8665,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q187_clq_counts": spatialsql.q187_sql(RADIUS_MICRODEG),
         "q188_fractal_dim": spatialsql.q188_sql(LN2_E6),
         "q189_distance_decay": spatialsql.q189_sql(),
+        "q190_spatial_modularity": spatialsql.q190_sql(),
     }
 
 

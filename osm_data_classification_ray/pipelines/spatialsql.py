@@ -574,6 +574,57 @@ SELECT CAST(k AS BIGINT) AS n_pairs, CAST(sx AS BIGINT) AS sum_d,
 FROM m"""
 
 
+def q190_sql() -> str:
+    """q190 oracle: spatial-partition modularity — the q176 edge mirror,
+    communities from the mirror's own cell_r5 (computed independently
+    from coordinates; the parent-chain law makes it a function of
+    cell_r7 — DISTINCT (r7, r5) is one row per node), conditional
+    aggregation for within edges and degree mass, and the same scaled
+    term expression. Never sees the engine's parent bit math."""
+    return f"""WITH {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+p AS (SELECT cell_r7 AS cell_to,
+             LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+               AS cell_from
+      FROM seq),
+odp AS (SELECT cell_from, cell_to FROM p WHERE cell_from IS NOT NULL),
+e AS (SELECT LEAST(cell_from, cell_to) AS a, GREATEST(cell_from, cell_to) AS b
+      FROM odp WHERE cell_from <> cell_to GROUP BY 1, 2),
+r75 AS (SELECT DISTINCT cell_r7, cell_r5 FROM cap WHERE has_geo),
+m AS (SELECT COUNT(*)::BIGINT AS m_edges FROM e),
+ec AS (
+  SELECT ra.cell_r5 AS comm,
+         SUM(CASE WHEN ra.cell_r5 = rb.cell_r5 THEN 1 ELSE 0 END)::BIGINT
+           AS e_within_a
+  FROM e JOIN r75 ra ON ra.cell_r7 = CAST(e.a AS UBIGINT)
+         JOIN r75 rb ON rb.cell_r7 = CAST(e.b AS UBIGINT)
+  GROUP BY 1
+),
+dg AS (
+  SELECT comm, CAST(SUM(d) AS BIGINT) AS deg_sum FROM (
+    SELECT ra.cell_r5 AS comm, COUNT(*)::BIGINT AS d
+    FROM e JOIN r75 ra ON ra.cell_r7 = CAST(e.a AS UBIGINT) GROUP BY 1
+    UNION ALL
+    SELECT rb.cell_r5, COUNT(*)::BIGINT
+    FROM e JOIN r75 rb ON rb.cell_r7 = CAST(e.b AS UBIGINT) GROUP BY 1
+  ) GROUP BY comm
+),
+nd AS (
+  SELECT comm, COUNT(*)::BIGINT AS n_nodes FROM (
+    SELECT DISTINCT r75.cell_r5 AS comm, r75.cell_r7 AS node
+    FROM r75 WHERE r75.cell_r7 IN (
+      SELECT CAST(a AS UBIGINT) FROM e
+      UNION SELECT CAST(b AS UBIGINT) FROM e)
+  ) GROUP BY comm
+)
+SELECT CAST(dg.comm AS UBIGINT) AS comm, nd.n_nodes, dg.deg_sum,
+       CAST(COALESCE(ec.e_within_a, 0) AS BIGINT) AS e_within,
+       CAST(4 * m.m_edges * COALESCE(ec.e_within_a, 0)
+            - dg.deg_sum * dg.deg_sum AS BIGINT) AS q_term_num
+FROM dg JOIN nd USING (comm)
+LEFT JOIN ec ON ec.comm = dg.comm CROSS JOIN m"""
+
+
 def q112_sql(minpts: int) -> str:
     """q112 oracle: region labeling rebuilt independently — occupied/core
     res-5 cells from the captures mirror, adjacency as the q97 axial

@@ -73,6 +73,7 @@ QUERIES = [
     "clq_query",                 # q187: ghost exchange + argmin + lookups
     "fractal_dim_query",         # q188: pyramid ride + 5-row moments
     "distance_decay_query",      # q189: OD collect + exact fold
+    "modularity_query",          # q190: comm partials + two exchanges
 ]
 
 
