@@ -920,6 +920,86 @@ def modularity_query(sf_dir: str):
                      "q_term_num": pa.array(q_term, pa.int64())})
 
 
+def info_gain_query(sf_dir: str):
+    """q191: information gain of language given the winning admin — the
+    feature-informativeness statistic of ML feature selection applied
+    to the spatial partition: IG = H(lang) − H(lang | admin) in exact
+    scaled micro-nats (numerators Σ n·⌊ln(·)·10⁶+½⌋ at mass scale, so
+    IG_num/N is the gain in micro-nats). "Does WHERE a page is tell
+    you WHAT LANGUAGE it is?" — the decision-tree split criterion,
+    evaluated distributed. Distinct from q168 (per-host entropy, no
+    conditioning) and q166 (token KL vs corpus). One row: (n_pages,
+    h_lang_num_e6, h_cond_num_e6, ig_num_e6), all int64.
+
+    Shape: the q171 url-keyed hash join (page_admin ⋈ latest geocoded
+    captures) → per-block (admin, lang) count partials → ONE keyed
+    exchange bounded by admins × languages → driver scalar-libm fold
+    (the q168/q171 ln-term kernel). Oracle: spatialsql.q191_sql — the
+    shared PIP mirror + plain groupings + identical LN terms."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    matched = spatial.read_stage(cfg.out_root, "page_admin",
+                                 ["url", "admin_id"])
+    caps = spatial.read_stage(cfg.out_root, "captures",
+                              ["url", "lang", "has_geo", "is_latest"])
+    caps = caps.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["url", "lang"]),
+        batch_format="pyarrow",
+    )
+    j = matched.join(caps, join_type="inner",
+                     num_partitions=default_partitions(), on=("url",))
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"admin_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["admin_id", "lang"]).aggregate([("lang", "count")])
+        return pa.table({"admin_id": pc.cast(g["admin_id"], pa.int64()),
+                         "lang": g["lang"],
+                         "n": pc.cast(g["lang_count"], pa.int64())})
+
+    agg = j.map_batches(partials, batch_format="pyarrow").groupby(
+        ["admin_id", "lang"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    parts = [x for x in ray.get(agg.to_arrow_refs()) if x.num_rows]
+    empty = pa.table({k: pa.array([], pa.int64())
+                      for k in ("n_pages", "h_lang_num_e6",
+                                "h_cond_num_e6", "ig_num_e6")})
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts).combine_chunks()
+    adm = np.asarray(t["admin_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    lang = t["lang"].to_pylist()            # bounded: admins × languages
+    n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    total = int(n.sum())
+
+    def lnq(a: int, b: int) -> int:
+        return math.floor(math.log(float(a) / float(b)) * 1e6 + 0.5)
+
+    lang_tot: dict[str, int] = {}
+    adm_tot: dict[int, int] = {}
+    for a, lg, v in zip(adm, lang, n):
+        lang_tot[lg] = lang_tot.get(lg, 0) + int(v)
+        adm_tot[int(a)] = adm_tot.get(int(a), 0) + int(v)
+    h_lang = sum(v * lnq(total, v) for v in lang_tot.values())
+    h_cond = sum(int(v) * lnq(adm_tot[int(a)], int(v))
+                 for a, v in zip(adm, n))
+    return pa.table({"n_pages": pa.array([total], pa.int64()),
+                     "h_lang_num_e6": pa.array([h_lang], pa.int64()),
+                     "h_cond_num_e6": pa.array([h_cond], pa.int64()),
+                     "ig_num_e6": pa.array([h_lang - h_cond], pa.int64())})
+
+
 #: q112 density threshold: cells with >= this many latest geocoded pages
 #: participate in region labeling (1 = every occupied cell — classic
 #: raster connected-component labeling; higher = DBSCAN-style core cells)
@@ -8666,6 +8746,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q188_fractal_dim": spatialsql.q188_sql(LN2_E6),
         "q189_distance_decay": spatialsql.q189_sql(),
         "q190_spatial_modularity": spatialsql.q190_sql(),
+        "q191_lang_info_gain": spatialsql.q191_sql(),
     }
 
 

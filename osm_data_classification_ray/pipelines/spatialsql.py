@@ -625,6 +625,44 @@ FROM dg JOIN nd USING (comm)
 LEFT JOIN ec ON ec.comm = dg.comm CROSS JOIN m"""
 
 
+def q191_sql() -> str:
+    """q191 oracle: information gain via the shared PIP mirror, plain
+    (lang) / (admin) / (admin, lang) groupings, and the identical
+    frozen ln terms (int ratios → DOUBLE once → LN → half-up
+    micro-nats). Never sees the engine's partial/driver fold."""
+    return f"""WITH {captures_ctes()},
+{_pip_join_ctes()},
+best AS (
+  SELECT url_i, admin_id,
+         ROW_NUMBER() OVER (PARTITION BY url_i ORDER BY level DESC, admin_id ASC) AS rn
+  FROM contained
+),
+al AS (
+  SELECT b.admin_id, c.lang, COUNT(*)::BIGINT AS n
+  FROM best b JOIN cap c ON c.url_i = b.url_i AND c.has_geo AND c.is_latest
+  WHERE b.rn = 1
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM al),
+lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM al GROUP BY lang),
+at_ AS (SELECT admin_id, CAST(SUM(n) AS BIGINT) AS na FROM al
+        GROUP BY admin_id),
+hl AS (SELECT CAST(SUM(nl * CAST(FLOOR(LN(CAST(tot.t AS DOUBLE)
+                                        / CAST(nl AS DOUBLE))
+                                     * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS h_lang
+       FROM lt CROSS JOIN tot),
+hc AS (SELECT CAST(SUM(al.n * CAST(FLOOR(LN(CAST(at_.na AS DOUBLE)
+                                          / CAST(al.n AS DOUBLE))
+                                       * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS h_cond
+       FROM al JOIN at_ USING (admin_id))
+SELECT tot.t AS n_pages, hl.h_lang AS h_lang_num_e6,
+       hc.h_cond AS h_cond_num_e6,
+       CAST(hl.h_lang - hc.h_cond AS BIGINT) AS ig_num_e6
+FROM tot CROSS JOIN hl CROSS JOIN hc"""
+
+
 def q112_sql(minpts: int) -> str:
     """q112 oracle: region labeling rebuilt independently — occupied/core
     res-5 cells from the captures mirror, adjacency as the q97 axial

@@ -74,6 +74,7 @@ QUERIES = [
     "fractal_dim_query",         # q188: pyramid ride + 5-row moments
     "distance_decay_query",      # q189: OD collect + exact fold
     "modularity_query",          # q190: comm partials + two exchanges
+    "info_gain_query",           # q191: join + (admin, lang) exchange
 ]
 
 
