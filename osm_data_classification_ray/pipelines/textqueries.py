@@ -1051,6 +1051,154 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q192_vocab_drift(sf_dir: str):
+    """q192: corpus drift detection — the Jensen–Shannon divergence
+    numerators between the two deterministic corpus halves (even vs odd
+    doc_id, the q102 delta rule) over the q72 top-4096 vocabulary:
+    js_a_num = Σ_t nA_t·⌊ln(2·nA_t·B / (nA_t·B + nB_t·A))·10⁶+½⌋ and
+    symmetrically js_b_num (JS·2AB-ish at mass scale; JS itself =
+    (js_a/A + js_b/B)/2 micro-nats). The monitoring op of production
+    data pipelines ("did the token distribution shift between
+    snapshots?") — SYMMETRIC and self-referential, unlike q166's
+    one-sided KL against the corpus. One row: (n_a, n_b, js_a_num_e6,
+    js_b_num_e6); every ln argument is an exact int64 product.
+
+    Shape: the q94/q141 two-level vocabulary → per-block (tid, parity)
+    count partials → ONE keyed exchange bounded by 2·vocab → driver
+    scalar-libm fold. Oracle: Q192_SQL — the q72 vocab CTE + parity
+    grouping + identical frozen ln expression."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").groupby(
+        "tok", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                              ("tok", "ascending")])
+        return t.take(order).slice(0, _Q72_VOCAB)
+
+    parts = agg.map_batches(topk_block, batch_format="pyarrow",
+                            batch_size=None)
+    pt = pa.concat_tables([x for x in ray.get(parts.to_arrow_refs())
+                           if x.num_rows])
+    empty = pa.table({k: pa.array([], pa.int64())
+                      for k in ("n_a", "n_b", "js_a_num_e6",
+                                "js_b_num_e6")})
+    if pt.num_rows == 0:
+        return empty
+    order = pc.sort_indices(pt, sort_keys=[("n", "descending"),
+                                           ("tok", "ascending")])
+    pt = pt.take(order).slice(0, _Q72_VOCAB)
+    tok_ref = ray.put(pt["tok"].combine_chunks())
+    nv = pt.num_rows
+
+    def side_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("", pa.string())), pattern=" ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        flat = flat.filter(keep)
+        parent = np.asarray(parent.filter(keep)
+                            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        idx = pc.index_in(flat, value_set=ray.get(tok_ref))
+        tid = np.asarray(pc.fill_null(idx, -1)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        doc = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        par = doc[parent] % 2
+        ok = tid >= 0
+        code = tid[ok] * 2 + par[ok]
+        u, c = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    sagg = ds.map_batches(side_partial, batch_format="pyarrow").groupby(
+        "code", num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    st = pa.concat_tables([x for x in ray.get(sagg.to_arrow_refs())
+                           if x.num_rows])
+    na = np.zeros(nv, np.int64)
+    nb = np.zeros(nv, np.int64)
+    if st.num_rows:
+        code = np.asarray(st["code"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        cnt = np.asarray(st["n"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ev = code % 2 == 0
+        na[code[ev] // 2] = cnt[ev]
+        nb[code[~ev] // 2] = cnt[~ev]
+    a_tot = int(na.sum())
+    b_tot = int(nb.sum())
+    if a_tot == 0 or b_tot == 0:
+        return empty
+
+    def lnq(x: int, y: int) -> int:
+        return math.floor(math.log(float(x) / float(y)) * 1e6 + 0.5)
+
+    js_a = sum(int(x) * lnq(2 * int(x) * b_tot,
+                            int(x) * b_tot + int(y) * a_tot)
+               for x, y in zip(na, nb) if x > 0)
+    js_b = sum(int(y) * lnq(2 * int(y) * a_tot,
+                            int(x) * b_tot + int(y) * a_tot)
+               for x, y in zip(na, nb) if y > 0)
+    return pa.table({"n_a": pa.array([a_tot], pa.int64()),
+                     "n_b": pa.array([b_tot], pa.int64()),
+                     "js_a_num_e6": pa.array([js_a], pa.int64()),
+                     "js_b_num_e6": pa.array([js_b], pa.int64())})
+
+
+Q192_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+vc AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+cnt AS (SELECT tok, COUNT(*)::BIGINT AS n FROM vc GROUP BY tok),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS tid
+  FROM cnt QUALIFY tid <= {4096}
+),
+side AS (
+  SELECT v.tok,
+         SUM(CASE WHEN vc.doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+         SUM(CASE WHEN vc.doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM vc JOIN vocab v USING (tok)
+  GROUP BY v.tok
+),
+tot AS (SELECT CAST(SUM(na) AS BIGINT) AS a, CAST(SUM(nb) AS BIGINT) AS b
+        FROM side),
+ja AS (SELECT CAST(SUM(CASE WHEN na > 0 THEN na *
+                CAST(FLOOR(LN(CAST(2 * na * tot.b AS DOUBLE)
+                              / CAST(na * tot.b + nb * tot.a AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS j
+       FROM side CROSS JOIN tot),
+jb AS (SELECT CAST(SUM(CASE WHEN nb > 0 THEN nb *
+                CAST(FLOOR(LN(CAST(2 * nb * tot.a AS DOUBLE)
+                              / CAST(na * tot.b + nb * tot.a AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS j
+       FROM side CROSS JOIN tot)
+SELECT tot.a AS n_a, tot.b AS n_b, ja.j AS js_a_num_e6, jb.j AS js_b_num_e6
+FROM tot CROSS JOIN ja CROSS JOIN jb
+"""
+
+
 _Q95_STREAM = 995
 
 
@@ -3543,6 +3691,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "q177_pmi_collocations": (q177_pmi_collocations, Q177_SQL),
     "q179_phrase_search": (q179_phrase_search, Q179_SQL),
     "q184_canonical_dedup": (q184_canonical_dedup, _q184_sql()),
+    "q192_vocab_drift": (q192_vocab_drift, Q192_SQL),
     "q146_embed_outlier": (q146_embed_outlier, Q146_SQL),
     "q29_media_features": (q29_media_features, _q29_sql()),
     "q39_hll_distinct": (q39_hll_distinct, _q39_sql()),

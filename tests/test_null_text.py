@@ -26,7 +26,7 @@ AFFECTED = [
     "q100_fuzzy_edit_pairs", "q102_incremental_dedup",
     "q104_sparse_dot_topk", "q107_novelty_score", "q140_cdc_chunking",
     "q141_bigram_lm_score", "q177_pmi_collocations", "q179_phrase_search",
-    "q184_canonical_dedup",
+    "q184_canonical_dedup", "q192_vocab_drift",
 ]
 
 #: q151 consumes text through q20's pipeline AND joins the spatial side —
