@@ -372,6 +372,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q189_distance_decay": es.distance_decay_query,
             "q190_spatial_modularity": es.modularity_query,
             "q191_lang_info_gain": es.info_gain_query,
+            "q193_percolation": es.percolation_query,
         }
     )
     return out

@@ -1000,6 +1000,112 @@ def info_gain_query(sf_dir: str):
                      "ig_num_e6": pa.array([h_lang - h_cond], pa.int64())})
 
 
+#: q193 percolation thresholds (minimum undirected edge weight) — frozen
+PERC_KS = (1, 2, 3)
+
+
+def percolation_query(sf_dir: str):
+    """q193: percolation profile of the weighted OD graph — connected-
+    component structure as weak edges are removed: for each threshold
+    k ∈ PERC_KS keep undirected edges with total move weight ≥ k and
+    report (k, n_nodes, n_edges, n_components, giant_size). The
+    connectivity-PHASE statistic of network science ("does the mobility
+    network stay one giant component, or shatter, as noise edges
+    drop?") — a different ACTION from every per-node/per-edge graph
+    score: it tracks the component STRUCTURE across a control
+    parameter. Nested edge sets ⇒ one weighted-edge build serves all
+    thresholds.
+
+    Shape: the q124 pipeline → one pair-keyed weighted-dedup exchange
+    (LEAST/GREATEST + Sum of both directions, bounded by the cell-pair
+    universe) → driver union-find per threshold over the bounded edge
+    table (the q44 convention — distributed min-label propagation is
+    the documented over-threshold sibling). Oracle: spatialsql.q193_sql
+    — per threshold an INDEPENDENT recursive-CTE transitive closure
+    with MIN-reachable labels (the Q44/q112 machinery), sizes via a
+    label rollup."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    od = od_flow_query(sf_dir)
+
+    def norm(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        f = np.asarray(t["cell_from"].to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        to = np.asarray(t["cell_to"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64).view(np.int64)
+        w = np.asarray(t["n_moves"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = f != to
+        f, to, w = f[keep], to[keep], w[keep]
+        a = np.minimum(f, to)
+        b = np.maximum(f, to)
+        order = np.lexsort((b, a))
+        a, b, w = a[order], b[order], w[order]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1])
+                                      | (b[1:] != b[:-1])])
+        return pa.table({"a": pa.array(a[starts], pa.int64()),
+                         "b": pa.array(b[starts], pa.int64()),
+                         "w": pa.array(np.add.reduceat(w, starts),
+                                       pa.int64())})
+
+    ew = od.map_batches(norm, batch_format="pyarrow").groupby(
+        ["a", "b"], num_partitions=default_partitions()).aggregate(
+        Sum("w", alias_name="w"))
+    parts = [x for x in ray.get(ew.to_arrow_refs()) if x.num_rows]
+    empty = pa.table({k: pa.array([], pa.int64())
+                      for k in ("k", "n_nodes", "n_edges", "n_components",
+                                "giant_size")})
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    w = np.asarray(t["w"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    rows = []
+    for k in PERC_KS:
+        keep = w >= k
+        ak, bk = a[keep], b[keep]
+        nodes = np.unique(np.r_[ak, bk])
+        n_nodes = len(nodes)
+        if n_nodes == 0:
+            rows.append((k, 0, 0, 0, 0))
+            continue
+        parent = np.arange(n_nodes)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ia = np.searchsorted(nodes, ak)
+        ib = np.searchsorted(nodes, bk)
+        for x, y in zip(ia, ib):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.fromiter((find(int(i)) for i in range(n_nodes)),
+                            dtype=np.int64, count=n_nodes)
+        _, sizes = np.unique(roots, return_counts=True)
+        rows.append((k, n_nodes, int(keep.sum()), len(sizes),
+                     int(sizes.max())))
+    cols = list(zip(*rows))
+    return pa.table({"k": pa.array(cols[0], pa.int64()),
+                     "n_nodes": pa.array(cols[1], pa.int64()),
+                     "n_edges": pa.array(cols[2], pa.int64()),
+                     "n_components": pa.array(cols[3], pa.int64()),
+                     "giant_size": pa.array(cols[4], pa.int64())})
+
+
 #: q112 density threshold: cells with >= this many latest geocoded pages
 #: participate in region labeling (1 = every occupied cell — classic
 #: raster connected-component labeling; higher = DBSCAN-style core cells)
@@ -8747,6 +8853,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q189_distance_decay": spatialsql.q189_sql(),
         "q190_spatial_modularity": spatialsql.q190_sql(),
         "q191_lang_info_gain": spatialsql.q191_sql(),
+        "q193_percolation": spatialsql.q193_sql(PERC_KS),
     }
 
 

@@ -663,6 +663,53 @@ SELECT tot.t AS n_pages, hl.h_lang AS h_lang_num_e6,
 FROM tot CROSS JOIN hl CROSS JOIN hc"""
 
 
+def q193_sql(ks) -> str:
+    """q193 oracle: percolation profile — weighted undirected edges from
+    the q124 LAG mirror, then per threshold an INDEPENDENT recursive-CTE
+    transitive closure (the Q44/q112 machinery: self-loops + both
+    directions, MIN reachable node as the label) and a label rollup for
+    component count and giant size. Never sees the union-find."""
+    blocks, selects = [], []
+    for k in ks:
+        blocks.append(f"""ek{k} AS (SELECT a, b FROM ew WHERE w >= {k}),
+eg{k} AS (
+  SELECT a AS u, b AS v FROM ek{k}
+  UNION ALL SELECT b, a FROM ek{k}
+  UNION ALL SELECT a, a FROM ek{k}
+  UNION ALL SELECT b, b FROM ek{k}
+),
+reach{k}(u, v) AS (
+  SELECT u, v FROM eg{k}
+  UNION
+  SELECT r.u, e.v FROM reach{k} r JOIN eg{k} e ON r.v = e.u
+),
+lab{k} AS (SELECT u, MIN(v) AS lab FROM reach{k} GROUP BY u),
+cs{k} AS (SELECT lab, COUNT(*)::BIGINT AS sz FROM lab{k} GROUP BY lab)""")
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, "
+            f"(SELECT COUNT(*)::BIGINT FROM lab{k}) AS n_nodes, "
+            f"(SELECT COUNT(*)::BIGINT FROM ek{k}) AS n_edges, "
+            f"(SELECT COUNT(*)::BIGINT FROM cs{k}) AS n_components, "
+            f"(SELECT CAST(COALESCE(MAX(sz), 0) AS BIGINT) FROM cs{k}) "
+            f"AS giant_size")
+    body = ",\n".join(blocks)
+    sel = "\nUNION ALL\n".join(selects)
+    return f"""WITH RECURSIVE {captures_ctes()},
+seq AS (SELECT host, ts_us, url, cell_r7 FROM cap WHERE has_geo),
+p AS (SELECT cell_r7 AS cell_to,
+             LAG(cell_r7) OVER (PARTITION BY host ORDER BY ts_us, url)
+               AS cell_from
+      FROM seq),
+odp AS (SELECT cell_from, cell_to, COUNT(*)::BIGINT AS n_moves
+        FROM p WHERE cell_from IS NOT NULL GROUP BY 1, 2),
+ew AS (SELECT LEAST(cell_from, cell_to) AS a,
+              GREATEST(cell_from, cell_to) AS b,
+              CAST(SUM(n_moves) AS BIGINT) AS w
+       FROM odp WHERE cell_from <> cell_to GROUP BY 1, 2),
+{body}
+{sel}"""
+
+
 def q112_sql(minpts: int) -> str:
     """q112 oracle: region labeling rebuilt independently — occupied/core
     res-5 cells from the captures mirror, adjacency as the q97 axial

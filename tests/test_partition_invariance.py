@@ -75,6 +75,7 @@ QUERIES = [
     "distance_decay_query",      # q189: OD collect + exact fold
     "modularity_query",          # q190: comm partials + two exchanges
     "info_gain_query",           # q191: join + (admin, lang) exchange
+    "percolation_query",         # q193: weighted dedup + per-k CC
 ]
 
 
