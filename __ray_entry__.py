@@ -373,6 +373,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "q190_spatial_modularity": es.modularity_query,
             "q191_lang_info_gain": es.info_gain_query,
             "q193_percolation": es.percolation_query,
+            "q194_l_diversity": es.l_diversity_query,
         }
     )
     return out

@@ -1106,6 +1106,83 @@ def percolation_query(sf_dir: str):
                      "giant_size": pa.array(cols[4], pa.int64())})
 
 
+#: q194 l-diversity floor: an occupied cell whose sensitive attribute
+#: (lang) shows fewer than this many distinct values is disclosive
+L_DIVERSITY = 2
+
+
+def l_diversity_query(sf_dir: str):
+    """q194: l-diversity screening — the second privacy criterion
+    beside q148's k-anonymity: a res-7 cell is DISCLOSIVE when all its
+    latest geocoded pages share too few distinct values of the
+    sensitive attribute (lang): knowing someone's cell then reveals
+    their language. Emit every occupied cell with fewer than
+    L_DIVERSITY distinct langs, with (n_pages, n_langs) — a release is
+    l-diverse exactly when this list is empty. k-anonymity bounds
+    group SIZE; l-diversity bounds attribute VARIETY — independent
+    failures, hence a distinct operator.
+
+    Shape: per-block distinct-(cell, lang) + count partials → ONE
+    (cell, lang)-keyed exchange bounded by cells × langs → per-block
+    cell fold (distinct langs by run-length, pages by Sum) → threshold
+    filter. Oracle: spatialsql.q194_sql — plain two-level grouping +
+    HAVING, never seeing the partial split."""
+    from ray.data.aggregate import Sum
+
+    from ..runtime import use_hash_shuffle
+
+    use_hash_shuffle()
+    cfg, _ = ensure_outputs(sf_dir)
+    pts = spatial.read_stage(cfg.out_root, "captures",
+                             ["h3_r7", "lang", "has_geo", "is_latest"])
+    pts = pts.map_batches(
+        lambda t: t.filter(pc.and_(t["has_geo"], t["is_latest"]))
+        .select(["h3_r7", "lang"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["h3_r7", "lang"]).aggregate([("lang", "count")])
+        return pa.table({
+            "cell": pa.array(np.asarray(
+                g["h3_r7"].to_numpy(zero_copy_only=False),
+                dtype=np.uint64).view(np.int64), pa.int64()),
+            "lang": g["lang"],
+            "n": pc.cast(g["lang_count"], pa.int64())})
+
+    cl = pts.map_batches(partials, batch_format="pyarrow").groupby(
+        ["cell", "lang"], num_partitions=default_partitions()).aggregate(
+        Sum("n", alias_name="n"))
+    cl = cl.repartition(default_partitions(), keys=["cell"], sort=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.uint64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "n_langs": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("cell", "ascending")])
+        block = block.take(order).combine_chunks()
+        c = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        n = np.asarray(block["n"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        n_langs = np.diff(np.r_[starts, len(c)]).astype(np.int64)
+        n_pages = np.add.reduceat(n, starts)
+        keep = n_langs < L_DIVERSITY
+        return pa.table({
+            "cell": pa.array(c[starts][keep].view(np.uint64), pa.uint64()),
+            "n_pages": pa.array(n_pages[keep], pa.int64()),
+            "n_langs": pa.array(n_langs[keep], pa.int64())})
+
+    return cl.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 #: q112 density threshold: cells with >= this many latest geocoded pages
 #: participate in region labeling (1 = every occupied cell — classic
 #: raster connected-component labeling; higher = DBSCAN-style core cells)
@@ -8854,6 +8931,7 @@ def _spatial_engine_sql() -> dict[str, str]:
         "q190_spatial_modularity": spatialsql.q190_sql(),
         "q191_lang_info_gain": spatialsql.q191_sql(),
         "q193_percolation": spatialsql.q193_sql(PERC_KS),
+        "q194_l_diversity": spatialsql.q194_sql(L_DIVERSITY),
     }
 
 

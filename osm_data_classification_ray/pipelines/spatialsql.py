@@ -710,6 +710,20 @@ ew AS (SELECT LEAST(cell_from, cell_to) AS a,
 {sel}"""
 
 
+def q194_sql(l_floor: int) -> str:
+    """q194 oracle: l-diversity screening as a plain two-level grouping
+    (per-cell COUNT + COUNT(DISTINCT lang)) with a HAVING threshold —
+    never sees the (cell, lang) partial split or the run-length
+    fold."""
+    return f"""WITH {captures_ctes()},
+g AS (SELECT cell_r7 AS cell, COUNT(*)::BIGINT AS n_pages,
+             COUNT(DISTINCT lang)::BIGINT AS n_langs
+      FROM cap WHERE has_geo AND is_latest
+      GROUP BY cell_r7
+      HAVING COUNT(DISTINCT lang) < {l_floor})
+SELECT CAST(cell AS UBIGINT) AS cell, n_pages, n_langs FROM g"""
+
+
 def q112_sql(minpts: int) -> str:
     """q112 oracle: region labeling rebuilt independently — occupied/core
     res-5 cells from the captures mirror, adjacency as the q97 axial

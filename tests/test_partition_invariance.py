@@ -76,6 +76,7 @@ QUERIES = [
     "modularity_query",          # q190: comm partials + two exchanges
     "info_gain_query",           # q191: join + (admin, lang) exchange
     "percolation_query",         # q193: weighted dedup + per-k CC
+    "l_diversity_query",         # q194: (cell, lang) exchange + fold
 ]
 
 
